@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Three tiers, in increasing scalability:
+
+* **exact** — content-hash groupBy; one shuffle on the hash.  The 100 TB workhorse.
+* **n-gram Jaccard** — all-pairs via shingle-equality join; cost is O(pairs sharing a
+  shingle).  Exact but quadratic in the worst case — the *verifier*, not the scale path.
+* **MinHash + LSH** — signature computed per row with zero shuffle (array expressions,
+  whole-stage codegen), then banding: only docs colliding in a band are joined.  The
+  classic sub-quadratic near-dup path (Broder '97); at 100 TB the band join shuffles
+  only (band_id, band_hash) keys.
+
+All hashing is md5-based so the DuckDB oracle reproduces results bit-for-bit — the
+MinHash signatures themselves are deterministic, which also makes the operator
+idempotent across cluster re-runs (a 100 TB requirement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+#: MinHash configuration: 32 permutations → 16 bands × 2 rows.
+#: P(candidate | jaccard j) = 1-(1-j²)^16: j=0.3 → 0.78, j=0.5 → 0.99 — high recall at
+#: the 0.3 threshold; false candidates are removed by the exact-Jaccard verify step.
+N_PERM = 32
+N_BANDS = 16
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.3
+
+#: SQL expression (Spark) building the distinct word-3-shingle array from ``text``.
+_SHINGLES_SPARK = """
+    array_distinct(
+        CASE WHEN size(tok) >= 3 THEN
+            transform(sequence(0, size(tok) - 3),
+                      i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))
+        ELSE array()
+        END)
+"""
+
+#: Same thing in DuckDB (1-based list indexing).
+_SHINGLES_DUCK = """
+    list_distinct(
+        CASE WHEN len(tok) >= 3 THEN
+            list_transform(generate_series(1, len(tok) - 2),
+                           i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+        ELSE []
+        END)
+"""
+
+
+def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tok", F.split(F.lower(F.col("text")), r"\s+"))
+        .withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .select("doc_id", "shingles")
+    )
+
+
+_DUCK_SHINGLE_CTE = f"""
+    WITH tokd AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tok FROM documents
+    ), shing AS (
+        SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM tokd
+    )
+"""
+
+
+@declare(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lower, trim, collapse whitespace) → md5 → groupBy,
+    keeper = min(doc_id).  One shuffle on a 128-bit key; at 100 TB this is a plain
+    hash-partitioned aggregation with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        docs.withColumn("content_hash", F.md5(norm))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@declare(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_SHINGLE_CTE + f"""
+    , sh AS (SELECT doc_id, unnest(shingles) AS s FROM shing),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM shing),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode distinct 3-shingles, self-join on
+    shingle equality, jaccard = |∩| / (|A|+|B|-|∩|).  The shingle join is the shuffle;
+    use :func:`dedup_minhash_lsh` for the sub-quadratic path at scale."""
+    shing = _with_shingles(spark, sf_dir).cache()
+    sh = shing.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = shing.select("doc_id", F.size("shingles").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_sig_spark() -> str:
+    """Spark SQL expr: 32 md5-minhashes computed per-row over the shingle array —
+    no shuffle, stays inside whole-stage codegen."""
+    return f"""
+        transform(sequence(0, {N_PERM - 1}),
+                  p -> array_min(transform(shingles,
+                                           s -> md5(concat(cast(p AS string), '|', s)))))
+    """
+
+
+_MINHASH_SIG_DUCK = f"""
+        list_transform(range(0, {N_PERM}),
+                       p -> list_min(list_transform(shingles,
+                                                    s -> md5(p::varchar || '|' || s))))
+"""
+
+
+@declare(
+    "dedup_minhash_lsh",
+    oracle=_DUCK_SHINGLE_CTE + f"""
+    , sig AS (
+        SELECT doc_id, shingles, {_MINHASH_SIG_DUCK} AS mh
+        FROM shing WHERE len(shingles) > 0
+    ), bands AS (
+        SELECT doc_id, b AS band_idx,
+               md5(mh[{ROWS_PER_BAND}*b + 1] || '|' || mh[{ROWS_PER_BAND}*b + 2]) AS band_hash
+        FROM sig, unnest(range(0, {N_BANDS})) AS t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common / (na + nb - n_common), 6) AS jaccard
+    FROM verified
+    WHERE n_common / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the 100 TB scale path:
+
+    1. per-row signature: 32 deterministic md5-minhashes over the shingle set
+       (pure array expressions — zero shuffle, codegen'd),
+    2. banding: 16 bands × 2 rows; docs agreeing on a whole band become candidates —
+       the only shuffle is the band-key self-join,
+    3. exact-Jaccard verification of candidates via array_intersect.
+
+    Deterministic permutations (md5-keyed) make the operator reproducible across runs
+    and engines — verified bit-for-bit against the DuckDB oracle."""
+    sig = (
+        _with_shingles(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .withColumn("mh", F.expr(_minhash_sig_spark()))
+        .cache()
+    )
+    # band_hash = md5(mh[2b] || '|' || mh[2b+1])  (Spark arrays are 0-based)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(f"""
+            transform(sequence(0, {N_BANDS - 1}),
+                      b -> struct(b AS band_idx,
+                                  md5(concat_ws('|', mh[{ROWS_PER_BAND}*b],
+                                                     mh[{ROWS_PER_BAND}*b + 1])) AS band_hash))
+        """)).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sha"))
+    sb = sig.select(F.col("doc_id").alias("db"), F.col("shingles").alias("shb"))
+    verified = (
+        cand.join(sa, F.col("doc_a") == F.col("da"))
+        .join(sb, F.col("doc_b") == F.col("db"))
+        .withColumn("n_common", F.size(F.array_intersect("sha", "shb")))
+        .withColumn("na", F.size("sha"))
+        .withColumn("nb", F.size("shb"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        verified.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* **brute-force top-k** — broadcast the (small) query set against all candidates;
+  cosine computed with sequential array folds so the result is bit-identical across
+  engines and partitionings.  At 100 TB this is the *verification* path.
+* **IVF top-k** — candidates pruned to the query's coarse partition (here the ``label``
+  column plays the role of a precomputed IVF centroid assignment).  The join key is the
+  partition id, so Spark shuffles each query only to its bucket — the scale path
+  (probe-1 IVF; multi-probe = OR more labels in the join key).
+
+No UDFs: dot products are ``zip_with`` + ``aggregate`` higher-order functions, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold — order-deterministic."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DUCK_DOT = ("list_reduce(list_transform(range(1, len({a}) + 1), "
+             "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+_DUCK_NORM2 = "list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y)"
+
+
+def _duck_topk_sql(same_label: bool) -> str:
+    label_cond = "AND q.label = c.label" if same_label else ""
+    dot = _DUCK_DOT.format(a="q.emb", b="c.emb")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, emb, label,
+                 sqrt({_DUCK_NORM2.format(a="emb")}) AS nrm FROM v),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {dot} / (qn.nrm * c.nrm) AS cos
+        FROM q
+        JOIN c  ON q.vec_id <> c.vec_id {label_cond}
+        JOIN (SELECT vec_id, sqrt({_DUCK_NORM2.format(a="emb")}) AS nrm FROM v) qn
+          ON qn.vec_id = q.vec_id
+    ), ranked AS (
+        SELECT query_id, cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk, ROUND(cos, 6) AS score
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+def _spark_topk(spark: SparkSession, sf_dir: str, same_label: bool) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
+        .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"), F.col("label").alias("qlabel"))
+    cond = q.query_id != v.vec_id
+    if same_label:
+        # IVF probe: only the query's coarse bucket is scanned.
+        cond = cond & (q.qlabel == v.label)
+    scored = (
+        v.join(F.broadcast(q), cond)
+        .withColumn("cos", _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"),
+            F.col("rnk").cast("int").alias("rnk"), F.round("cos", 6).alias("score"),
+        )
+    )
+
+
+@declare("simsearch_topk_bruteforce", oracle=_duck_topk_sql(same_label=False))
+def simsearch_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × all candidates, window top-k.
+    Exact baseline for ANN variants."""
+    return _spark_topk(spark, sf_dir, same_label=False)
+
+
+@declare("simsearch_topk_ivf", oracle=_duck_topk_sql(same_label=True))
+def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned cosine top-k: candidates restricted to the query's coarse partition
+    (``label`` ≙ nearest-centroid assignment).  Scans 1/|partitions| of the corpus —
+    the approximate-NN scale path."""
+    return _spark_topk(spark, sf_dir, same_label=True)

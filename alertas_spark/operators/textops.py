@@ -1,0 +1,188 @@
+"""Text-analysis operators for training-data pipelines: quality scoring, language-ID
+heuristic, token counting, document fingerprinting.
+
+All pure JVM expressions (regex + array higher-order functions) — no Python in the hot
+path; at 100 TB these are embarrassingly parallel scan-projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: language marker words for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+@declare(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                t -> t IN ({_STOP_SQL}))) AS INTEGER) AS n_stop,
+           ROUND(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 t -> t IN ({_STOP_SQL})))
+                 / GREATEST(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6)
+               AS stop_ratio,
+           ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
+           CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 30 AND 2000
+                 AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                     / GREATEST(length(text), 1) < 0.2
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, stopword ratio, punctuation ratio, pass flag —
+    the usual pre-training corpus filters (Gopher/C4-style heuristics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct_len = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    punct_ratio = F.round(punct_len / F.greatest(F.length("text"), F.lit(1)), 6)
+    quality_ok = F.when(
+        n_tokens.between(30, 2000)
+        & (punct_len / F.greatest(F.length("text"), F.lit(1)) < 0.2), 1).otherwise(0)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        n_stop.cast("int").alias("n_stop"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality_ok.alias("quality_ok"),
+    )
+
+
+def _marker_count_duck(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+            f"t -> t IN ({words})))")
+
+
+@declare(
+    "lang_guess",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_marker_count_duck('en')} AS c_en,
+               {_marker_count_duck('es')} AS c_es,
+               {_marker_count_duck('fr')} AS c_fr,
+               {_marker_count_duck('de')} AS c_de
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en > 0 THEN 'en'
+                WHEN c_es >= c_fr AND c_es >= c_de AND c_es > 0 THEN 'es'
+                WHEN c_fr >= c_de AND c_fr > 0 THEN 'fr'
+                WHEN c_de > 0 THEN 'de'
+                ELSE 'unknown' END AS guess,
+           CAST(c_en + c_es + c_fr + c_de AS INTEGER) AS n_markers
+    FROM scored
+    """,
+)
+def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: count language-marker stopwords, deterministic argmax
+    ladder (ties resolve in fixed en>es>fr>de order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+
+    def marker_count(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    counts = {lang: marker_count(words) for lang, words in LANG_MARKERS.items()}
+    df = docs.select("doc_id", "lang", *[counts[lg].alias(f"c_{lg}") for lg in counts])
+    c = {lg: F.col(f"c_{lg}") for lg in LANG_MARKERS}
+    guess = (
+        F.when((c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["de"])
+               & (c["en"] > 0), "en")
+        .when((c["es"] >= c["fr"]) & (c["es"] >= c["de"]) & (c["es"] > 0), "es")
+        .when((c["fr"] >= c["de"]) & (c["fr"] > 0), "fr")
+        .when(c["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+    return df.select(
+        "doc_id", "lang", guess.alias("guess"),
+        (c["en"] + c["es"] + c["fr"] + c["de"]).cast("int").alias("n_markers"),
+    )
+
+
+@declare(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS INTEGER) AS n_bpe_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation (letters /
+    digits / single punctuation) — the standard cheap token-budget estimator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+        .cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+        .cast("int").alias("n_bpe_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@declare(
+    "doc_fingerprint",
+    oracle="""
+    WITH tokd AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_md5,
+           list_min(CASE WHEN len(tok) >= 5 THEN
+               list_transform(generate_series(1, len(tok) - 4),
+                   i -> md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
+                            || tok[i+3] || ' ' || tok[i+4]))
+               ELSE [md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))] END)
+               AS rolling_min_hash
+    FROM tokd
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content md5 + a rolling-window (5-gram) min-hash
+    — the winnowing-style signature used for fast containment checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    out = (
+        docs.withColumn("tok", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .withColumn("content_md5", F.md5(norm))
+        .withColumn(
+            "rolling_min_hash",
+            F.expr("""
+                array_min(CASE WHEN size(tok) >= 5 THEN
+                    transform(sequence(0, size(tok) - 5),
+                        i -> md5(concat_ws(' ', tok[i], tok[i+1], tok[i+2],
+                                           tok[i+3], tok[i+4])))
+                ELSE array(content_md5) END)
+            """),
+        )
+    )
+    return out.select("doc_id", "content_md5", "rolling_min_hash")

@@ -1,0 +1,209 @@
+"""Aggregation operators (SURVEY §2.4).
+
+Covers: A1/A2 multi-agg with aliases, A3 multi-key GROUP BY, A4 HAVING on aggregate,
+A5 COUNT(1), A6 COUNT(DISTINCT), A7 MIN/MAX over strings, A8 product via EXP(SUM(LN)),
+A9 collect_list + concat_ws (made deterministic with array_sort), A10 conditional
+aggregation, A11 global aggregate.
+
+Scale notes: all hash aggregates do map-side partial aggregation before the shuffle
+(Spark default); doubles are accumulated as DECIMAL (order-independent ⇒ identical on 1
+or 1000 executors — see functions/numeric.py).  COUNT(DISTINCT) is exact here; at
+100 TB prefer approx_count_distinct (documented option, SURVEY §2.4 A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alertas_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+
+@declare(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: A1/A2/A3/A5 — the engine's headline scan+aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@declare(
+    "product_aggregate",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(EXP(SUM(LN(1 - l_discount))), 6) AS keep_factor,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0 AND l_discount < 1.0
+    GROUP BY l_orderkey
+    """,
+)
+def product_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: product aggregate via EXP(SUM(LN(x))) (≙ penalty multiplier factor
+    alerta_prcr.py:54).  Rounded to absorb last-ulp libm differences."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_orderkey") % 97 == 0) & (F.col("l_discount") < 1.0))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.exp(F.sum(F.log(1 - F.col("l_discount")))), 6).alias("keep_factor"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@declare(
+    "collect_sorted_concat",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 350000
+    GROUP BY o_custkey
+    """,
+)
+def collect_sorted_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: collect_list + concat_ws, with array_sort for determinism (the reference's
+    version is order-nondeterministic — alerta_prcr.py:54; SURVEY §2.4 A9)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 350000)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))))
+            .alias("order_keys"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@declare(
+    "having_conditional_agg",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           strftime(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END),
+                    '%Y-%m-%d') AS last_urgent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) = 0 AND COUNT(*) >= 3
+    """,
+)
+def having_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 HAVING-on-aggregate + A10 MAX(CASE WHEN...) conditional aggregation
+    (≙ HAVING MAX(flag_conversao)=0 alerta_nf30.py:62; conditional max :40-47)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.date_format(
+                F.max(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_orderdate"))),
+                "yyyy-MM-dd").alias("last_urgent"),
+            F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("_any_open"),
+        )
+        .filter((F.col("_any_open") == 0) & (F.col("n_orders") >= 3))
+        .drop("_any_open")
+    )
+
+
+@declare(
+    "count_distinct_segments",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def count_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact COUNT(DISTINCT) (≙ alerta_ro.py:35-36).  At 100 TB swap to
+    approx_count_distinct — exact distinct is a two-phase shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.countDistinct("c_mktsegment").alias("n_segments"))
+    )
+
+
+@declare(
+    "minmax_strings",
+    oracle="""
+    SELECT lang,
+           MIN(source) AS min_source, MAX(source) AS max_source,
+           MIN(substr(text, 1, 24)) AS min_prefix,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def minmax_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: MIN/MAX over strings (≙ serial-number min/max alerta_ro.py:30-34)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.min("source").alias("min_source"),
+        F.max("source").alias("max_source"),
+        F.min(F.substring("text", 1, 24)).alias("min_prefix"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@declare(
+    "global_aggregate",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           ROUND(MIN(l_discount), 2) AS min_disc,
+           ROUND(MAX(l_discount), 2) AS max_disc
+    FROM lineitem
+    """,
+)
+def global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: ungrouped global aggregate (≙ MAX(ano_referencia) alerta_isps.py:38-42)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+        F.round(F.min("l_discount"), 2).alias("min_disc"),
+        F.round(F.max("l_discount"), 2).alias("max_disc"),
+    )

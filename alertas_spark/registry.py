@@ -1,0 +1,64 @@
+"""Declared-query registry.
+
+Every operator from SURVEY.md §2 (plus the extension operators) is exposed as a
+*declared query*: a named builder ``(spark, sf_dir) -> DataFrame`` with an optional
+DuckDB-oracle SQL string.  The driver (and our own tests) run both sides at sf0.01 and
+compare row-count + schema + order-insensitive value hash.
+
+This mirrors the reference's plugin protocol — each ``alerta_<sigla>(options) ->
+DataFrame`` module function registered in a dict (``/root/reference/src/alertas/
+jobs.py:98-119``) — generalized with the oracle attached for testability.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class DeclaredQuery:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL; None → rows-only check (non-SQL-expressible op)
+    doc: str
+
+
+REGISTRY: dict[str, DeclaredQuery] = {}
+
+#: Modules whose import populates the registry.
+_QUERY_MODULES = (
+    "alertas_spark.plans.relational",
+    "alertas_spark.plans.aggregates",
+    "alertas_spark.plans.joins",
+    "alertas_spark.plans.dates",
+    "alertas_spark.plans.sets",
+    "alertas_spark.operators.dedup",
+    "alertas_spark.operators.simsearch",
+    "alertas_spark.operators.textops",
+    "alertas_spark.operators.sessionize",
+    "alertas_spark.operators.multimodal",
+)
+
+
+def declare(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
+    """Decorator: register ``fn`` as the builder for declared query ``name``."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate declared query: {name}")
+        REGISTRY[name] = DeclaredQuery(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, DeclaredQuery]:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return REGISTRY

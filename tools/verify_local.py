@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same sf dir, then compares row count, column names/dtypes, and order-insensitive cell
+values (exact — we engineer the queries to be bit-deterministic cross-engine).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if np.issubdtype(s.dtype, np.datetime64):
+            df[c] = s.astype("datetime64[ns]")
+        elif s.dtype == object:
+            nonnull = s.dropna()
+            if len(nonnull) and not isinstance(nonnull.iloc[0], str):
+                # dates / Decimals etc → canonical string
+                df[c] = s.map(lambda v: None if v is None else str(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    if len(sdf) != len(odf):
+        problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+            same = ((sv.isna() & ov.isna()) | (sv.values == ov.values))
+            if not same.all():
+                bad = int((~same).sum())
+                i = int(np.argmax(~same.values))
+                problems.append(
+                    f"col {c}: {bad} float mismatches, e.g. {sv.iloc[i]!r} vs {ov.iloc[i]!r}")
+        else:
+            same = (sv.isna() & ov.isna()) | (sv.astype(str) == ov.astype(str))
+            if not same.all():
+                bad = int((~same).sum())
+                i = int(np.argmax(~same.values))
+                problems.append(
+                    f"col {c}: {bad} mismatches, e.g. {sv.iloc[i]!r} vs {ov.iloc[i]!r} "
+                    f"(dtypes {sv.dtype}/{ov.dtype})")
+    if list(sdf.dtypes.astype(str).sort_index()) != list(odf.dtypes.astype(str).sort_index()):
+        problems.append(
+            f"dtype note: spark={dict(sdf.dtypes.astype(str))} oracle={dict(odf.dtypes.astype(str))}")
+    return problems
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from alertas_spark.session import get_spark
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+              "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, builder in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = builder(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL  {name}: oracle error: {ex}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, odf)
+        hard = [p for p in problems if not p.startswith("dtype note")]
+        status = "FAIL" if hard else "OK"
+        if hard:
+            failures += 1
+        print(f"{status:5} {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+        for p in problems:
+            print(f"      {p}")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
