@@ -1,0 +1,141 @@
+"""MVVD (repeat domestic-violence victims) and DT2I (second-instance movement).
+
+MVVD ≙ /root/reference/src/alertas/alerta_mvvd.py:29-69 — the disjunctive-key join
+(SURVEY §2.3 J10): a new victim matches a past victim on person id ∨ CPF ∨ RG ∨
+(name, mother) ∨ (name, birthdate).  Spark cannot hash-join an OR-predicate, so it
+stays a UNION ALL of five equi-joins + DISTINCT, exactly like the reference.
+
+DT2I ≙ alerta_dt2i.py:27-97 — docs with a recent (≤7 days) andamento that also carry
+a ciência followed by a recurso (appeal chain reaching second instance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alertas_spark.framework import codes
+from alertas_spark.framework.context import AlertContext
+from alertas_spark.functions.keys import uuidsha
+
+
+def alerta_mvvd(ctx: AlertContext) -> DataFrame:
+    """MVVD — domestic-violence docs registered in the last 30 days whose victim
+    already appears as a victim in another DV doc (≙ alerta_mvvd.py:29-69)."""
+    pessoa = ctx.table("exadata", "mcpr_pessoa_fisica").select(
+        "pesf_pess_dk", "pesf_cpf", "pesf_nr_rg", "pesf_nm_pessoa_fisica",
+        "pesf_nm_mae", "pesf_dt_nasc")
+    vitima = (
+        ctx.table("exadata", "mcpr_personagem")
+        .filter(F.col("pers_tppe_dk").isin(*codes.VICTIM_ROLES))
+        .select("pers_pess_dk", "pers_docu_dk")
+    )
+    pessoa_vitima = pessoa.join(vitima, F.col("pesf_pess_dk") == F.col("pers_pess_dk"))
+
+    dv = F.col("docu_mate_dk") == codes.DOMESTIC_VIOLENCE_MATTER
+    past = (
+        pessoa_vitima.join(ctx.view("documento").filter(dv).select("docu_dk"),
+                           F.col("pers_docu_dk") == F.col("docu_dk"))
+        .select(
+            F.col("pesf_pess_dk").alias("vict_pess_dk"),
+            F.col("pesf_cpf").alias("vict_cpf"),
+            F.col("pesf_nr_rg").alias("vict_rg"),
+            F.col("pesf_nm_pessoa_fisica").alias("vict_nome"),
+            F.col("pesf_nm_mae").alias("vict_mae"),
+            F.col("pesf_dt_nasc").alias("vict_nasc"),
+            F.col("docu_dk").alias("vict_docu_dk"),
+        )
+    )
+    recent_docs = (
+        ctx.view("documento")
+        .filter(F.datediff(ctx.as_of_col, F.col("docu_dt_cadastro")) <= 30)
+        .filter(dv)
+    )
+    classe = ctx.table("exadata_aux", "mmps_classe_hierarquia").select("cldc_dk")
+    doc_vitima = pessoa_vitima.join(
+        recent_docs.join(F.broadcast(classe),
+                         recent_docs.docu_cldc_dk == F.col("cldc_dk"), "left"),
+        F.col("pers_docu_dk") == F.col("docu_dk"),
+    )
+
+    different_doc = F.col("vict_docu_dk") != F.col("docu_dk")
+    matches = [
+        doc_vitima.join(past, (F.col("pesf_pess_dk") == F.col("vict_pess_dk"))
+                        & different_doc),
+        doc_vitima.filter(F.col("pesf_cpf") != codes.CPF_PLACEHOLDER)
+        .join(past, (F.col("pesf_cpf") == F.col("vict_cpf")) & different_doc),
+        doc_vitima.join(past, (F.col("pesf_nr_rg") == F.col("vict_rg"))
+                        & different_doc),
+        doc_vitima.join(past, (F.col("pesf_nm_pessoa_fisica") == F.col("vict_nome"))
+                        & (F.col("pesf_nm_mae") == F.col("vict_mae")) & different_doc),
+        doc_vitima.join(past, (F.col("pesf_nm_pessoa_fisica") == F.col("vict_nome"))
+                        & (F.col("pesf_dt_nasc") == F.col("vict_nasc")) & different_doc),
+    ]
+    unioned = matches[0]
+    for m in matches[1:]:
+        unioned = unioned.unionByName(m)
+    out = unioned.withColumn("alrt_key", uuidsha(F.col("docu_dk")))
+    return out.select(
+        F.col("docu_dk").alias("alrt_docu_dk"),
+        F.col("docu_nr_mp").alias("alrt_docu_nr_mp"),
+        F.col("docu_orgi_orga_dk_responsavel").alias("alrt_orgi_orga_dk"),
+        "alrt_key",
+    ).distinct()
+
+
+def alerta_dt2i(ctx: AlertContext) -> DataFrame:
+    """DT2I — docs moved in the last week that have a ciência andamento followed by a
+    recurso andamento (≙ alerta_dt2i.py:27-97)."""
+    documento = ctx.view("documento")
+    classe = ctx.table("exadata_aux", "mmps_classe_hierarquia").select("cldc_dk")
+    vista = ctx.view("vista").select("vist_dk", "vist_docu_dk")
+    andamento = (
+        ctx.table("exadata", "mcpr_andamento")
+        .filter("pcao_dt_cancelamento IS NULL")
+        .select("pcao_dk", "pcao_vist_dk", "pcao_dt_andamento")
+    )
+    sub = ctx.table("exadata", "mcpr_sub_andamento").select("stao_pcao_dk", "stao_tppr_dk")
+
+    doc_andamento = (
+        documento.join(F.broadcast(classe), documento.docu_cldc_dk == F.col("cldc_dk"),
+                       "left")
+        .join(vista, F.col("vist_docu_dk") == F.col("docu_dk"))
+        .join(andamento, F.col("vist_dk") == F.col("pcao_vist_dk"))
+    )
+    recente = (
+        doc_andamento
+        .withColumn("elapsed", F.datediff(ctx.as_of_col, F.col("pcao_dt_andamento"))
+                    .cast("int"))
+        .filter("elapsed <= 7")
+        .select(F.col("docu_dk").alias("alrt_docu_dk"),
+                F.col("docu_nr_mp").alias("alrt_docu_nr_mp"),
+                "pcao_dt_andamento",
+                F.col("docu_orgi_orga_dk_responsavel").alias("alrt_orgi_orga_dk"),
+                "elapsed")
+    )
+    ciencia = (
+        doc_andamento.join(sub.filter(F.col("stao_tppr_dk").isin(*codes.CIENCIA_IDS)),
+                           F.col("pcao_dk") == F.col("stao_pcao_dk"))
+        .select(F.col("docu_dk").alias("cie_docu_dk"),
+                F.col("pcao_dt_andamento").alias("cie_dt_mov"))
+    )
+    recurso = (
+        doc_andamento.join(sub.filter(F.col("stao_tppr_dk").isin(*codes.RECURSO_IDS)),
+                           F.col("pcao_dk") == F.col("stao_pcao_dk"))
+        .select(F.col("docu_dk").alias("rec_docu_dk"),
+                F.col("pcao_dt_andamento").alias("rec_dt_mov"))
+    )
+    cie_rec = (
+        ciencia.join(recurso, F.col("cie_docu_dk") == F.col("rec_docu_dk"))
+        .filter("rec_dt_mov >= cie_dt_mov")
+    )
+    out = (
+        cie_rec.join(recente, F.col("rec_docu_dk") == F.col("alrt_docu_dk"))
+        .groupBy("alrt_docu_dk", "alrt_docu_nr_mp", "alrt_orgi_orga_dk")
+        .agg(F.max("pcao_dt_andamento").alias("alrt_date_referencia"),
+             F.min("elapsed").alias("alrt_dias_referencia"))
+        .withColumn("alrt_key",
+                    uuidsha(F.col("alrt_docu_dk"), F.col("alrt_date_referencia")))
+    )
+    return out.select("alrt_docu_dk", "alrt_docu_nr_mp", "alrt_date_referencia",
+                      "alrt_orgi_orga_dk", "alrt_dias_referencia", "alrt_key")

@@ -1,0 +1,157 @@
+"""Alert registry, normalization, and publication.
+
+≙ the reference's ``AlertaSession`` orchestrator (``/root/reference/src/alertas/
+jobs.py:123-320``), rebuilt name-based and clock-injected:
+
+* normalization (sigla inject → alrt_key assembly → null-pad to family contract)
+  ≙ ``generateAlerta`` jobs.py:258-277;
+* staging: per-alert append into a temp family table (crash isolation / lineage break)
+  ≙ the ``temp_`` tables jobs.py:134-141,277;
+* publication: snapshot overwrite + monthly hist partition merge stamped with
+  ``dt_calculo``/``dt_partition`` ≙ ``write_dataframe`` jobs.py:284-320, using
+  ``unionByName`` (the reference unions positionally, jobs.py:312 — SURVEY §7 risk)
+  and dynamic partition overwrite so only the current month's partition rewrites.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from alertas_spark.framework import schemas
+from alertas_spark.framework.context import AlertContext
+
+
+@dataclass(frozen=True)
+class AlertDefinition:
+    sigla: str
+    builder: Callable[[AlertContext], DataFrame]
+    family_table: str  # key into schemas.FAMILY_TABLES
+
+    @property
+    def family_schema(self) -> StructType:
+        return schemas.FAMILY_TABLES[self.family_table]
+
+
+def registry() -> dict[str, AlertDefinition]:
+    """≙ alerta_list jobs.py:98-119 (DCTJ/DNTJ/DORD/OFFP commented out there but part
+    of the capability surface — we register them behind ``enabled`` in run_all)."""
+    from alertas_spark import alerts as A
+
+    mgp = "mmps_alertas_mgp"
+    return {
+        "GATE": AlertDefinition("GATE", A.alerta_gate, mgp),
+        "BDPA": AlertDefinition("BDPA", A.alerta_bdpa, mgp),
+        "IC1A": AlertDefinition("IC1A", A.alerta_ic1a, mgp),
+        "MVVD": AlertDefinition("MVVD", A.alerta_mvvd, mgp),
+        "OUVI": AlertDefinition("OUVI", A.alerta_ouvi, mgp),
+        "PA1A": AlertDefinition("PA1A", A.alerta_pa1a, mgp),
+        "PPFP": AlertDefinition("PPFP", A.alerta_ppfp, mgp),
+        "PRCR": AlertDefinition("PRCR", A.alerta_prcr, mgp),
+        "VADF": AlertDefinition("VADF", A.alerta_vadf, mgp),
+        "NF30": AlertDefinition("NF30", A.alerta_nf30, mgp),
+        "DT2I": AlertDefinition("DT2I", A.alerta_dt2i, mgp),
+        "RO": AlertDefinition("RO", A.alerta_ro, "mmps_alertas_ro"),
+        "ABR1": AlertDefinition("ABR1", A.alerta_abr1, "mmps_alertas_abr1"),
+        "ISPS": AlertDefinition("ISPS", A.alerta_isps, "mmps_alertas_isps"),
+        "COMP": AlertDefinition("COMP", A.alerta_comp, "mmps_alertas_comp"),
+        "FEBT": AlertDefinition("FEBT", A.alerta_febt, "mmps_alertas_ro"),
+        # disabled in the reference registry (jobs.py:99-101,106) but implemented:
+        "DCTJ": AlertDefinition("DCTJ", A.alerta_dctj, mgp),
+        "DNTJ": AlertDefinition("DNTJ", A.alerta_dntj, mgp),
+        "DORD": AlertDefinition("DORD", A.alerta_dord, mgp),
+        "OFFP": AlertDefinition("OFFP", A.alerta_offp, mgp),
+    }
+
+
+#: the 16 alerts active in production (jobs.py:102-118)
+ACTIVE = ("GATE", "BDPA", "IC1A", "MVVD", "OUVI", "PA1A", "PPFP", "PRCR", "VADF",
+          "NF30", "DT2I", "RO", "ABR1", "ISPS", "COMP", "FEBT")
+
+
+def normalize(df: DataFrame, sigla: str, family: StructType) -> DataFrame:
+    """≙ generateAlerta normalization (jobs.py:262-276).
+
+    ``alrt_key = sigla || '.' || key || '.' || orgao`` via ``concat`` (NULL orgao →
+    NULL key, faithfully — jobs.py:266-271); missing key → 'KEYUNDEFINED'; missing
+    family columns null-padded; final select in declared order BY NAME."""
+    if "alrt_sigla" not in df.columns:
+        df = df.withColumn("alrt_sigla", F.lit(sigla).cast("string"))
+    key = F.col("alrt_key") if "alrt_key" in df.columns else F.lit("KEYUNDEFINED")
+    df = df.withColumn(
+        "alrt_key",
+        F.concat(F.col("alrt_sigla"), F.lit("."), key, F.lit("."),
+                 F.col("alrt_orgi_orga_dk").cast("string")),
+    )
+    for field in family.fields:
+        if field.name not in df.columns:
+            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        else:
+            df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+    return df.select(*[f.name for f in family.fields])
+
+
+def run_alert(ctx: AlertContext, definition: AlertDefinition) -> None:
+    """Compute one alert and append into its family staging table (jobs.py:258-277).
+    The write is the action that executes the lazy plan; 4 output files keep the
+    staging dir small (the reference used coalesce(20) for a 75-core cluster)."""
+    ctx.spark.sparkContext.setJobGroup(definition.sigla, definition.sigla)
+    df = normalize(definition.builder(ctx), definition.sigla, definition.family_schema)
+    df.coalesce(4).write.mode("append").parquet(
+        ctx._path("alertas", f"temp_{definition.family_table}"))
+
+
+def publish(ctx: AlertContext, family_table: str) -> None:
+    """Snapshot + hist-partition publication for one family (jobs.py:284-320)."""
+    staged = ctx.table("alertas", f"temp_{family_table}")
+    # current snapshot (jobs.py:290-293); repartition(3) ≙ small-file control
+    staged.repartition(3).write.mode("overwrite").parquet(
+        ctx._path("alertas", family_table))
+
+    ymd = ctx.as_of.strftime("%Y%m%d")
+    ym = ctx.as_of.strftime("%Y%m")
+    hist = (
+        staged.withColumn("dt_calculo", F.lit(ymd))
+        .withColumn("dt_partition", F.lit(ym))
+    )
+    hist_name = f"hist_{family_table}"
+    if ctx.table_exists("alertas", hist_name):
+        # merge with this month's prior-day rows (jobs.py:299-316): stage the merged
+        # partition, then dynamically overwrite ONLY that partition
+        prior = ctx.table("alertas", hist_name).filter(
+            (F.col("dt_partition") == ym) & (F.col("dt_calculo") != ymd))
+        merged = prior.unionByName(hist)
+        ctx.write_table("alertas", f"{hist_name}_temp", merged)
+        ctx.table("alertas", f"{hist_name}_temp").coalesce(3).write \
+            .mode("overwrite").partitionBy("dt_partition") \
+            .parquet(ctx._path("alertas", hist_name))
+        ctx.drop_table("alertas", f"{hist_name}_temp")
+    else:
+        hist.coalesce(3).write.partitionBy("dt_partition").parquet(
+            ctx._path("alertas", hist_name))
+    ctx.drop_table("alertas", f"temp_{family_table}")
+
+
+def generate_types_table(ctx: AlertContext) -> None:
+    """≙ generateTypesTable (jobs.py:147-185)."""
+    df = ctx.spark.createDataFrame(schemas.ALERT_TYPES, "alrt_sigla string, alrt_descricao string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        ctx._path("alertas", "mmps_alertas_tipos"))
+
+
+def run_all(ctx: AlertContext, siglas: tuple[str, ...] = ACTIVE) -> None:
+    """Full registry run ≙ generateAlertas (jobs.py:187-256): crash-cleanup of stale
+    staging, per-alert compute+stage, then per-family publication."""
+    defs = registry()
+    families = {defs[s].family_table for s in siglas}
+    for fam in families:  # ≙ leftover-temp cleanup jobs.py:138-141
+        ctx.drop_table("alertas", f"temp_{fam}")
+    for sigla in siglas:
+        run_alert(ctx, defs[sigla])
+    ctx.spark.catalog.clearCache()  # ≙ jobs.py:285
+    for fam in families:
+        publish(ctx, fam)

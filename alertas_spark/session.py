@@ -31,6 +31,9 @@ BUILD_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # hist tables partition by dt_partition=yyyyMM *string* (jobs.py:295-318); without
+    # this, path-based reads would re-infer the partition value as int
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     # 128 MiB input splits: at 100 TB this yields ~800k tasks, amortized fine across
     # 1000 executors; locally it keeps task count sane.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
@@ -44,6 +47,7 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 
