@@ -1,0 +1,121 @@
+"""Structured Streaming re-expression of the event-stream operators.
+
+The reference is batch-only (SURVEY §2.9) — recency is encoded as predicates over
+``current_date()`` (e.g. last-30-days, alerta_mvvd.py:41).  This module gives the
+rebuild the streaming surface those semantics imply, over the driver's ``events``
+table used as a file-streaming source:
+
+* ``tumbling_counts`` — watermarked tumbling-window aggregation; complete-mode replay
+  of the full table is bit-equal to the batch ``events_tumbling_5min`` operator (the
+  equivalence is asserted by the driver oracle AND tests/test_streaming.py);
+* ``session_aggregates`` — native ``session_window`` (gap-based), the streaming twin
+  of the batch gaps-and-islands sessionization;
+* ``user_running_totals`` — a custom stateful operator via ``applyInPandasWithState``
+  (Arrow-batched, per-user state), the pattern for operators Spark's built-ins can't
+  express (SURVEY §7 extension c).
+
+At scale: file-source streaming shards input by file; the window/session aggregations
+shuffle once on (window, key) with partial aggregation map-side, and state lives in
+the executors' state store keyed by user — no driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from alertas_spark.functions.numeric import dsum
+from alertas_spark.operators.sessionize import SESSION_GAP_S, WINDOW
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-streaming source over the events table (schema from a batch peek —
+    metadata only, no scan)."""
+    path = f"{sf_dir}/events.parquet"
+    # the file stream source requires a DIRECTORY — expose the single-file table
+    # through a symlink dir (repo-local scratch)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    stream_dir = os.path.join(repo_root, ".fixtures", "stream",
+                              os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    # events.ts is parquet TIMESTAMP(NANOS): read nanos as long, rebuild µs timestamps
+    # (same handling as the batch loader, sources/catalog.py)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling window ≙ batch events_tumbling_5min."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 4).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+def session_aggregates(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Native gap-based session windows ≙ batch events_sessionize (30-min gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 4).alias("total_value"))
+        .select("user_id", F.col("s.start").alias("session_start"),
+                "n_events", "total_value")
+    )
+
+
+_STATE_SCHEMA = "n_events long, total_value double"
+_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _update_totals(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count / value total kept in
+    the state store (``applyInPandasWithState``, Arrow-batched — the slow-path escape
+    hatch done right, SURVEY §7)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a memory sink and
+    return the materialized result — the harness bridge for the batch-equality
+    oracles.  Memory sink is test-only; production uses parquet/kafka sinks."""
+    spark = result.sparkSession
+    name = f"stream_result_{uuid.uuid4().hex[:8]}"
+    q = (result.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(name)
+    return out
