@@ -230,3 +230,176 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (bit-signature + Hamming banding)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60          # 15 hex chars of md5 → fits a signed 64-bit long
+SIMHASH_BANDS = 4          # 4 bands × 15 bits; candidates share ≥1 full band
+SIMHASH_MAX_HAMMING = 3    # verify step keeps pairs within this radius
+
+#: 60-bit token hash from md5 — the one hash both engines compute identically.
+_TOKHASH_SPARK = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+_TOKHASH_DUCK = "CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)"
+
+_SIG_SPARK = f"""
+    aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, b) ->
+        acc + IF(aggregate(hashes, 0, (a, h) ->
+                     a + IF(((h >> b) & 1) = 1, 1, -1)) > 0,
+                 shiftleft(cast(1 as bigint), b), cast(0 as bigint)))
+"""
+
+_SIG_DUCK = f"""
+    list_reduce(list_transform(range(0, {SIMHASH_BITS}), b ->
+        CASE WHEN list_reduce(list_transform(hashes, h ->
+                      CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END),
+                  (x, y) -> x + y) > 0
+             THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+        (x, y) -> x + y)
+"""
+
+_BAND_MASK = (1 << 15) - 1
+
+
+@declare(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tokd AS (
+        SELECT doc_id,
+               list_transform(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                              t -> {_TOKHASH_DUCK}) AS hashes
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+    ),
+    sigs AS (SELECT doc_id, {_SIG_DUCK} AS sig FROM tokd),
+    bands AS (
+        SELECT doc_id, sig, b AS band_idx, (sig >> (b * 15)) & {_BAND_MASK} AS band_val
+        FROM sigs, unnest(range(0, {SIMHASH_BANDS})) AS u(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit majority-vote signature over token hashes, banded into
+    4×15-bit LSH keys, Hamming-verified.  All JVM-side higher-order functions — the
+    signature is one narrow projection, banding explodes exactly 4 rows per doc, and
+    the candidate join shuffles on the band key (tiny vs all-pairs).  At 100 TB the
+    band join is the only shuffle and self-joins only within equal 15-bit buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = (
+        docs.withColumn(
+            "hashes",
+            F.expr(f"transform(array_distinct(regexp_extract_all(lower(text), "
+                   f"'[a-z0-9]+', 0)), t -> {_TOKHASH_SPARK})"))
+        .filter(F.size("hashes") > 0)
+        .select("doc_id", F.expr(_SIG_SPARK).alias("sig"))
+    )
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band_idx"),
+    ).withColumn("band_val",
+                 F.expr(f"(sig >> (band_idx * 15)) & {_BAND_MASK}"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("hamming", F.expr("cast(bit_count(sig_a ^ sig_b) as int)"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COS_THRESHOLD = 0.40
+
+_COS_DUCK = """
+    list_reduce(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]),
+                (x, y) -> x + y) / (a.nrm * b.nrm)
+"""
+
+_EMB_DUCK_CTE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    n AS (SELECT vec_id, emb, label,
+                 sqrt(list_reduce(list_transform(emb, x -> x * x), (x, y) -> x + y))
+                     AS nrm
+          FROM v)
+"""
+
+
+def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
+    from alertas_spark.operators.simsearch import _dot, _norm2
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
+        .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if blocked:
+        cond = cond & (F.col("a.label") == F.col("b.label"))
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, cond)
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= COS_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@declare(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    {_EMB_DUCK_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({_COS_DUCK}, 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_COS_DUCK} >= {COS_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup over all pairs — the verification path
+    (sequential double folds → bit-identical across engines).  O(n²): run on a sample
+    or a bucket at scale; the blocked variant below is the production path."""
+    return _emb_pairs(spark, sf_dir, blocked=False)
+
+
+@declare(
+    "dedup_embedding_cosine_blocked",
+    oracle=f"""
+    {_EMB_DUCK_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({_COS_DUCK}, 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE {_COS_DUCK} >= {COS_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with coarse-cluster blocking (label ≙ IVF centroid id):
+    pairs are only scored within a block, so the join shuffles on the block key and
+    work scales with Σ block² instead of n² — the 100 TB path (same pattern as the
+    IVF similarity search)."""
+    return _emb_pairs(spark, sf_dir, blocked=True)
