@@ -299,34 +299,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join shuffles on the band key (tiny vs all-pairs).  At 100 TB the
     band join is the only shuffle and self-joins only within equal 15-bit buckets."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = (
-        docs.withColumn(
-            "hashes",
-            F.expr(f"transform(array_distinct(regexp_extract_all(lower(text), "
-                   f"'[a-z0-9]+', 0)), t -> {_TOKHASH_SPARK})"))
-        .filter(F.size("hashes") > 0)
-        .select("doc_id", F.expr(_SIG_SPARK).alias("sig"))
-    )
+    # signature via explode → codegen'd hash aggregate (higher-order lambdas are
+    # interpreted in Spark — 60 plain bit-test sums stay in WholeStageCodegen)
+    hashes = docs.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(regexp_extract_all(lower(text), "
+                         "'[a-z0-9]+', 0))")).alias("t"),
+    ).select("doc_id", F.expr(_TOKHASH_SPARK.replace("md5(t)", "md5(t)")).alias("h"))
+    votes = hashes.groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"IF(((h >> {b}) & 1) = 1, 1, -1)")).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ])
+    sig_expr = " + ".join(
+        f"IF(v{b} > 0, shiftleft(cast(1 as bigint), {b}), cast(0 as bigint))"
+        for b in range(SIMHASH_BITS))
+    sigs = votes.select("doc_id", F.expr(sig_expr).alias("sig"))
     bands = sigs.select(
         "doc_id", "sig",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band_idx"),
     ).withColumn("band_val",
                  F.expr(f"(sig >> (band_idx * 15)) & {_BAND_MASK}"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # sig rides along the band join → Hamming verify needs no extra joins
+    return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_val") == F.col("b.band_val"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.expr("cast(bit_count(a.sig ^ b.sig) as int)").alias("hamming"))
         .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("hamming", F.expr("cast(bit_count(sig_a ^ sig_b) as int)"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
