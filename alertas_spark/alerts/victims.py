@@ -58,23 +58,50 @@ def alerta_mvvd(ctx: AlertContext) -> DataFrame:
         F.col("pers_docu_dk") == F.col("docu_dk"),
     )
 
-    different_doc = F.col("vict_docu_dk") != F.col("docu_dk")
-    matches = [
-        doc_vitima.join(past, (F.col("pesf_pess_dk") == F.col("vict_pess_dk"))
-                        & different_doc),
-        doc_vitima.filter(F.col("pesf_cpf") != codes.CPF_PLACEHOLDER)
-        .join(past, (F.col("pesf_cpf") == F.col("vict_cpf")) & different_doc),
-        doc_vitima.join(past, (F.col("pesf_nr_rg") == F.col("vict_rg"))
-                        & different_doc),
-        doc_vitima.join(past, (F.col("pesf_nm_pessoa_fisica") == F.col("vict_nome"))
-                        & (F.col("pesf_nm_mae") == F.col("vict_mae")) & different_doc),
-        doc_vitima.join(past, (F.col("pesf_nm_pessoa_fisica") == F.col("vict_nome"))
-                        & (F.col("pesf_dt_nasc") == F.col("vict_nasc")) & different_doc),
-    ]
-    unioned = matches[0]
-    for m in matches[1:]:
-        unioned = unioned.unionByName(m)
-    out = unioned.withColumn("alrt_key", uuidsha(F.col("docu_dk")))
+    # The reference runs FIVE equi-joins UNION ALL'ed (mvvd:49-65) because Spark
+    # cannot hash-join an OR predicate — each branch re-scans both inputs (5× I/O at
+    # 100 TB).  Result-identical rewrite: normalize every identity facet to a
+    # (key_type, key_value) row via explode, then ONE equi join on the composite key
+    # + DISTINCT.  NULL facets produce no key row (equality with NULL never matches
+    # in the reference either); the CPF placeholder is excluded on the new-doc side
+    # only (mvvd:55); two-column facets concatenate with a separator and null out if
+    # either side is NULL.
+    def facet_keys(pess, cpf, rg, nome, mae, nasc, *, new_side: bool):
+        cpf_key = F.when(cpf != codes.CPF_PLACEHOLDER, cpf) if new_side else cpf
+        pair = lambda a, b: F.when(a.isNotNull() & b.isNotNull(),
+                                   F.concat_ws("\x01", a, b))  # separator absent from data
+        return F.array(
+            F.struct(F.lit("pess").alias("kt"), pess.cast("string").alias("kv")),
+            F.struct(F.lit("cpf").alias("kt"), cpf_key.alias("kv")),
+            F.struct(F.lit("rg").alias("kt"), rg.alias("kv")),
+            F.struct(F.lit("nome_mae").alias("kt"), pair(nome, mae).alias("kv")),
+            F.struct(F.lit("nome_nasc").alias("kt"),
+                     pair(nome, nasc.cast("string")).alias("kv")),
+        )
+
+    past_keys = past.select(
+        "vict_docu_dk",
+        F.explode(facet_keys(F.col("vict_pess_dk"), F.col("vict_cpf"),
+                             F.col("vict_rg"), F.col("vict_nome"), F.col("vict_mae"),
+                             F.col("vict_nasc"), new_side=False)).alias("k"),
+    ).select("vict_docu_dk", "k.kt", F.col("k.kv").alias("vict_kv")) \
+        .filter("vict_kv IS NOT NULL")
+    new_keys = doc_vitima.select(
+        "docu_dk", "docu_nr_mp", "docu_orgi_orga_dk_responsavel",
+        F.explode(facet_keys(F.col("pesf_pess_dk"), F.col("pesf_cpf"),
+                             F.col("pesf_nr_rg"), F.col("pesf_nm_pessoa_fisica"),
+                             F.col("pesf_nm_mae"), F.col("pesf_dt_nasc"),
+                             new_side=True)).alias("k"),
+    ).select("docu_dk", "docu_nr_mp", "docu_orgi_orga_dk_responsavel",
+             "k.kt", F.col("k.kv").alias("new_kv")).filter("new_kv IS NOT NULL")
+
+    out = (
+        new_keys.join(past_keys,
+                      (new_keys.kt == past_keys.kt)
+                      & (F.col("new_kv") == F.col("vict_kv"))
+                      & (F.col("vict_docu_dk") != F.col("docu_dk")))
+        .withColumn("alrt_key", uuidsha(F.col("docu_dk")))
+    )
     return out.select(
         F.col("docu_dk").alias("alrt_docu_dk"),
         F.col("docu_nr_mp").alias("alrt_docu_nr_mp"),
