@@ -147,9 +147,15 @@ def _with_age_factor(ctx: AlertContext, doc_prescricao: DataFrame) -> DataFrame:
     )
 
 
-def _with_start_date(ctx: AlertContext, fatorado: DataFrame) -> DataFrame:
+def _with_start_date(ctx: AlertContext, fatorado: DataFrame,
+                     pena_rows: DataFrame) -> DataFrame:
     """Stages 4-5 (prcr:113-156): start-date priority — minor victim's 18th birthday
-    (abuse cases) > ANPP plea-deal rescission date > fact date."""
+    (abuse cases) > ANPP plea-deal rescission date > fact date.
+
+    The abuse-minor branch reads ``pena_rows`` (the pre-age-factor relation): it only
+    needs (docu_dk, docu_dt_fato, abuso_menor), whose DISTINCT set is identical
+    before and after the per-investigado fanout (prcr:128-144 joins the fanned-out
+    view; result-equal, half the recompute)."""
     anpp = (
         ctx.view("vista").select("vist_dk", "vist_docu_dk")
         .join(ctx.table("exadata", "mcpr_andamento")
@@ -163,7 +169,7 @@ def _with_start_date(ctx: AlertContext, fatorado: DataFrame) -> DataFrame:
         .select("vist_docu_dk", "pcao_dt_andamento")
     )
     abuso = (
-        fatorado.filter("abuso_menor = 1")
+        pena_rows.filter("abuso_menor = 1")
         .select("docu_dk", "docu_dt_fato").distinct()
         .join(ctx.table("exadata", "mcpr_personagem")
               .filter(F.col("pers_tppe_dk").isin(*codes.MINOR_VICTIM_ROLES))
@@ -222,14 +228,14 @@ def _write_detail(ctx: AlertContext, tempo: DataFrame) -> None:
         F.col("data_prescricao").alias("adpr_dt_final_prescricao"),
         F.col("elapsed").alias("adpr_dias_prescrito"),
     )
-    ctx.write_table("alertas", DETAIL_TABLE, detail)
+    ctx.write_table("alertas", DETAIL_TABLE, detail.coalesce(4))
 
 
 def alerta_prcr(ctx: AlertContext) -> DataFrame:
     doc_pena = _doc_pena(ctx)
     doc_prescricao = _with_prescription_time(doc_pena)
     fatorado = _with_age_factor(ctx, doc_prescricao)
-    com_inicio = _with_start_date(ctx, fatorado)
+    com_inicio = _with_start_date(ctx, fatorado, doc_prescricao)
 
     # Stage 6 (prcr:159-167): deadline = start + years·12 months; elapsed past it.
     # tempo_prescricao_fatorado·12 is always integral (years ∈ ladder × {1, 0.5}).
