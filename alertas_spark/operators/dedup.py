@@ -353,6 +353,8 @@ _EMB_DUCK_CTE = """
 
 
 def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
+    if not blocked:
+        return _emb_pairs_broadcast_matmul(spark, sf_dir)
     from alertas_spark.operators.simsearch import _dot, _norm2
 
     emb = (
@@ -361,9 +363,8 @@ def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
         .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
     )
     a, b = emb.alias("a"), emb.alias("b")
-    cond = F.col("a.vec_id") < F.col("b.vec_id")
-    if blocked:
-        cond = cond & (F.col("a.label") == F.col("b.label"))
+    cond = (F.col("a.vec_id") < F.col("b.vec_id")) \
+        & (F.col("a.label") == F.col("b.label"))
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, cond)
@@ -372,6 +373,42 @@ def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
                 F.round("cos", 6).alias("cos_sim"))
     )
+
+
+def _emb_pairs_broadcast_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine via broadcast matrix × partition-block numpy matmuls
+    (``mapInPandas``): each executor multiplies its Arrow batch against the full
+    normalized matrix at BLAS speed — no pair join materialized.  Valid while one
+    side fits in executor memory (here trivially; at 100 TB use the blocked variant
+    or shard the broadcast).  Summation order differs from the sequential-fold
+    oracle only below round-off (asserted across all sf dirs in CI)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    rows = emb.collect()  # the broadcast side: small by contract (≙ S15 scalar pull)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in rows])
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat_n))
+
+    def gen(batches):
+        all_ids, m = bc.value
+        for pdf in batches:
+            v = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+            v_n = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v_n @ m.T
+            my_ids = pdf["vec_id"].to_numpy()
+            ri, ci = np.where(sims >= COS_THRESHOLD)
+            keep = my_ids[ri] < all_ids[ci]
+            yield pd.DataFrame({
+                "vec_a": my_ids[ri[keep]],
+                "vec_b": all_ids[ci[keep]],
+                "cos_sim": np.round(sims[ri[keep], ci[keep]], 6),
+            })
+
+    return emb.mapInPandas(gen, "vec_a long, vec_b long, cos_sim double")
 
 
 @declare(

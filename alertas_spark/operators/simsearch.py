@@ -24,7 +24,8 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-to-right double fold — order-deterministic."""
+    """Sequential left-to-right double fold — order-deterministic (bit-equal to the
+    DuckDB oracle's list_reduce)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
                        lambda acc, x: acc + x)
 

@@ -97,7 +97,8 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     the state store (``applyInPandasWithState``, Arrow-batched — the slow-path escape
     hatch done right, SURVEY §7)."""
     return (
-        events.groupBy("user_id")
+        events.select("user_id", "value")  # minimize the Arrow transfer per batch
+        .groupBy("user_id")
         .applyInPandasWithState(
             _update_totals,
             outputStructType=_OUT_SCHEMA,
