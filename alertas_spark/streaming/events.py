@@ -109,14 +109,27 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(result: DataFrame, output_mode: str = "complete",
+                  shuffle_partitions: int | None = None) -> DataFrame:
     """Execute a streaming plan to completion (availableNow) into a memory sink and
     return the materialized result — the harness bridge for the batch-equality
-    oracles.  Memory sink is test-only; production uses parquet/kafka sinks."""
+    oracles.  Memory sink is test-only; production uses parquet/kafka sinks.
+
+    ``shuffle_partitions`` sizes the state-store shuffle for this query (restored
+    after): stateful ops pay a per-partition Python-worker + state-store cost per
+    micro-batch, so the count should track key cardinality / executor count, not the
+    global shuffle default (32 → 8 is 4× on the fixture-scale state query)."""
     spark = result.sparkSession
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
-    q = (result.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (result.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)
     return out

@@ -38,4 +38,4 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user running totals (custom stateful operator)."""
     return ev.run_to_memory(
         ev.user_running_totals(ev.read_events_stream(spark, sf_dir)),
-        output_mode="update")
+        output_mode="update", shuffle_partitions=8)
