@@ -135,32 +135,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: affine permutation constants (fixed, engine-shared): mh_p = min((a_p·h + b_p) mod P)
+#: over shingle hashes h.  P = 2^31-1 keeps every product < 2^62 (no 64-bit overflow).
+_MH_PRIME = (1 << 31) - 1
+_MH_A = [(17 * (p + 1) ** 2 + 3 * (p + 1) + 1) % _MH_PRIME for p in range(N_PERM)]
+_MH_B = [(31 * (p + 1) ** 3 + 7) % _MH_PRIME for p in range(N_PERM)]
+
+
+#: shingle-hash array, computed ONCE per row (hoisted out of the per-perm lambda)
+_SHINGLE_HASHES_SPARK = (f"transform(shingles, s -> "
+                         f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+                         f" % {_MH_PRIME})")
+_SHINGLE_HASHES_DUCK = (f"list_transform(shingles, s -> "
+                        f"CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)"
+                        f" % {_MH_PRIME})")
+
+
 def _minhash_sig_spark() -> str:
-    """Spark SQL expr: 32 md5-minhashes computed per-row over the shingle array —
-    no shuffle, stays inside whole-stage codegen."""
-    return f"""
-        transform(sequence(0, {N_PERM - 1}),
-                  p -> array_min(transform(shingles,
-                                           s -> md5(concat(cast(p AS string), '|', s)))))
-    """
+    """Spark SQL expr over the pre-hashed shingle ints ``hs``: 32 affine permutations
+    + array_min, UNROLLED so each permutation's (a, b) are scalar literals — indexing
+    a 32-element array literal inside the lambda rebuilds it per element.  Hash once,
+    permute cheaply: 1/32 of the md5-per-(perm,shingle) hashing."""
+    perms = ", ".join(
+        f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_MH_PRIME}))"
+        for a, b in zip(_MH_A, _MH_B))
+    return f"array({perms})"
 
 
-_MINHASH_SIG_DUCK = f"""
-        list_transform(range(0, {N_PERM}),
-                       p -> list_min(list_transform(shingles,
-                                                    s -> md5(p::varchar || '|' || s))))
-"""
+_MINHASH_SIG_DUCK = "list_value(" + ", ".join(
+    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MH_PRIME}))"
+    for a, b in zip(_MH_A, _MH_B)) + ")"
 
 
 @declare(
     "dedup_minhash_lsh",
     oracle=_DUCK_SHINGLE_CTE + f"""
-    , sig AS (
-        SELECT doc_id, shingles, {_MINHASH_SIG_DUCK} AS mh
+    , hashed AS (
+        SELECT doc_id, shingles, {_SHINGLE_HASHES_DUCK} AS hs
         FROM shing WHERE len(shingles) > 0
+    ), sig AS (
+        SELECT doc_id, shingles, {_MINHASH_SIG_DUCK} AS mh
+        FROM hashed
     ), bands AS (
         SELECT doc_id, b AS band_idx,
-               md5(mh[{ROWS_PER_BAND}*b + 1] || '|' || mh[{ROWS_PER_BAND}*b + 2]) AS band_hash
+               md5(mh[{ROWS_PER_BAND}*b + 1]::VARCHAR || '|'
+                   || mh[{ROWS_PER_BAND}*b + 2]::VARCHAR) AS band_hash
         FROM sig, unnest(range(0, {N_BANDS})) AS t(b)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -195,7 +214,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         _with_shingles(spark, sf_dir)
         .filter(F.size("shingles") > 0)
+        .withColumn("hs", F.expr(_SHINGLE_HASHES_SPARK))
         .withColumn("mh", F.expr(_minhash_sig_spark()))
+        .drop("hs")
         .cache()
     )
     # band_hash = md5(mh[2b] || '|' || mh[2b+1])  (Spark arrays are 0-based)
