@@ -1,0 +1,61 @@
+"""Data profiling — per-column statistics for pipeline QA.
+
+A training-data pipeline's first pass over a new source: row counts, null rates,
+distinct counts, range, quantiles, spread — one output row per profiled column.
+Spark's ``percentile``/``stddev_samp`` and DuckDB's ``quantile_cont``/``stddev_samp``
+use the same interpolation/Welford formulations, so the oracle comparison is exact.
+
+At scale: one pass over the table, all statistics in a single partial+final hash
+aggregate (no shuffle beyond the 1-row merge); exact percentiles buffer per-partition
+sorted values — swap for ``approx_percentile`` at 100 TB (documented knob, not the
+verification path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _duck_profile(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           COUNT({col}) AS n,
+           COUNT(*) - COUNT({col}) AS n_null,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           ROUND(MIN({col}), 6) AS min_v,
+           ROUND(MAX({col}), 6) AS max_v,
+           ROUND(quantile_cont({col}, 0.5), 6) AS p50,
+           ROUND(quantile_cont({col}, 0.95), 6) AS p95,
+           ROUND(stddev_samp({col}), 6) AS sd
+    FROM lineitem
+    """
+
+
+@declare(
+    "profile_columns",
+    oracle=" UNION ALL ".join(_duck_profile(c) for c in _COLS),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profile of lineitem: count/nulls/distinct/min/max/p50/p95/sd,
+    one row per column."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
+    profiles = None
+    for c in _COLS:
+        p = li.agg(
+            F.lit(c).alias("column_name"),
+            F.count(c).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c), 6).alias("min_v"),
+            F.round(F.max(c), 6).alias("max_v"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("p50"),
+            F.round(F.expr(f"percentile({c}, 0.95)"), 6).alias("p95"),
+            F.round(F.stddev_samp(c), 6).alias("sd"),
+        )
+        profiles = p if profiles is None else profiles.unionByName(p)
+    return profiles

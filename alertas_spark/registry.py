@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.textops",
     "alertas_spark.operators.sessionize",
     "alertas_spark.operators.multimodal",
+    "alertas_spark.operators.profiling",
     "alertas_spark.plans.alert_corpus",
     "alertas_spark.streaming.queries",
 )
