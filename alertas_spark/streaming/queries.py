@@ -39,3 +39,54 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.run_to_memory(
         ev.user_running_totals(ev.read_events_stream(spark, sf_dir)),
         output_mode="update", shuffle_partitions=8)
+
+
+@declare(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the event id inside the stream (state
+    store holds seen ids; pair with a watermark to bound state in production), then a
+    per-type count.  Full replay ≡ batch COUNT(DISTINCT) — the oracle."""
+    from pyspark.sql import functions as F
+
+    stream = ev.read_events_stream(spark, sf_dir).dropDuplicates(["event_id"])
+    counts = stream.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return ev.run_to_memory(counts, shuffle_partitions=8)
+
+
+@declare(
+    "streaming_static_join",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket_start,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 4)} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (stream side never shuffles for the join — the
+    static dim broadcasts per micro-batch), then a windowed aggregate per segment."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.functions.numeric import dsum
+    from alertas_spark.sources.catalog import load_table
+
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    enriched = ev.read_events_stream(spark, sf_dir).join(customers, "user_id")
+    out = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 4).alias("total_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+                "c_mktsegment", "n_events", "total_value")
+    )
+    return ev.run_to_memory(out, shuffle_partitions=8)
