@@ -63,6 +63,10 @@ def _make(sigla: str):
     return run
 
 
+#: generate at import so the oracle SQL's read_parquet paths are valid even if the
+#: harness evaluates oracles before running the Spark side (no-op after first run)
+ensure_fixtures(FIXTURE_DIR)
+
 for _sigla in sorted(oracles.ORACLES):
     declare(f"alerta_{_sigla.lower()}",
             oracle=oracles.driver_sql(FIXTURE_DIR, _sigla))(_make(_sigla))
