@@ -44,18 +44,32 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric column profile of lineitem: count/nulls/distinct/min/max/p50/p95/sd,
     one row per column."""
     li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
-    profiles = None
+    # ONE pass / ONE aggregate for all columns (9 stats × N cols), then explode the
+    # per-column structs into rows — not one scan per profiled column
+    aggs = []
     for c in _COLS:
-        p = li.agg(
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 6).alias(f"{c}__min_v"),
+            F.round(F.max(c), 6).alias(f"{c}__max_v"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias(f"{c}__p50"),
+            F.round(F.expr(f"percentile({c}, 0.95)"), 6).alias(f"{c}__p95"),
+            F.round(F.stddev_samp(c), 6).alias(f"{c}__sd"),
+        ]
+    wide = li.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
             F.lit(c).alias("column_name"),
-            F.count(c).alias("n"),
-            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
-            F.countDistinct(c).alias("n_distinct"),
-            F.round(F.min(c), 6).alias("min_v"),
-            F.round(F.max(c), 6).alias("max_v"),
-            F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("p50"),
-            F.round(F.expr(f"percentile({c}, 0.95)"), 6).alias("p95"),
-            F.round(F.stddev_samp(c), 6).alias("sd"),
-        )
-        profiles = p if profiles is None else profiles.unionByName(p)
-    return profiles
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_v").alias("min_v"),
+            F.col(f"{c}__max_v").alias("max_v"),
+            F.col(f"{c}__p50").alias("p50"),
+            F.col(f"{c}__p95").alias("p95"),
+            F.col(f"{c}__sd").alias("sd"),
+        ) for c in _COLS
+    ])
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
