@@ -1,0 +1,75 @@
+"""Capstone composition: the training-corpus cleaning pipeline as ONE dataflow.
+
+quality gate → exact dedup (keep lowest doc_id per content hash) → near-dup removal
+(MinHash-LSH pairs; drop the higher id of each verified pair) → surviving docs with
+token counts.  Each stage is an operator verified on its own elsewhere; this query
+pins their composition, Spark vs a DuckDB re-derivation, end to end.
+
+Scale shape: the quality gate and content hash are narrow per-row ops on the scan;
+exact dedup is one hash aggregate; the only heavy shuffle is the LSH band self-join,
+which the pipeline reuses unchanged from ``dedup_minhash_lsh`` (restricting
+full-corpus pairs to survivors equals running LSH on the survivors — banding is
+per-row, so the candidate set only shrinks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alertas_spark.operators.dedup import dedup_minhash_lsh
+from alertas_spark.operators.textops import text_quality
+from alertas_spark.registry import REGISTRY, declare
+from alertas_spark.sources.catalog import load_table
+
+_QUALITY_ORACLE = None  # filled from the registry at declare time
+
+
+def _oracle() -> str:
+    quality = REGISTRY["text_quality"].oracle
+    pairs = REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH quality AS ({quality}),
+    passing AS (
+        SELECT q.doc_id, q.n_tokens, md5(d.text) AS h
+        FROM quality q JOIN documents d ON q.doc_id = d.doc_id
+        WHERE q.quality_ok = 1
+    ),
+    exact_kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM passing GROUP BY h
+    ),
+    pairs AS ({pairs}),
+    near_dropped AS (
+        SELECT p.doc_b AS doc_id
+        FROM pairs p
+        JOIN exact_kept a ON p.doc_a = a.doc_id
+        JOIN exact_kept b ON p.doc_b = b.doc_id
+    )
+    SELECT k.doc_id, q.n_tokens
+    FROM exact_kept k
+    JOIN quality q ON q.doc_id = k.doc_id
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    """
+
+
+@declare("pipeline_clean_corpus", oracle=_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → exact-dedup → near-dedup the documents table; returns the
+    surviving (doc_id, n_tokens)."""
+    quality = text_quality(spark, sf_dir).filter("quality_ok = 1") \
+        .select("doc_id", "n_tokens")
+    hashes = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h"))
+    passing = quality.join(hashes, "doc_id")
+    exact_kept = passing.groupBy("h").agg(F.min("doc_id").alias("doc_id")) \
+        .select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    both_kept = (
+        pairs.join(exact_kept.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(exact_kept.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+    )
+    return (
+        exact_kept.join(both_kept, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .select("doc_id", "n_tokens")
+    )

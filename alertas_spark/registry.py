@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.sessionize",
     "alertas_spark.operators.multimodal",
     "alertas_spark.operators.profiling",
+    "alertas_spark.operators.pipeline",
     "alertas_spark.plans.alert_corpus",
     "alertas_spark.streaming.queries",
 )
