@@ -44,21 +44,23 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric column profile of lineitem: count/nulls/distinct/min/max/p50/p95/sd,
     one row per column."""
     li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
-    # ONE pass / ONE aggregate for all columns (9 stats × N cols), then explode the
-    # per-column structs into rows — not one scan per profiled column
+    # Two single-row aggregates over the scan, then explode per-column structs:
+    # the plain stats in one pass, the distinct counts in a second — mixing N
+    # countDistincts with percentile buffers in one aggregate makes Catalyst EXPAND
+    # the input N+1× underneath the sort buffers (measured 60% slower).
     aggs = []
     for c in _COLS:
         aggs += [
             F.count(c).alias(f"{c}__n"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
             F.round(F.min(c), 6).alias(f"{c}__min_v"),
             F.round(F.max(c), 6).alias(f"{c}__max_v"),
             F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias(f"{c}__p50"),
             F.round(F.expr(f"percentile({c}, 0.95)"), 6).alias(f"{c}__p95"),
             F.round(F.stddev_samp(c), 6).alias(f"{c}__sd"),
         ]
-    wide = li.agg(*aggs)
+    distincts = li.agg(*[F.countDistinct(c).alias(f"{c}__n_distinct") for c in _COLS])
+    wide = li.agg(*aggs).crossJoin(distincts)
     structs = F.array(*[
         F.struct(
             F.lit(c).alias("column_name"),
