@@ -396,6 +396,12 @@ def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
     )
 
 
+#: Hard cap on the broadcast side of the exact all-pairs verifier: 200k × 64-dim
+#: float64 ≈ 100 MB on the driver.  Past this, the O(n²) exact path is the wrong
+#: tool anyway — fail fast and point at the blocked variant.
+EXACT_PAIRS_MAX_ROWS = 200_000
+
+
 def _emb_pairs_broadcast_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine via broadcast matrix × partition-block numpy matmuls
     (``mapInPandas``): each executor multiplies its Arrow batch against the full
@@ -408,7 +414,15 @@ def _emb_pairs_broadcast_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    rows = emb.collect()  # the broadcast side: small by contract (≙ S15 scalar pull)
+    # Bounded driver pull (≙ S15 scalar-pull pattern, made size-safe): LIMIT rides
+    # into the scan, so even against a 100 TB table the driver materializes at most
+    # CAP+1 rows — then fails fast instead of OOMing.
+    rows = emb.limit(EXACT_PAIRS_MAX_ROWS + 1).collect()
+    if len(rows) > EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the exact O(n²) verification path and caps at "
+            f"{EXACT_PAIRS_MAX_ROWS} rows; use dedup_embedding_cosine_blocked (or an "
+            f"explicit sample) at this scale.")
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in rows])
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
