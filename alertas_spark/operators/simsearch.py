@@ -107,3 +107,102 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``label`` ≙ nearest-centroid assignment).  Scans 1/|partitions| of the corpus —
     the approximate-NN scale path."""
     return _spark_topk(spark, sf_dir, same_label=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF with the coarse assignment computed from raw embeddings
+# ---------------------------------------------------------------------------
+#
+# Deterministic random-hyperplane partitioner: IVF_PLANES seeded Gaussian
+# hyperplanes; bucket = the sign-bit code of the embedding against each plane.
+# The coefficients are baked in as literals on BOTH engines and every dot product
+# is an explicit left-associative sum, so the bucket ids (and therefore the pruned
+# candidate sets) are bit-identical between Spark and the DuckDB oracle.  Unlike
+# kmeans this needs no training pass — assignment is a pure scan-projection, zero
+# shuffles, which is exactly what you want ahead of a 100 TB corpus.
+
+IVF_DIM = 64     # embeddings.parquet vector width (TESTDATA.md)
+IVF_PLANES = 4   # 2^4 = 16 coarse buckets
+
+
+def _hyperplanes() -> list[list[float]]:
+    import numpy as np
+
+    rs = np.random.RandomState(42)
+    return [[float(x) for x in np.round(row, 4)]
+            for row in rs.standard_normal((IVF_PLANES, IVF_DIM))]
+
+
+_PLANES = _hyperplanes()
+
+
+def _bucket_expr(one_based: bool) -> str:
+    """`(sign-bit << p)` summed over planes, as engine-neutral SQL.  Explicit
+    left-assoc term sums: whole-stage-codegen'd in Spark (no interpreted HOF on
+    the hot path) and bit-equal to DuckDB evaluating the same literal string."""
+    idx = (lambda i: i + 1) if one_based else (lambda i: i)
+    parts = []
+    for p, row in enumerate(_PLANES):
+        dot = " + ".join(f"emb[{idx(i)}] * ({c!r})" for i, c in enumerate(row))
+        parts.append(f"(CASE WHEN ({dot}) >= 0.0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def _duck_topk_assigned_sql() -> str:
+    dot = _DUCK_DOT.format(a="q.emb", b="c.emb")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    b AS (SELECT vec_id, emb, {_bucket_expr(one_based=True)} AS bucket FROM v),
+    q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, emb, bucket,
+                 sqrt({_DUCK_NORM2.format(a="emb")}) AS nrm FROM b),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {dot} / (qn.nrm * c.nrm) AS cos
+        FROM q
+        JOIN c  ON q.vec_id <> c.vec_id AND q.bucket = c.bucket
+        JOIN (SELECT vec_id, sqrt({_DUCK_NORM2.format(a="emb")}) AS nrm FROM v) qn
+          ON qn.vec_id = q.vec_id
+    ), ranked AS (
+        SELECT query_id, cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk, ROUND(cos, 6) AS score
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@declare("simsearch_topk_ivf_assigned", oracle=_duck_topk_assigned_sql())
+def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k starting from RAW embeddings only: the coarse assignment is computed
+    in-plan by a deterministic random-hyperplane partitioner (no precomputed ``label``
+    column), then candidates are pruned to the query's bucket exactly as in
+    ``simsearch_topk_ivf``.  Assignment is a shuffle-free projection; the search
+    shuffles only on the bucket key with the query set broadcast."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("bucket", F.expr(_bucket_expr(one_based=False)))
+        .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"), F.col("bucket").alias("qbucket"))
+    scored = (
+        v.join(F.broadcast(q),
+               (F.col("query_id") != F.col("vec_id"))
+               & (F.col("qbucket") == F.col("bucket")))
+        .withColumn("cos", _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"),
+            F.col("rnk").cast("int").alias("rnk"), F.round("cos", 6).alias("score"),
+        )
+    )
