@@ -51,9 +51,12 @@ def alerta_gate(ctx: AlertContext) -> DataFrame:
         .join(instrucao, F.col("docu_dk") == instrucao.itcn_docu_dk)
         .join(last_vista, F.col("docu_dk") == last_vista.vist_docu_dk, "left")
     )
+    # The reference unions two disjoint filters over the same 3-way join
+    # (alerta_gate.py:38), executing the join once per branch; a single OR filter
+    # is row-identical (NULL dt_max_vista fails the > branch) and keeps one join
+    # subtree in the physical plan.
     out = (
-        doc_vista.filter("dt_max_vista IS NULL")
-        .unionByName(doc_vista.filter("itcn_dt_cadastro > dt_max_vista"))
+        doc_vista.filter("dt_max_vista IS NULL OR itcn_dt_cadastro > dt_max_vista")
         .withColumn("elapsed", F.datediff(ctx.as_of_col, "itcn_dt_cadastro").cast("int"))
         .withColumn("alrt_key", uuidsha(F.col("docu_dk"), F.col("itcn_dk")))
     )
