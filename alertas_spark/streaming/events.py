@@ -84,12 +84,23 @@ _OUT_SCHEMA = "user_id long, n_events long, total_value double"
 
 
 def _update_totals(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    # Same determinism contract as functions/numeric.dsum: quantize each double to
+    # 6 decimals, accumulate exactly in Decimal (order-independent across Arrow
+    # batches and shuffle partitionings), emit rounded half-up to 4 — so the
+    # full-replay output is bit-equal to the batch GROUP BY oracle.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6, q4 = Decimal("0.000001"), Decimal("0.0001")
     n, total = state.get if state.exists else (0, 0.0)
+    acc = Decimal(total).quantize(q6, rounding=ROUND_HALF_UP)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        for v in pdf["value"]:
+            acc += Decimal(float(v)).quantize(q6, rounding=ROUND_HALF_UP)
+    total = float(acc)
     state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+    emit = float(Decimal(total).quantize(q4, rounding=ROUND_HALF_UP))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [emit]})
 
 
 def user_running_totals(events: DataFrame) -> DataFrame:

@@ -33,9 +33,20 @@ def streaming_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.run_to_memory(ev.tumbling_counts(ev.read_events_stream(spark, sf_dir)))
 
 
-@declare("streaming_user_totals")  # stateful → rows-only check
+@declare(
+    "streaming_user_totals",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value', 4)} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState per-user running totals (custom stateful operator)."""
+    """applyInPandasWithState per-user running totals (custom stateful operator).
+
+    Full replay emits each user's final running total exactly once (availableNow over
+    the single-file source is one micro-batch), and the state update accumulates with
+    the same decimal contract as :func:`functions.numeric.dsum` — so the output is
+    definitionally the batch ``GROUP BY user_id`` aggregate, which is the oracle."""
     return ev.run_to_memory(
         ev.user_running_totals(ev.read_events_stream(spark, sf_dir)),
         output_mode="update", shuffle_partitions=8)
