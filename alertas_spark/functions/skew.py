@@ -34,30 +34,30 @@ def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS,
     return df.withColumn(col_name, F.pmod(F.xxhash64(*cols), F.lit(n_salts)))
 
 
-def salted_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column],
+#: An aggregate spec: either a partial-phase Column (merged by summing the partials
+#: — correct for sum/count), or an explicit ``(partial, merge)`` pair where ``merge``
+#: maps the partial's output column to the final aggregate (e.g. ``(F.min(c), F.min)``).
+AggSpec = "Column | tuple[Column, Callable[[Column], Column]]"
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, object],
                n_salts: int = DEFAULT_SALTS) -> DataFrame:
     """Two-phase aggregation for algebraic aggregates: partial on (keys, salt),
-    final merge on keys.  ``aggs`` maps output name → partial-phase aggregate; the
-    merge phase re-aggregates: sum→sum, count→sum, min→min, max→max (pass the merge
-    form explicitly via tuples when they differ)."""
+    final merge on keys.  ``aggs`` maps output name → :data:`AggSpec`; a bare
+    Column merges by summing partials (sum/count), everything else — min, max,
+    bit_or, … — must pass its merge explicitly as a ``(partial, merge)`` tuple.
+    Explicit pairs beat inferring the merge from the expression string: the
+    decomposition partial+merge is part of the aggregate's algebra, not something
+    to reverse-engineer from a plan printout."""
+    partials: dict[str, Column] = {}
+    merges: dict[str, Column] = {}
+    for name, spec in aggs.items():
+        partial, merge = spec if isinstance(spec, tuple) else (spec, F.sum)
+        partials[name] = partial.alias(f"_p_{name}")
+        merges[name] = merge(F.col(f"_p_{name}")).alias(name)
     salted = with_salt(df, n_salts)
-    partial = salted.groupBy(*keys, "_salt").agg(
-        *[a.alias(f"_p_{name}") for name, a in aggs.items()])
-    merged = partial.groupBy(*keys).agg(*[
-        _merge_expr(name, a).alias(name) for name, a in aggs.items()])
-    return merged
-
-
-def _merge_expr(name: str, partial: Column) -> Column:
-    """Merge phase for the common algebraic aggregates (sum/count→sum, min, max)."""
-    expr = partial._jc.toString().lower()
-    col = F.col(f"_p_{name}")
-    if expr.startswith("min("):
-        return F.min(col)
-    if expr.startswith("max("):
-        return F.max(col)
-    # sum / count / countDistinct-free totals all merge by summing partials
-    return F.sum(col)
+    partial = salted.groupBy(*keys, "_salt").agg(*partials.values())
+    return partial.groupBy(*keys).agg(*merges.values())
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str,

@@ -231,7 +231,7 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_suppkey"],
         {"n_items": F.count(F.lit(1)),
          "total_qty_dec": F.sum(F.col("l_quantity").cast("decimal(29,6)")),
-         "first_ship": F.min("l_shipdate")},
+         "first_ship": (F.min("l_shipdate"), F.min)},
     )
     return out.select(
         "l_suppkey", "n_items",
