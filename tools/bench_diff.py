@@ -1,0 +1,109 @@
+"""Round-over-round bench regression gate.
+
+Compares two bench records per query and fails (exit 1) on any regression above
+the threshold.  Accepts either format:
+
+* the raw one-line JSON printed by ``bench.py`` (or its ``BENCH_LOCAL.json`` dump),
+* the driver's ``BENCH_r{N}.json`` wrapper, whose ``tail`` field holds the (possibly
+  front-truncated) bench line — the per-query dict is recovered by brace matching.
+
+Usage::
+
+    python tools/bench_diff.py BENCH_r01.json BENCH_LOCAL.json [--threshold 1.5]
+
+Queries faster than the noise floor (0.5 s on both sides) are reported but never
+fail the gate — sub-second timings on a warm local JVM jitter well past 1.5x.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+NOISE_FLOOR_S = 1.0
+
+
+def _extract_queries(text: str) -> dict[str, float]:
+    """Recover the ``"queries": {...}`` object from a possibly truncated line."""
+    key = '"queries": {'
+    start = text.find(key)
+    if start < 0:
+        raise ValueError("no queries object found")
+    i = start + len(key) - 1
+    depth = 0
+    for j in range(i, len(text)):
+        if text[j] == "{":
+            depth += 1
+        elif text[j] == "}":
+            depth -= 1
+            if depth == 0:
+                return json.loads(text[i:j + 1])
+    raise ValueError("unbalanced queries object (truncated at the tail?)")
+
+
+def load_bench(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        raw = fh.read()
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        return _extract_queries(raw)
+    if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
+        return doc["queries"]
+    if isinstance(doc, dict) and "tail" in doc:  # driver wrapper
+        return _extract_queries(doc["tail"])
+    raise ValueError(f"{path}: unrecognized bench format")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    args = ap.parse_args()
+
+    old, new = load_bench(args.old), load_bench(args.new)
+    common = sorted(set(old) & set(new))
+    failures: list[str] = []
+
+    print(f"{'query':40s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+    for name in common:
+        o, n = old[name], new[name]
+        if o <= 0 or n <= 0:  # bench error marker
+            continue
+        ratio = n / o
+        flag = ""
+        if ratio > args.threshold:
+            if max(o, n) < NOISE_FLOOR_S:
+                flag = "  (noise)"
+            else:
+                flag = "  REGRESSION"
+                failures.append(f"{name}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x)")
+        if ratio > args.threshold or ratio < 1 / args.threshold:
+            print(f"{name:40s} {o:8.2f} {n:8.2f} {ratio:7.2f}{flag}")
+
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f"dropped from new: {', '.join(only_old)}")
+    if only_new:
+        print(f"added in new: {', '.join(only_new)}")
+
+    tot_o = sum(v for k, v in old.items() if k in common and v > 0)
+    tot_n = sum(v for k, v in new.items() if k in common and v > 0)
+    print(f"\ncommon-query total: {tot_o:.1f}s -> {tot_n:.1f}s "
+          f"({tot_n / tot_o:.2f}x) over {len(common)} queries")
+
+    if failures:
+        print(f"\n{len(failures)} regression(s) past {args.threshold}x:",
+              file=sys.stderr)
+        for f in failures:
+            print(f"  {f}", file=sys.stderr)
+        return 1
+    print(f"no regressions past {args.threshold}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
