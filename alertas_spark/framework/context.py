@@ -14,12 +14,12 @@ Replaces the reference's ``options`` dict of schema names threaded through every
 from __future__ import annotations
 
 import datetime as dt
-import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from alertas_spark.framework.catalog import Catalog, PathCatalog
 
 SCHEMAS = ("exadata", "exadata_aux", "opengeo", "alertas", "alertas_compras")
 
@@ -27,34 +27,40 @@ SCHEMAS = ("exadata", "exadata_aux", "opengeo", "alertas", "alertas_compras")
 @dataclass
 class AlertContext:
     spark: SparkSession
-    warehouse: str                    # root dir; tables at <warehouse>/<schema>/<table>.parquet
+    #: PathCatalog root; ignored when an explicit ``catalog`` is injected
+    warehouse: str | None = None
     as_of: dt.date = dt.date(2024, 4, 15)
     #: ≙ CLI options (main.py:59): prescription near-miss threshold in days
     prescricao_limiar: int = 90
     #: ≙ the reference's dev-schema branch firing ABR1 in every month (alerta_abr1.py:23-26)
     abr1_all_months: bool = False
+    #: storage binding (framework/catalog.py) — PathCatalog over ``warehouse`` by
+    #: default; inject MetastoreCatalog to run against a Hive-style catalog
+    #: (≙ base.py:10-14 enableHiveSupport + jobs.py:183-185 saveAsTable)
+    catalog: Catalog | None = None
     _views: dict[str, DataFrame] = field(default_factory=dict)
 
-    # -- catalog ------------------------------------------------------------
-    def _path(self, schema: str, name: str) -> str:
-        return os.path.join(self.warehouse, schema, f"{name}.parquet")
+    def __post_init__(self) -> None:
+        if self.catalog is None:
+            if self.warehouse is None:
+                raise ValueError("AlertContext needs a warehouse dir or a catalog")
+            self.catalog = PathCatalog(self.warehouse)
 
+    # -- catalog ------------------------------------------------------------
     def table(self, schema: str, name: str) -> DataFrame:
         """≙ spark.table('<schema>.<table>') (jobs.py:190, alerta_bdpa.py:26)."""
-        return self.spark.read.parquet(self._path(schema, name))
+        return self.catalog.table(self.spark, schema, name)
 
     def table_exists(self, schema: str, name: str) -> bool:
-        return os.path.exists(self._path(schema, name))
+        return self.catalog.table_exists(self.spark, schema, name)
 
     def write_table(self, schema: str, name: str, df: DataFrame, mode: str = "overwrite",
-                    partition_by: str | None = None) -> None:
-        w = df.write.mode(mode)
-        if partition_by:
-            w = w.partitionBy(partition_by)
-        w.parquet(self._path(schema, name))
+                    partition_by: str | None = None, coalesce: int | None = None) -> None:
+        self.catalog.write_table(self.spark, schema, name, df, mode=mode,
+                                 partition_by=partition_by, coalesce=coalesce)
 
     def drop_table(self, schema: str, name: str) -> None:
-        shutil.rmtree(self._path(schema, name), ignore_errors=True)
+        self.catalog.drop_table(self.spark, schema, name)
 
     # -- shared base views (≙ jobs.py:190-250) ------------------------------
     def view(self, name: str) -> DataFrame:

@@ -101,16 +101,15 @@ def run_alert(ctx: AlertContext, definition: AlertDefinition) -> None:
     staging dir small (the reference used coalesce(20) for a 75-core cluster)."""
     ctx.spark.sparkContext.setJobGroup(definition.sigla, definition.sigla)
     df = normalize(definition.builder(ctx), definition.sigla, definition.family_schema)
-    df.coalesce(4).write.mode("append").parquet(
-        ctx._path("alertas", f"temp_{definition.family_table}"))
+    ctx.write_table("alertas", f"temp_{definition.family_table}", df,
+                    mode="append", coalesce=4)
 
 
 def publish(ctx: AlertContext, family_table: str) -> None:
     """Snapshot + hist-partition publication for one family (jobs.py:284-320)."""
     staged = ctx.table("alertas", f"temp_{family_table}")
     # current snapshot (jobs.py:290-293); repartition(3) ≙ small-file control
-    staged.repartition(3).write.mode("overwrite").parquet(
-        ctx._path("alertas", family_table))
+    ctx.write_table("alertas", family_table, staged.repartition(3))
 
     ymd = ctx.as_of.strftime("%Y%m%d")
     ym = ctx.as_of.strftime("%Y%m")
@@ -126,21 +125,20 @@ def publish(ctx: AlertContext, family_table: str) -> None:
             (F.col("dt_partition") == ym) & (F.col("dt_calculo") != ymd))
         merged = prior.unionByName(hist)
         ctx.write_table("alertas", f"{hist_name}_temp", merged)
-        ctx.table("alertas", f"{hist_name}_temp").coalesce(3).write \
-            .mode("overwrite").partitionBy("dt_partition") \
-            .parquet(ctx._path("alertas", hist_name))
+        ctx.write_table("alertas", hist_name,
+                        ctx.table("alertas", f"{hist_name}_temp"),
+                        mode="overwrite", partition_by="dt_partition", coalesce=3)
         ctx.drop_table("alertas", f"{hist_name}_temp")
     else:
-        hist.coalesce(3).write.partitionBy("dt_partition").parquet(
-            ctx._path("alertas", hist_name))
+        ctx.write_table("alertas", hist_name, hist,
+                        partition_by="dt_partition", coalesce=3)
     ctx.drop_table("alertas", f"temp_{family_table}")
 
 
 def generate_types_table(ctx: AlertContext) -> None:
     """≙ generateTypesTable (jobs.py:147-185)."""
     df = ctx.spark.createDataFrame(schemas.ALERT_TYPES, "alrt_sigla string, alrt_descricao string")
-    df.coalesce(1).write.mode("overwrite").parquet(
-        ctx._path("alertas", "mmps_alertas_tipos"))
+    ctx.write_table("alertas", "mmps_alertas_tipos", df, coalesce=1)
 
 
 def run_all(ctx: AlertContext, siglas: tuple[str, ...] = ACTIVE) -> None:

@@ -1,0 +1,68 @@
+"""Catalog-backend contract: the same table operations against both backends.
+
+The reference binds every alert to a Hive metastore (``/root/reference/src/alertas/
+base.py:10-14`` enableHiveSupport; ``jobs.py:183-185`` saveAsTable).  The rebuild's
+seam (framework/catalog.py) must behave identically whether tables are parquet
+directories (PathCatalog — the sandbox) or session-catalog tables (MetastoreCatalog
+— production).  Spark's in-memory session catalog stands in for Hive here: the API
+surface (spark.table / saveAsTable / insertInto / DROP TABLE) is the same.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alertas_spark.framework.catalog import MetastoreCatalog, PathCatalog
+from alertas_spark.framework.context import AlertContext
+
+
+@pytest.fixture(params=["path", "metastore"])
+def catalog(request, spark, tmp_path):
+    if request.param == "path":
+        return PathCatalog(str(tmp_path / "wh"))
+    return MetastoreCatalog(database_prefix="t_")
+
+
+def test_write_exists_read_drop_roundtrip(spark, catalog):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    assert not catalog.table_exists(spark, "alertas", "roundtrip")
+    catalog.write_table(spark, "alertas", "roundtrip", df)
+    assert catalog.table_exists(spark, "alertas", "roundtrip")
+    got = catalog.table(spark, "alertas", "roundtrip")
+    assert sorted((r.id, r.v) for r in got.collect()) == [(1, "a"), (2, "b")]
+    catalog.drop_table(spark, "alertas", "roundtrip")
+    assert not catalog.table_exists(spark, "alertas", "roundtrip")
+
+
+def test_append_accumulates(spark, catalog):
+    df = spark.createDataFrame([(1,)], "id int")
+    catalog.write_table(spark, "alertas", "app", df, mode="append")
+    catalog.write_table(spark, "alertas", "app", df, mode="append")
+    assert catalog.table(spark, "alertas", "app").count() == 2
+    catalog.drop_table(spark, "alertas", "app")
+
+
+def test_dynamic_partition_overwrite_touches_only_incoming(spark, catalog):
+    """S10 semantics on both backends: overwriting with one partition's rows leaves
+    the other partition intact (partitionOverwriteMode=dynamic from session conf)."""
+    base = spark.createDataFrame(
+        [(1, "202401"), (2, "202402")], "id int, dt_partition string")
+    catalog.write_table(spark, "alertas", "hist", base, partition_by="dt_partition")
+    feb = spark.createDataFrame([(99, "202402")], "id int, dt_partition string")
+    catalog.write_table(spark, "alertas", "hist", feb,
+                        mode="overwrite", partition_by="dt_partition")
+    got = {(r.id, r.dt_partition)
+           for r in catalog.table(spark, "alertas", "hist").collect()}
+    assert got == {(1, "202401"), (99, "202402")}
+    catalog.drop_table(spark, "alertas", "hist")
+
+
+def test_context_delegates_to_injected_catalog(spark, tmp_path):
+    ctx = AlertContext(spark=spark, catalog=MetastoreCatalog(database_prefix="t_"))
+    df = spark.createDataFrame([(7,)], "id int")
+    ctx.write_table("alertas", "via_ctx", df)
+    assert ctx.table_exists("alertas", "via_ctx")
+    assert ctx.table("alertas", "via_ctx").agg(F.sum("id")).collect()[0][0] == 7
+    ctx.drop_table("alertas", "via_ctx")
+    assert not ctx.table_exists("alertas", "via_ctx")

@@ -60,7 +60,7 @@ def test_publish_hist_merge(ctx):
             spark.createDataFrame(rows, "alrt_docu_dk int, alrt_orgi_orga_dk int"),
             "VADF", schemas.MGP)
         ctx.drop_table("alertas", f"temp_{fam}")
-        df.write.mode("append").parquet(ctx._path("alertas", f"temp_{fam}"))
+        ctx.write_table("alertas", f"temp_{fam}", df, mode="append")
 
     stage([(1, 10), (2, 20)])
     engine.publish(ctx, fam)
@@ -75,8 +75,7 @@ def test_publish_hist_merge(ctx):
     ctx.write_table("alertas", f"hist_{fam}_prior", prior)
     prior_df = ctx.table("alertas", f"hist_{fam}_prior")
     ctx.drop_table("alertas", f"hist_{fam}")
-    prior_df.write.partitionBy("dt_partition").parquet(
-        ctx._path("alertas", f"hist_{fam}"))
+    ctx.write_table("alertas", f"hist_{fam}", prior_df, partition_by="dt_partition")
 
     # same-day rerun with 3 rows: month partition = prior-day 2 + today 3
     stage([(1, 10), (2, 20), (3, 30)])
