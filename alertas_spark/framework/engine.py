@@ -141,15 +141,27 @@ def generate_types_table(ctx: AlertContext) -> None:
     ctx.write_table("alertas", "mmps_alertas_tipos", df, coalesce=1)
 
 
-def run_all(ctx: AlertContext, siglas: tuple[str, ...] = ACTIVE) -> None:
+def run_all(ctx: AlertContext, siglas: tuple[str, ...] = ACTIVE,
+            quiet: bool = False) -> dict[str, float]:
     """Full registry run ≙ generateAlertas (jobs.py:187-256): crash-cleanup of stale
-    staging, per-alert compute+stage, then per-family publication."""
+    staging, per-alert compute+stage, then per-family publication.
+
+    Each phase runs under a ``Timer`` (≙ timer.py:5-13 wrapping every alert,
+    jobs.py:253) and its Spark jobs carry the alert's job group for UI attribution;
+    returns ``{phase: seconds}`` for the CLI report."""
+    from alertas_spark.framework.timing import Timer
+
+    timings: dict[str, float] = {}
     defs = registry()
     families = {defs[s].family_table for s in siglas}
     for fam in families:  # ≙ leftover-temp cleanup jobs.py:138-141
         ctx.drop_table("alertas", f"temp_{fam}")
     for sigla in siglas:
-        run_alert(ctx, defs[sigla])
+        with Timer(f"alert {sigla}", timings, quiet=quiet):
+            run_alert(ctx, defs[sigla])
     ctx.spark.catalog.clearCache()  # ≙ jobs.py:285
     for fam in families:
-        publish(ctx, fam)
+        ctx.spark.sparkContext.setJobGroup(f"publish:{fam}", f"publish:{fam}")
+        with Timer(f"publish {fam}", timings, quiet=quiet):
+            publish(ctx, fam)
+    return timings

@@ -49,10 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     siglas = tuple(args.alerts.split(",")) if args.alerts else engine.ACTIVE
     t0 = time.time()
-    engine.run_all(ctx, siglas=siglas)
+    timings = engine.run_all(ctx, siglas=siglas)
     engine.generate_types_table(ctx)
+    slowest = max(timings, key=timings.get) if timings else "n/a"
     print(f"alertas: {len(siglas)} alerts published in {time.time() - t0:.1f}s "
-          f"(as_of={as_of})")
+          f"(as_of={as_of}; slowest phase: {slowest} {timings.get(slowest, 0):.1f}s)")
     return 0
 
 
