@@ -167,9 +167,10 @@ _MINHASH_SIG_DUCK = "list_value(" + ", ".join(
     for a, b in zip(_MH_A, _MH_B)) + ")"
 
 
-@declare(
-    "dedup_minhash_lsh",
-    oracle=_DUCK_SHINGLE_CTE + f"""
+#: the MinHash candidate+verify pipeline as reusable DuckDB CTEs (ends at
+#: ``verified`` with the jaccard precomputed) — shared by the pair query and the
+#: connected-components clustering oracle
+_MINHASH_CTES_DUCK = _DUCK_SHINGLE_CTE + f"""
     , hashed AS (
         SELECT doc_id, shingles, {_SHINGLE_HASHES_DUCK} AS hs
         FROM shing WHERE len(shingles) > 0
@@ -188,16 +189,22 @@ _MINHASH_SIG_DUCK = "list_value(" + ", ".join(
          AND a.doc_id < b.doc_id
     ), verified AS (
         SELECT doc_a, doc_b,
-               len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
-               len(sa.shingles) AS na, len(sb.shingles) AS nb
+               len(list_intersect(sa.shingles, sb.shingles))
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))) AS jacc
         FROM cand
         JOIN sig sa ON doc_a = sa.doc_id
         JOIN sig sb ON doc_b = sb.doc_id
     )
-    SELECT doc_a, doc_b,
-           ROUND(n_common / (na + nb - n_common), 6) AS jaccard
+"""
+
+
+@declare(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_CTES_DUCK + f"""
+    SELECT doc_a, doc_b, ROUND(jacc, 6) AS jaccard
     FROM verified
-    WHERE n_common / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    WHERE jacc >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,6 +218,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic permutations (md5-keyed) make the operator reproducible across runs
     and engines — verified bit-for-bit against the DuckDB oracle."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         _with_shingles(spark, sf_dir)
         .filter(F.size("shingles") > 0)
@@ -251,6 +262,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the MinHash pair graph
+# ---------------------------------------------------------------------------
+
+#: convergence backstop; the fixture graph converges in <5 rounds
+_CC_MAX_ITERS = 25
+
+
+@declare(
+    "dedup_components",
+    oracle="WITH RECURSIVE" + _MINHASH_CTES_DUCK.lstrip().removeprefix("WITH") + f"""
+    , pairs AS (SELECT doc_a, doc_b FROM verified WHERE jacc >= {JACCARD_THRESHOLD})
+    , edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs)
+    , walk AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup **clustering**: assign every document the minimum doc_id reachable
+    through the MinHash near-dup pair graph — the canonical-representative step that
+    turns pairwise dedup output into keep/drop decisions (keep ⇔ doc_id = component).
+
+    Implementation is iterative min-label propagation, the standard distributed
+    connected-components pattern: per round, each node takes the min label among
+    itself and its neighbors (join + groupBy = 2 key-shuffles per round), converging
+    in O(graph diameter) rounds.  ``localCheckpoint`` truncates lineage each round so
+    the plan doesn't grow with iterations.  Near-dup graphs are short-diameter almost
+    by construction (clusters are quasi-cliques), so the round count stays small at
+    100 TB; for adversarially long chains, switch to large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which this loop structure
+    accommodates without changing the declared contract.
+
+    Oracle: DuckDB recursive CTE computing min reachable label over the same
+    (bit-identical) MinHash edge set."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()  # materialize once; reused every round
+    )
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("component"))
+    for _ in range(_CC_MAX_ITERS):
+        neighbor = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        # labels can only decrease; converged when none did
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 # ---------------------------------------------------------------------------
