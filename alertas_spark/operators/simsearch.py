@@ -173,6 +173,100 @@ def _duck_topk_assigned_sql() -> str:
     """
 
 
+def _plane_dot_exprs(one_based: bool) -> list[str]:
+    idx = (lambda i: i + 1) if one_based else (lambda i: i)
+    return [" + ".join(f"emb[{idx(i)}] * ({c!r})" for i, c in enumerate(row))
+            for row in _PLANES]
+
+
+def _dots_select(one_based: bool) -> str:
+    return ", ".join(f"({d}) AS d{p}"
+                     for p, d in enumerate(_plane_dot_exprs(one_based)))
+
+
+#: bucket / weakest-plane from precomputed per-plane dots d0..d3 — identical text on
+#: both engines, so branch decisions (sign, argmin with first-wins ties) agree bit-wise
+_BUCKET_FROM_DOTS = " + ".join(
+    f"(CASE WHEN d{p} >= 0.0 THEN {1 << p} ELSE 0 END)" for p in range(IVF_PLANES))
+_WEAK_PLANE = """
+    CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 0
+         WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 1
+         WHEN abs(d2) <= abs(d3) THEN 2
+         ELSE 3 END
+"""
+
+
+def _duck_topk_multiprobe_sql() -> str:
+    dot = _DUCK_DOT.format(a="q.emb", b="c.emb")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    d AS (SELECT vec_id, emb, {_dots_select(one_based=True)} FROM v),
+    b AS (SELECT vec_id, emb, {_BUCKET_FROM_DOTS} AS bucket,
+                 {_WEAK_PLANE} AS weak FROM d),
+    c AS (SELECT vec_id, emb, bucket,
+                 sqrt({_DUCK_NORM2.format(a="emb")}) AS nrm FROM b),
+    qp AS (SELECT vec_id, emb, unnest([bucket, xor(bucket, 1 << weak)]) AS probe
+           FROM b WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT qp.vec_id AS query_id, c.vec_id AS cand_id,
+               {dot.replace('q.emb', 'qp.emb')} / (qn.nrm * c.nrm) AS cos
+        FROM qp
+        JOIN c  ON qp.vec_id <> c.vec_id AND c.bucket = qp.probe
+        JOIN (SELECT vec_id, sqrt({_DUCK_NORM2.format(a="emb")}) AS nrm FROM v) qn
+          ON qn.vec_id = qp.vec_id
+    ), ranked AS (
+        SELECT query_id, cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk, ROUND(cos, 6) AS score
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@declare("simsearch_topk_multiprobe", oracle=_duck_topk_multiprobe_sql())
+def simsearch_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k (probe-2): each query scans its own hyperplane bucket
+    PLUS the bucket with its weakest sign bit flipped — the neighbor most likely to
+    hold near misses (Lv et al., multi-probe LSH).  Recall recovers toward brute
+    force at 2/2^planes of its cost; the probe expansion is a 2-element explode on
+    the (broadcast) query side only, so the candidate table still shuffles once on
+    its single bucket key."""
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .selectExpr("vec_id", "emb", *[f"({d}) AS d{p}" for p, d
+                                       in enumerate(_plane_dot_exprs(one_based=False))])
+        .withColumn("bucket", F.expr(_BUCKET_FROM_DOTS))
+        .withColumn("weak", F.expr(_WEAK_PLANE))
+        .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+    )
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+                F.col("nrm").alias("qnrm"),
+                F.explode(F.array(F.col("bucket"),
+                                  F.expr("bucket ^ shiftleft(1, weak)"))).alias("probe"))
+    )
+    scored = (
+        v.join(F.broadcast(q),
+               (F.col("query_id") != F.col("vec_id"))
+               & (F.col("probe") == F.col("bucket")))
+        .withColumn("cos", _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"),
+            F.col("rnk").cast("int").alias("rnk"), F.round("cos", 6).alias("score"),
+        )
+    )
+
+
 @declare("simsearch_topk_ivf_assigned", oracle=_duck_topk_assigned_sql())
 def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k starting from RAW embeddings only: the coarse assignment is computed
