@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.sessionize",
     "alertas_spark.operators.multimodal",
     "alertas_spark.operators.profiling",
+    "alertas_spark.operators.skew_mitigation",
     "alertas_spark.operators.sampling",
     "alertas_spark.operators.pipeline",
     "alertas_spark.plans.joins",
