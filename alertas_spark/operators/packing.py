@@ -1,0 +1,55 @@
+"""Sequence packing: assign documents to fixed-token-budget training packs.
+
+The concat-and-chunk packing used by LLM pre-training dataloaders: lay documents
+end-to-end in a deterministic order and cut every ``PACK_BUDGET`` tokens; a document's
+pack is the budget-bucket of the tokens accumulated before it.
+
+Scale design: packing is per ``source`` shard (window PARTITION BY source), never a
+global ordering — a single global cumulative sum would serialize onto one reducer,
+while per-shard windows shuffle once on the shard key and each shard's running sum
+stays independent (in production the shard key is the file/split id, giving thousands
+of parallel packing streams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+PACK_BUDGET = 1024  # tokens per pack
+
+
+@declare(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {PACK_BUDGET} AS INTEGER) AS pack_id
+    FROM toks
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing: per-source running token count, pack_id = bucket of
+    the tokens before this document.  Deterministic (ordered by doc_id within source)
+    and reshard-stable; one shuffle on the shard key."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                           F.lit("[a-z0-9]+"), 0))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(cum_before / PACK_BUDGET).cast("int"))
+        .withColumn("n_tokens", F.col("n_tokens").cast("int"))
+    )

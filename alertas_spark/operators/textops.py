@@ -186,3 +186,113 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select("doc_id", "content_md5", "rolling_min_hash")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram collision against an eval set)
+# ---------------------------------------------------------------------------
+
+#: overlap n-gram width (word-level).  GPT-3/PaLM-style decontamination uses 8-13;
+#: 5 is proportionate to the short fixture documents (raise with document length)
+DECON_N = 5
+#: stand-in eval set: every 11th doc plays the benchmark (in production this side
+#: is the actual benchmark corpus — a few MB, always broadcastable)
+DECON_BENCH_MOD = 11
+
+_NGRAM_SPARK = f"""
+    CASE WHEN size(tok) >= {DECON_N} THEN
+        array_distinct(transform(sequence(0, size(tok) - {DECON_N}),
+            i -> concat_ws(' ', {", ".join(f"tok[i+{j}]" for j in range(DECON_N))})))
+    ELSE array() END
+"""
+_NGRAM_DUCK = f"""
+    CASE WHEN len(tok) >= {DECON_N} THEN
+        list_distinct(list_transform(generate_series(1, len(tok) - {DECON_N - 1}),
+            i -> {" || ' ' || ".join(f"tok[i+{j}]" for j in range(DECON_N))}))
+    ELSE [] END
+"""
+
+
+@declare(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH tokd AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest({_NGRAM_DUCK}) AS g FROM tokd
+    ), bench AS (SELECT doc_id, g FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % {DECON_BENCH_MOD} != 0)
+    SELECT t.doc_id,
+           COUNT(DISTINCT b.doc_id) AS n_benchmark_docs,
+           COUNT(DISTINCT t.g) AS n_shared_ngrams
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word-{DECON_N}-gram
+    with the eval set (GPT-3 appendix-C style).  The benchmark side is tiny by nature,
+    so its exploded n-grams BROADCAST — the training side streams through a broadcast
+    hash join with zero shuffle of the 100 TB side; the only shuffle is the final
+    per-doc aggregation of hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.withColumn("tok", F.regexp_extract_all(F.lower(F.col("text")),
+                                                    F.lit("[a-z0-9]+"), 0))
+        .withColumn("g", F.explode(F.expr(_NGRAM_SPARK)))
+        .select("doc_id", "g")
+    )
+    bench = grams.filter(F.col("doc_id") % DECON_BENCH_MOD == 0) \
+        .select(F.col("doc_id").alias("bench_doc_id"), F.col("g").alias("bg"))
+    train = grams.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), F.col("g") == F.col("bg"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("bench_doc_id").alias("n_benchmark_docs"),
+             F.countDistinct("g").alias("n_shared_ngrams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / pattern redaction
+# ---------------------------------------------------------------------------
+
+#: redaction patterns — RE2-safe (no lookaround) so both engines compile them
+_PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("longnum", r"\b[0-9]{7,}\b", "<NUM>"),
+)
+
+
+@declare(
+    "pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER)
+               AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INTEGER) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '\\b[0-9]{7,}\\b')) AS INTEGER)
+               AS n_longnum,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+               '\\b[0-9]{7,}\\b', '<NUM>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace email / SSN-shaped / long-number patterns.
+    Pure scan-projection (JVM regex, no shuffle); the md5 of the redacted text pins
+    the full transform cross-engine without materializing documents in the result."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.col("text")
+    counts = []
+    for name, pat, repl in _PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+                      .cast("int").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select("doc_id", *counts, F.md5(red).alias("redacted_md5"))
