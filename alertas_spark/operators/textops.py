@@ -296,3 +296,62 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("int").alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, repl)
     return docs.select("doc_id", *counts, F.md5(red).alias("redacted_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "repetition_score",
+    oracle="""
+    WITH tokd AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(tok) >= 2 THEN
+                   list_transform(generate_series(1, len(tok) - 1),
+                                  i -> tok[i] || ' ' || tok[i+1]) ELSE [] END AS g2,
+               CASE WHEN len(tok) >= 3 THEN
+                   list_transform(generate_series(1, len(tok) - 2),
+                                  i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+               ELSE [] END AS g3
+        FROM tokd
+    )
+    SELECT doc_id,
+           ROUND((len(g2) - len(list_distinct(g2)))
+                 / GREATEST(len(g2), 1), 6) AS dup2_ratio,
+           ROUND((len(g3) - len(list_distinct(g3)))
+                 / GREATEST(len(g3), 1), 6) AS dup3_ratio,
+           CASE WHEN (len(g3) - len(list_distinct(g3)))
+                     / GREATEST(len(g3), 1) > 0.2 THEN 1 ELSE 0 END AS repetitive
+    FROM grams
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style): fraction of duplicate word 2-/3-grams
+    per document; heavily repetitive documents (>20% dup 3-grams) are flagged.  Pure
+    array expressions — scan-projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        docs.withColumn("tok", F.regexp_extract_all(F.lower(F.col("text")),
+                                                    F.lit("[a-z0-9]+"), 0))
+        .withColumn("g2", F.expr("""
+            CASE WHEN size(tok) >= 2 THEN transform(sequence(0, size(tok) - 2),
+                i -> concat_ws(' ', tok[i], tok[i+1])) ELSE array() END"""))
+        .withColumn("g3", F.expr("""
+            CASE WHEN size(tok) >= 3 THEN transform(sequence(0, size(tok) - 3),
+                i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])) ELSE array() END"""))
+    )
+    dup2 = (F.size("g2") - F.size(F.array_distinct("g2"))) \
+        / F.greatest(F.size("g2"), F.lit(1))
+    dup3 = (F.size("g3") - F.size(F.array_distinct("g3"))) \
+        / F.greatest(F.size("g3"), F.lit(1))
+    return out.select(
+        "doc_id",
+        F.round(dup2, 6).alias("dup2_ratio"),
+        F.round(dup3, 6).alias("dup3_ratio"),
+        F.when(dup3 > 0.2, 1).otherwise(0).alias("repetitive"),
+    )
