@@ -21,6 +21,7 @@ WINDOW = "5 minutes"
 
 @declare(
     "events_tumbling_5min",
+    late=True,
     oracle=f"""
     SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
                AS bucket_start,

