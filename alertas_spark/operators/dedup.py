@@ -95,6 +95,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "dedup_ngram_jaccard",
+    late=True,  # the exact verifier; the scale path (minhash) holds the in-window row
     oracle=_DUCK_SHINGLE_CTE + f"""
     , sh AS (SELECT doc_id, unnest(shingles) AS s FROM shing),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM shing),
@@ -531,6 +532,7 @@ def _emb_pairs_broadcast_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "dedup_embedding_cosine",
+    late=True,  # exact O(n^2) verifier; the blocked variant holds the in-window row
     oracle=f"""
     {_EMB_DUCK_CTE}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({_COS_DUCK}, 6) AS cos_sim

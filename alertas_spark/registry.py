@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.simsearch",
     "alertas_spark.operators.textops",
     "alertas_spark.operators.sessionize",
+    "alertas_spark.operators.asof",
     "alertas_spark.operators.multimodal",
     "alertas_spark.operators.profiling",
     "alertas_spark.operators.skew_mitigation",

@@ -101,3 +101,50 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_mktsegment", "n_events", "total_value")
     )
     return ev.run_to_memory(out, shuffle_partitions=8)
+
+
+@declare(
+    "streaming_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(c.ts AS VARCHAR) AS click_ts, CAST(p.ts AS VARCHAR) AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click→purchase attribution pairs within a
+    10-minute window, both sides watermarked so the state store can discard rows
+    older than the interval + watermark (the condition Spark requires for
+    stream-stream state cleanup).  Full replay ≡ the batch range self-join — the
+    oracle.  At scale both streams shuffle once on user_id and state stays bounded
+    by (watermark + interval) × per-user rate."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        ev.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        ev.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr("event_id AS purchase_id", "user_id AS p_user_id",
+                    "ts AS purchase_ts")
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    out = joined.select(
+        "click_id", "purchase_id", "user_id",
+        F.col("click_ts").cast("string").alias("click_ts"),
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+    )
+    return ev.run_to_memory(out, output_mode="append", shuffle_partitions=8)
