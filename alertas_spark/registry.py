@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.packing",
     "alertas_spark.operators.pipeline",
     "alertas_spark.plans.joins",
+    "alertas_spark.plans.range_bin",
     "alertas_spark.plans.aggregates",
     "alertas_spark.plans.relational",
     "alertas_spark.plans.dates",
