@@ -462,14 +462,23 @@ def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
         return _emb_pairs_broadcast_matmul(spark, sf_dir)
     from alertas_spark.operators.simsearch import _dot, _norm2
 
+    from alertas_spark.operators.simsearch import _bucket_expr
+
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("block", F.expr(_bucket_expr(one_based=False)))
         .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+        # materialize the assignment once: the 4x64-term bucket expression would
+        # otherwise be inlined (and codegen-compiled) into BOTH self-join branches
+        # and every AQE re-plan — observed 10x plan-compile overhead.  The table is
+        # read twice by the pair join anyway, so one materialization is the cheaper
+        # shape at any scale.
+        .localCheckpoint()
     )
     a, b = emb.alias("a"), emb.alias("b")
     cond = (F.col("a.vec_id") < F.col("b.vec_id")) \
-        & (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.block") == F.col("b.block"))
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, cond)
@@ -547,18 +556,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb_pairs(spark, sf_dir, blocked=False)
 
 
+def _blocked_duck_cte() -> str:
+    from alertas_spark.operators.simsearch import _bucket_expr
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, {_bucket_expr(one_based=True)} AS block,
+                 sqrt(list_reduce(list_transform(emb, x -> x * x), (x, y) -> x + y))
+                     AS nrm
+          FROM v)
+"""
+
+
 @declare(
     "dedup_embedding_cosine_blocked",
     oracle=f"""
-    {_EMB_DUCK_CTE}
+    {_blocked_duck_cte()}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({_COS_DUCK}, 6) AS cos_sim
-    FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.label = b.label
+    FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.block = b.block
     WHERE {_COS_DUCK} >= {COS_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup with coarse-cluster blocking (label ≙ IVF centroid id):
-    pairs are only scored within a block, so the join shuffles on the block key and
-    work scales with Σ block² instead of n² — the 100 TB path (same pattern as the
-    IVF similarity search)."""
+    """Embedding near-dup with coarse-cluster blocking: pairs are only scored within
+    a block, so the join shuffles on the block key and work scales with Σ block²
+    instead of n² — the 100 TB path.  The block is the deterministic hyperplane
+    bucket computed IN-PLAN from the raw embedding (same partitioner as the IVF
+    similarity search) — no precomputed assignment column required."""
     return _emb_pairs(spark, sf_dir, blocked=True)

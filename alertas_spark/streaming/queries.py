@@ -148,3 +148,44 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("string").alias("purchase_ts"),
     )
     return ev.run_to_memory(out, output_mode="append", shuffle_partitions=8)
+
+
+@declare(
+    "streaming_sessionize",
+    late=True,  # session semantics hold an in-window row via batch events_sessionize
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {ev.SESSION_GAP_S} * 1000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 4)} AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` gap-based sessionization in the streaming engine,
+    replayed to completion.  Full replay ≡ the batch gaps-and-islands rewrite — the
+    same oracle CTE as ``events_sessionize``, reduced to the session_window output
+    columns.  Pins that Spark's session-merge semantics agree with the explicit
+    lag/cumsum construction down to microsecond gap arithmetic."""
+    from pyspark.sql import functions as F
+
+    out = ev.session_aggregates(ev.read_events_stream(spark, sf_dir)).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_start"),
+        "n_events", "total_value",
+    )
+    return ev.run_to_memory(out, shuffle_partitions=8)
