@@ -19,10 +19,13 @@ def _names():
 
 
 def test_all_alerts_and_streaming_in_window():
+    from alertas_spark.registry import REGISTRY
+
     names = _names()
     window = set(names[:WINDOW])
     alerts = [n for n in names if n.startswith("alerta_")]
-    streaming = [n for n in names if n.startswith("streaming_")]
+    streaming = [n for n in names
+                 if n.startswith("streaming_") and not REGISTRY[n].late]
     assert len(alerts) == 20
     assert set(alerts) <= window
     assert set(streaming) <= window
