@@ -66,3 +66,32 @@ def test_context_delegates_to_injected_catalog(spark, tmp_path):
     assert ctx.table("alertas", "via_ctx").agg(F.sum("id")).collect()[0][0] == 7
     ctx.drop_table("alertas", "via_ctx")
     assert not ctx.table_exists("alertas", "via_ctx")
+
+
+def test_run_all_end_to_end_on_metastore(spark):
+    """The full alert batch (compute → stage → snapshot+hist publish) against the
+    session catalog: inputs registered as catalog tables, outputs land as catalog
+    tables — the reference's Hive deployment shape (jobs.py:183-185), no paths."""
+    import os
+
+    from alertas_spark.framework import engine
+    from alertas_spark.testing.fixtures import AS_OF, ensure_fixtures
+    from tests.conftest import FIXTURE_DIR
+
+    ensure_fixtures(FIXTURE_DIR)
+    cat = MetastoreCatalog(database_prefix="e2e_")
+    for schema, table in (("exadata", "mcpr_documento"), ("exadata", "mcpr_vista")):
+        df = spark.read.parquet(
+            os.path.join(FIXTURE_DIR, schema, f"{table}.parquet"))
+        cat.write_table(spark, schema, table, df)
+    ctx = AlertContext(spark=spark, catalog=cat, as_of=AS_OF)
+    try:
+        engine.run_all(ctx, siglas=("VADF",), quiet=True)
+        snap = ctx.table("alertas", "mmps_alertas_mgp")
+        assert snap.count() > 0
+        hist = ctx.table("alertas", "hist_mmps_alertas_mgp")
+        assert hist.count() == snap.count()
+        assert spark.catalog.tableExists("e2e_alertas.hist_mmps_alertas_mgp")
+    finally:
+        for db in ("e2e_exadata", "e2e_alertas"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
