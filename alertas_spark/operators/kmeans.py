@@ -1,0 +1,121 @@
+"""Deterministic k-means — the IVF centroid *trainer* as a declared query.
+
+Two Lloyd iterations over the embedding table, fully deterministic and therefore
+DuckDB-oracle-checkable (the same property that makes it idempotent across cluster
+re-runs):
+
+* init: centroids = the first ``K`` vectors by ``vec_id`` (seeded, not sampled);
+* assignment: argmin of the squared L2 distance, computed as a sequential
+  left-to-right fold (bit-equal across engines), ties to the lowest centroid id;
+* update: per-dimension mean via EXACT decimal accumulation (functions/numeric.py
+  contract) — the one step where naive double summation would diverge between
+  partitionings and engines.
+
+Scale shape per iteration: one broadcast join (K×dim centroids are always tiny) +
+one argmin shuffle on vec_id + one (cluster, dim) aggregation with map-side
+combine.  The loop structure is exactly GraphX/Spark-ML's kmeans; the decimal-sum
+means are the price of cross-engine bit-equality and cost one extra cast.
+
+The trained assignment feeds ``simsearch_topk_ivf`` / the blocked dedup as their
+coarse partition — closing the loop from raw embeddings to a *trained* IVF index
+(the hyperplane partitioner in simsearch.py is the train-free alternative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+K = 8
+ITERS = 2
+DIM = 64
+
+_SPARK_DIST = ("aggregate(zip_with(emb, cvec, (x, c) -> (x - c) * (x - c)), "
+               "cast(0.0 as double), (acc, v) -> acc + v)")
+_DUCK_DIST = ("list_reduce(list_transform(range(1, 65), "
+              "i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i])), "
+              "(x, y) -> x + y)")
+
+
+def _duck_assign(centroid_cte: str, out_name: str) -> str:
+    """Assignment CTE: per vector, the centroid minimizing sequential-fold L2²."""
+    return f"""
+    {out_name}_scored AS (
+        SELECT e.vec_id, e.emb, c.cid, {_DUCK_DIST} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DUCK_DIST}, c.cid) AS rn
+        FROM v e, {centroid_cte} c
+    ), {out_name} AS (
+        SELECT vec_id, emb, cid, dist FROM {out_name}_scored WHERE rn = 1
+    )"""
+
+
+def _duck_update(assign_cte: str, out_name: str) -> str:
+    """Update CTE: per-dimension decimal-exact mean of the assigned vectors."""
+    return f"""
+    {out_name}_sums AS (
+        SELECT cid, dim,
+               CAST(SUM(CAST(emb[dim] AS DECIMAL(29,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM {assign_cte}, range(1, {DIM} + 1) t(dim)
+        GROUP BY cid, dim
+    ), {out_name} AS (
+        SELECT cid, list(m ORDER BY dim) AS cvec FROM {out_name}_sums GROUP BY cid
+    )"""
+
+
+_DUCK_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM v WHERE vec_id < {K}),
+    {_duck_assign('c0', 'a1')},
+    {_duck_update('a1', 'c1')},
+    {_duck_assign('c1', 'a2')}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster, ROUND(dist, 6) AS dist
+    FROM a2
+"""
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    scored = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", F.expr(_SPARK_DIST))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid", "dist")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    sums = (
+        assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cid", (F.col("pos") + 1).alias("dim"))
+        .agg((F.sum(F.col("val").cast("decimal(29,6)")).cast("double")
+              / F.count("*")).alias("m"))
+    )
+    return (
+        sums.groupBy("cid")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                         lambda s: s["m"]).alias("cvec"))
+    )
+
+
+@declare("kmeans_assign", oracle=_DUCK_ORACLE)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an IVF coarse quantizer with {ITERS} deterministic Lloyd iterations and
+    return the final cluster assignment (+ L2² distance) per vector."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    centroids = v.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
+    assigned = _assign(v, centroids)
+    for _ in range(ITERS - 1):
+        centroids = _update(assigned).localCheckpoint()  # K rows; truncate lineage
+        assigned = _assign(v, centroids)
+    return assigned.select(
+        "vec_id", F.col("cid").cast("bigint").alias("cluster"),
+        F.round("dist", 6).alias("dist"))

@@ -224,7 +224,8 @@ def _duck_topk_multiprobe_sql() -> str:
     """
 
 
-@declare("simsearch_topk_multiprobe", oracle=_duck_topk_multiprobe_sql())
+@declare("simsearch_topk_multiprobe", oracle=_duck_topk_multiprobe_sql(),
+         late=True)  # probe-2 optimization variant; ivf_assigned + recall_eval hold the window rows
 def simsearch_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF top-k (probe-2): each query scans its own hyperplane bucket
     PLUS the bucket with its weakest sign bit flipped — the neighbor most likely to
