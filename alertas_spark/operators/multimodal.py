@@ -90,3 +90,67 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     which verifies the whole Arrow round-trip byte-for-byte."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_features(with_media_column(docs))
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: 1 payload → N sampled frame rows
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 256   # fixed-size "frame" within the payload
+FRAME_STRIDE = 4    # keep every 4th frame
+
+_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_len", IntegerType()),
+    StructField("frame_md5", StringType()),
+])
+
+
+def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame extraction (≙ ffmpeg keyframe sampling in production): the payload
+    is treated as a sequence of fixed-size byte frames and every STRIDE-th frame is
+    emitted as its own row — the 1→N batch-shape change that distinguishes
+    frame-sampling plumbing from per-row decode."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [],
+                                "frame_md5": []}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+            data = bytes(buf)
+            for i in range(0, (len(data) + FRAME_BYTES - 1) // FRAME_BYTES,
+                           FRAME_STRIDE):
+                chunk = data[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_len"].append(len(chunk))
+                out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@declare(
+    "multimodal_frame_sample",
+    late=True,  # multimodal plumbing holds an in-window row via decode_features
+    oracle=f"""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT)))
+                   AS frame_idx
+        FROM documents
+    ), frames AS (
+        SELECT doc_id, frame_idx,
+               substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+        FROM idx WHERE frame_idx % {FRAME_STRIDE} = 0
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(strlen(chunk) AS INTEGER) AS frame_len,
+           md5(chunk) AS frame_md5
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary payload: every {FRAME_STRIDE}-th fixed-size
+    frame becomes its own row (1→N mapInPandas, partition-preserving, no shuffle).
+    The deterministic fake frames make the whole explode oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_media_column(docs).mapInPandas(_sample_frames_batch,
+                                               schema=_FRAME_SCHEMA)
