@@ -119,3 +119,75 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", F.col("cid").cast("bigint").alias("cluster"),
         F.round("dist", 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Trained-IVF search: top-k pruned by the kmeans clusters
+# ---------------------------------------------------------------------------
+
+_DUCK_TOPK_TRAINED = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM v WHERE vec_id < {K}),
+    {_duck_assign('c0', 'a1')},
+    {_duck_update('a1', 'c1')},
+    {_duck_assign('c1', 'a2')},
+    n AS (
+        SELECT vec_id, emb, cid,
+               sqrt(list_reduce(list_transform(emb, x -> x * x), (x, y) -> x + y))
+                   AS nrm
+        FROM a2
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_reduce(list_transform(range(1, {DIM} + 1),
+                                          i -> q.emb[i] * c.emb[i]),
+                           (x, y) -> x + y) / (q.nrm * c.nrm) AS cos
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id AND q.cid = c.cid
+        WHERE q.vec_id < 10
+    ), ranked AS (
+        SELECT query_id, cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk, ROUND(cos, 6) AS score
+    FROM ranked WHERE rnk <= 5
+"""
+
+
+@declare("simsearch_topk_ivf_trained", oracle=_DUCK_TOPK_TRAINED, late=True)
+def simsearch_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trained-ANN loop in one plan: k-means coarse quantizer (above) →
+    cluster-pruned cosine top-k.  Probe-1 over TRAINED cells — what a user gets
+    from `kmeans_assign` + `simsearch_topk_ivf` composed, oracle-checked end to end.
+    (late: the ANN capability rows in the driver window are ivf_assigned +
+    recall_eval; this pins the trained composition locally.)"""
+    from alertas_spark.operators.simsearch import N_QUERIES, TOP_K, _dot, _norm2
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    centroids = v.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
+    assigned = _assign(v, centroids)
+    for _ in range(ITERS - 1):
+        centroids = _update(assigned).localCheckpoint()
+        assigned = _assign(v, centroids)
+    n = assigned.select("vec_id", "emb", "cid",
+                        F.sqrt(_norm2(F.col("emb"))).alias("nrm")).localCheckpoint()
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"), F.col("cid").alias("qcid"))
+    scored = (
+        n.join(F.broadcast(q),
+               (F.col("query_id") != F.col("vec_id"))
+               & (F.col("qcid") == F.col("cid")))
+        .withColumn("cos", _dot(F.col("qemb"), F.col("emb"))
+                    / (F.col("qnrm") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("cand_id"),
+                F.col("rnk").cast("int").alias("rnk"),
+                F.round("cos", 6).alias("score"))
+    )
