@@ -1,0 +1,77 @@
+"""Plan-shape regression tests: pin the 100 TB-relevant physical-plan properties.
+
+A query can stay value-correct while its plan silently degrades (a lost pushdown, a
+join falling back to nested-loop, an extra shuffle).  These asserts lock the plan
+properties the scale design depends on, per operator family.
+"""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    # "simple" mode: each physical node appears exactly once (formatted mode lists
+    # nodes twice — tree + detail section — which breaks occurrence counting)
+    spark = df.sparkSession
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+
+
+def _build(spark, name: str):
+    from alertas_spark.registry import load_all
+
+    return load_all()[name].builder(spark, SF)
+
+
+def test_range_bin_join_is_equi_not_nested_loop(spark):
+    plan = _plan(_build(spark, "range_bin_join_order_shipments"))
+    assert "BroadcastNestedLoopJoin" not in plan, \
+        "binned range join must plan as an equi-join"
+    assert "CartesianProduct" not in plan
+
+
+def test_sampling_filter_reaches_the_scan(spark):
+    plan = _plan(_build(spark, "sample_hash_stratified"))
+    assert plan.count("FileScan") == 1, "sampling must be a single-scan projection"
+    assert "*(1) Filter" in plan, "hash filter must stay in a codegen span"
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan, \
+        "scan must be pruned to the two referenced columns"
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    plan = _plan(_build(spark, "asof_join_click_view"))
+    # union + carry-forward: exactly one key shuffle for the window, zero join nodes
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                      "BroadcastNestedLoopJoin"):
+        assert join_node not in plan
+
+
+def test_decontamination_broadcasts_the_benchmark_side(spark):
+    plan = _plan(_build(spark, "decontaminate_overlap"))
+    assert "BroadcastHashJoin" in plan, \
+        "benchmark n-grams must broadcast; shuffling the corpus side is the failure"
+
+
+def test_ivf_assignment_is_shuffle_free_projection(spark):
+    from alertas_spark.operators.simsearch import _bucket_expr
+    from alertas_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    assigned = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("bucket", F.expr(_bucket_expr(one_based=False)))
+    )
+    plan = _plan(assigned)
+    assert "Exchange" not in plan, "hyperplane assignment must not shuffle"
+
+
+def test_alert_gate_single_join_subtree(spark):
+    """The round-2 GATE rewrite: one OR filter, one join subtree, no Union."""
+    from alertas_spark.registry import load_all
+
+    df = load_all()["alerta_gate"].builder(spark, SF)
+    plan = _plan(df)
+    assert "Union" not in plan
