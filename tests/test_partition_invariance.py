@@ -1,0 +1,48 @@
+"""Partitioning-invariance: the distributed-correctness property.
+
+A 100 TB run executes with different scan splits, shuffle widths, and merge orders
+than any test box.  Every operator we ship must produce the IDENTICAL result under
+any partitioning — that is what the decimal-sum contracts, sequential folds, and
+deterministic tie-breaks buy.  These tests run the same query under adversarially
+different partitioning configs (tiny scan splits + narrow shuffle vs defaults) and
+assert cell-exact equality.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+#: operators whose determinism contracts this file pins
+QUERIES = [
+    "asof_join_click_view",      # carry-forward ordering
+    "dedup_components",          # iterative label propagation
+    "kmeans_assign",             # decimal-exact centroid means
+    "pack_sequences",            # per-shard window cumsum
+    "salted_skew_agg",           # two-phase decimal aggregation
+    "sample_hash_stratified",    # hash-derived sampling
+]
+
+
+def _rows(spark, name: str):
+    from alertas_spark.registry import load_all
+
+    df = load_all()[name].builder(spark, SF)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_partitioning(spark, name):
+    base = _rows(spark, name)
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # adversarial layout: ~64 KB scan splits and a prime shuffle width
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        alt = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+    assert base == alt, f"{name} result depends on partitioning"
