@@ -53,3 +53,60 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pack_id", F.floor(cum_before / PACK_BUDGET).cast("int"))
         .withColumn("n_tokens", F.col("n_tokens").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 100
+CHUNK_OVERLAP = 20
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@declare(
+    "doc_chunk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, tok, len(tok) AS n,
+               unnest(range(0, CAST(ceil(GREATEST(len(tok) - {CHUNK_OVERLAP}, 1)
+                                         / {_STRIDE}.0) AS BIGINT))) AS chunk_idx
+        FROM toks WHERE len(tok) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_idx * {_STRIDE} AS INTEGER) AS token_start,
+           CAST(LEAST({CHUNK_TOKENS}, n - chunk_idx * {_STRIDE}) AS INTEGER)
+               AS n_tokens,
+           md5(array_to_string(tok[chunk_idx * {_STRIDE} + 1 :
+                                   chunk_idx * {_STRIDE} + {CHUNK_TOKENS}], ' '))
+               AS chunk_md5
+    FROM idx
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({CHUNK_TOKENS}-token chunks, {CHUNK_OVERLAP}
+    overlap) — the RAG / training-prep primitive that turns documents into
+    model-sized pieces.  Pure scan-side explode (no shuffle); chunk content is
+    pinned cross-engine by the md5 of the joined token window."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        docs.withColumn("tok", F.regexp_extract_all(F.lower(F.col("text")),
+                                                    F.lit("[a-z0-9]+"), 0))
+        .withColumn("n", F.size("tok"))
+        .filter(F.col("n") > 0)
+        .withColumn("chunk_idx", F.explode(F.expr(
+            f"sequence(0, cast(ceil(greatest(n - {CHUNK_OVERLAP}, 1) / {_STRIDE}.0) "
+            f"as int) - 1)")))
+    )
+    start = F.col("chunk_idx") * _STRIDE
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("token_start"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - start).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(F.slice("tok", start + 1, CHUNK_TOKENS), " "))
+        .alias("chunk_md5"),
+    )

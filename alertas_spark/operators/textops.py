@@ -123,6 +123,7 @@ def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "token_count",
+    late=True,  # token counting overlaps text_quality's in-window n_tokens signal
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
