@@ -356,3 +356,69 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup3, 6).alias("dup3_ratio"),
         F.when(dup3 > 0.2, 1).otherwise(0).alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (corpus-statistics join-back)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_N = 3
+
+
+@declare(
+    "tfidf_top_terms",
+    late=True,  # corpus-stats pattern; the window rows cover the capability families
+    oracle=f"""
+    WITH tokd AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents
+    ), terms AS (
+        SELECT doc_id, unnest(tok) AS term FROM tokd
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term
+    ), ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_N}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_N} TF-IDF terms per document — the corpus-statistics join-back
+    pattern: per-term document frequency aggregated over the whole corpus, joined
+    back to per-doc term counts, scored, window top-n.  The df table is orders of
+    magnitude smaller than the term explosion (vocabulary vs corpus), so the
+    join-back broadcasts; n_docs rides in as a literal via the same crossJoin-
+    broadcast-scalar idiom as J7."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.withColumn("tok", F.regexp_extract_all(F.lower(F.col("text")),
+                                                    F.lit("[a-z0-9]+"), 0))
+        .select("doc_id", F.explode("tok").alias("term"))
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
