@@ -75,3 +75,49 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) for c in _COLS
     ])
     return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip to corpus percentiles (two-pass scalar broadcast)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@declare(
+    "winsorize_values",
+    late=True,  # profiling family holds the in-window row; pattern pinned locally
+    oracle=f"""
+    WITH bounds AS (
+        SELECT quantile_cont(value, {WINSOR_LO}) AS lo,
+               quantile_cont(value, {WINSOR_HI}) AS hi
+        FROM events
+    )
+    SELECT event_id,
+           ROUND(LEAST(GREATEST(value, lo), hi), 6) AS value_clipped,
+           CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS clipped
+    FROM events, bounds
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize the event value to the corpus [p1, p99] — the two-pass outlier
+    pattern: one aggregation pass computes the exact percentile bounds (a 1-row
+    frame), which then CROSS-JOIN-BROADCASTS onto the full table for the clip (the
+    J7 scalar-broadcast idiom — no driver round-trip, no second shuffle).  At
+    100 TB swap the exact percentile for approx_percentile; the plan shape is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6)
+            .alias("value_clipped"),
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            .otherwise(0).alias("clipped"),
+        )
+    )
