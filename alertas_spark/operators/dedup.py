@@ -72,6 +72,7 @@ _DUCK_SHINGLE_CTE = f"""
 
 @declare(
     "dedup_exact",
+    late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
     oracle="""
     SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
            MIN(doc_id) AS keeper_doc_id,
@@ -202,6 +203,7 @@ _MINHASH_CTES_DUCK = _DUCK_SHINGLE_CTE + f"""
 
 @declare(
     "dedup_minhash_lsh",
+    late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
     oracle=_MINHASH_CTES_DUCK + f"""
     SELECT doc_a, doc_b, ROUND(jacc, 6) AS jaccard
     FROM verified
@@ -370,6 +372,7 @@ _BAND_MASK = (1 << 15) - 1
 
 @declare(
     "dedup_simhash",
+    late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
     oracle=f"""
     WITH tokd AS (
         SELECT doc_id,
@@ -570,6 +573,7 @@ def _blocked_duck_cte() -> str:
 
 @declare(
     "dedup_embedding_cosine_blocked",
+    late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
     oracle=f"""
     {_blocked_duck_cte()}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({_COS_DUCK}, 6) AS cos_sim

@@ -154,7 +154,7 @@ _DUCK_TOPK_TRAINED = f"""
 """
 
 
-@declare("simsearch_topk_ivf_trained", oracle=_DUCK_TOPK_TRAINED, late=True)
+@declare("simsearch_topk_ivf_trained", oracle=_DUCK_TOPK_TRAINED)
 def simsearch_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full trained-ANN loop in one plan: k-means coarse quantizer (above) →
     cluster-pruned cosine top-k.  Probe-1 over TRAINED cells — what a user gets

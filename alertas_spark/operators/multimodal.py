@@ -75,6 +75,7 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 @declare(
     "multimodal_decode_features",
+    late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
     oracle="""
     SELECT doc_id,
            CAST(strlen(text) AS INTEGER) AS n_bytes,
@@ -129,7 +130,6 @@ def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 @declare(
     "multimodal_frame_sample",
-    late=True,  # multimodal plumbing holds an in-window row via decode_features
     oracle=f"""
     WITH idx AS (
         SELECT doc_id, text,

@@ -87,7 +87,6 @@ WINSOR_HI = 0.99
 
 @declare(
     "winsorize_values",
-    late=True,  # profiling family holds the in-window row; pattern pinned locally
     oracle=f"""
     WITH bounds AS (
         SELECT quantile_cont(value, {WINSOR_LO}) AS lo,

@@ -94,7 +94,8 @@ def _spark_topk(spark: SparkSession, sf_dir: str, same_label: bool) -> DataFrame
     )
 
 
-@declare("simsearch_topk_bruteforce", oracle=_duck_topk_sql(same_label=False))
+@declare("simsearch_topk_bruteforce", oracle=_duck_topk_sql(same_label=False),
+         late=True)  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
 def simsearch_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries × all candidates, window top-k.
     Exact baseline for ANN variants."""
@@ -224,8 +225,7 @@ def _duck_topk_multiprobe_sql() -> str:
     """
 
 
-@declare("simsearch_topk_multiprobe", oracle=_duck_topk_multiprobe_sql(),
-         late=True)  # probe-2 optimization variant; ivf_assigned + recall_eval hold the window rows
+@declare("simsearch_topk_multiprobe", oracle=_duck_topk_multiprobe_sql())
 def simsearch_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF top-k (probe-2): each query scans its own hyperplane bucket
     PLUS the bucket with its weakest sign bit flipped — the neighbor most likely to

@@ -27,6 +27,7 @@ LANG_MARKERS = {
 
 @declare(
     "text_quality",
+    late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
     oracle=f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
@@ -76,6 +77,7 @@ def _marker_count_duck(lang: str) -> str:
 
 @declare(
     "lang_guess",
+    late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, lang,
@@ -150,6 +152,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "doc_fingerprint",
+    late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
     oracle="""
     WITH tokd AS (
         SELECT doc_id, text,
@@ -367,7 +370,6 @@ TFIDF_TOP_N = 3
 
 @declare(
     "tfidf_top_terms",
-    late=True,  # corpus-stats pattern; the window rows cover the capability families
     oracle=f"""
     WITH tokd AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok

@@ -26,7 +26,6 @@ _BIN_SECONDS = WINDOW_DAYS * 86400
 
 @declare(
     "range_bin_join_order_shipments",
-    late=True,  # relational-technique demo; unique ops hold the window slots
     oracle=f"""
     SELECT o.o_orderkey,
            COUNT(*) AS n_shipped,

@@ -59,8 +59,10 @@ _QUERY_MODULES = (
     "alertas_spark.operators.sampling",
     "alertas_spark.operators.packing",
     "alertas_spark.operators.pipeline",
-    "alertas_spark.plans.joins",
+    # range_bin loads before the §2 micro-modules so its (unique, first-time in r3)
+    # driver row lands inside the 50-query window ahead of the redundant micros.
     "alertas_spark.plans.range_bin",
+    "alertas_spark.plans.joins",
     "alertas_spark.plans.aggregates",
     "alertas_spark.plans.relational",
     "alertas_spark.plans.dates",

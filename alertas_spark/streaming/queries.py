@@ -152,7 +152,6 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "streaming_sessionize",
-    late=True,  # session semantics hold an in-window row via batch events_sessionize
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,

@@ -54,3 +54,48 @@ def test_late_queries_all_carry_oracles_and_reasons():
     # late demotion is only for redundant-coverage siblings; they must still be
     # oracle-checked locally (no silent weakening to rows-only)
     assert all(REGISTRY[n].oracle for n in late), late
+
+
+def test_round3_first_time_queries_in_window():
+    # These 7 had no driver CORRECTNESS row in r1 or r2 (their coverage was only
+    # local); r3 rotates them in.  Pin that so a later reorder can't push any of
+    # them back out before the driver has recorded a green row.
+    names = _names()
+    window = set(names[:WINDOW])
+    first_timers = {
+        "multimodal_frame_sample",
+        "range_bin_join_order_shipments",
+        "simsearch_topk_ivf_trained",
+        "simsearch_topk_multiprobe",
+        "streaming_sessionize",
+        "tfidf_top_terms",
+        "winsorize_values",
+    }
+    assert first_timers <= window, sorted(first_timers - window)
+
+
+def test_demoted_queries_have_prior_driver_rows():
+    # late=True is only legal for queries that already hold green driver rows in
+    # CORRECTNESS_r01/r02 (double-pinned) or whose semantics are pinned by an
+    # in-window sibling plus a local oracle.  The r3 demotions are all the former.
+    import json
+    import pathlib
+
+    from alertas_spark.registry import REGISTRY
+
+    _names()
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seen = set()
+    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        p = root / rec
+        if p.exists():
+            seen |= {k for k, v in json.loads(p.read_text()).items()
+                     if v.get("hash_match") or v.get("rows_match")}
+    demoted_r3 = {
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_cosine_blocked", "simsearch_topk_bruteforce",
+        "text_quality", "lang_guess", "doc_fingerprint",
+        "multimodal_decode_features", "pipeline_clean_corpus",
+    }
+    assert all(REGISTRY[n].late for n in demoted_r3)
+    assert demoted_r3 <= seen, sorted(demoted_r3 - seen)
