@@ -398,10 +398,12 @@ TFIDF_TOP_N = 3
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TFIDF_TOP_N} TF-IDF terms per document — the corpus-statistics join-back
     pattern: per-term document frequency aggregated over the whole corpus, joined
-    back to per-doc term counts, scored, window top-n.  The df table is orders of
-    magnitude smaller than the term explosion (vocabulary vs corpus), so the
-    join-back broadcasts; n_docs rides in as a literal via the same crossJoin-
-    broadcast-scalar idiom as J7."""
+    back to per-doc term counts, scored, window top-n.  The df↔tf join is a plain
+    equi join on ``term``: at web scale the vocabulary (every token, typo and
+    identifier in the corpus) is billions of rows, so it must never be broadcast —
+    AQE is free to pick a broadcast at small scale and a shuffle join at large.
+    Only the single-row n_docs scalar rides in via the crossJoin-broadcast idiom
+    (J7)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -414,7 +416,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )

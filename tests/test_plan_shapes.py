@@ -75,3 +75,21 @@ def test_alert_gate_single_join_subtree(spark):
     df = load_all()["alerta_gate"].builder(spark, SF)
     plan = _plan(df)
     assert "Union" not in plan
+
+
+def test_tfidf_df_join_is_not_hint_broadcast(spark):
+    # The per-term document-frequency relation is the full corpus vocabulary —
+    # unbounded at scale, so it must never carry a broadcast hint.  With the
+    # auto-broadcast threshold off, a hint is the only thing that could still
+    # plan the term join as broadcast: assert it plans as a shuffle join.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(_build(spark, "tfidf_top_terms"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, "df↔tf term join must be shuffle-joinable"
+    assert "BroadcastHashJoin" not in plan, \
+        "no equi-join side may be hint-broadcast (vocabulary is unbounded)"
+    # the single-row n_docs scalar keeps its legitimate broadcast (J7 idiom)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
