@@ -78,6 +78,72 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate-percentile profiling — the 100 TB path, as tested code
+# ---------------------------------------------------------------------------
+
+#: Greenwald-Khanna accuracy for the approx variants.  The sketch picks the exact
+#: discrete element while the rank-error budget n/accuracy stays well under one
+#: rank (observed: n·eps = 0.6 already flips a neighbor on a 600k-distinct
+#: column; 0.06 is exact), so at oracle scales the result is bit-identical to
+#: DuckDB's ``quantile_disc``; past that it degrades gracefully to ±1/accuracy
+#: relative rank with memory bounded by the sketch instead of the exact path's
+#: full per-partition sort buffers.  At true 100 TB tune this down (1e4-1e5) to
+#: trade rank error for aggregation-buffer memory — the plan shape is unchanged.
+APPROX_ACC = 10_000_000
+
+
+def _duck_profile_approx(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           COUNT({col}) AS n,
+           ROUND(MIN({col}), 6) AS min_v,
+           ROUND(MAX({col}), 6) AS max_v,
+           ROUND(quantile_disc({col}, 0.5), 6) AS p50,
+           ROUND(quantile_disc({col}, 0.95), 6) AS p95,
+           ROUND(stddev_samp({col}), 6) AS sd
+    FROM lineitem
+    """
+
+
+@declare(
+    "profile_columns_approx",
+    oracle=" UNION ALL ".join(_duck_profile_approx(c) for c in _COLS),
+)
+def profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``profile_columns``'s documented 100 TB knob as a declared, tested query:
+    sketch-based percentiles (``approx_percentile`` — bounded memory, one pass)
+    instead of exact sort-buffer percentiles, and no distinct-count pass (the
+    other unbounded-state statistic).  While n ≤ APPROX_ACC the sketch is exact,
+    so the DuckDB ``quantile_disc`` oracle compares bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
+    aggs = []
+    for c in _COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.round(F.min(c), 6).alias(f"{c}__min_v"),
+            F.round(F.max(c), 6).alias(f"{c}__max_v"),
+            F.round(F.expr(f"approx_percentile({c}, 0.5, {APPROX_ACC})"), 6)
+            .alias(f"{c}__p50"),
+            F.round(F.expr(f"approx_percentile({c}, 0.95, {APPROX_ACC})"), 6)
+            .alias(f"{c}__p95"),
+            F.round(F.stddev_samp(c), 6).alias(f"{c}__sd"),
+        ]
+    wide = li.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__min_v").alias("min_v"),
+            F.col(f"{c}__max_v").alias("max_v"),
+            F.col(f"{c}__p50").alias("p50"),
+            F.col(f"{c}__p95").alias("p95"),
+            F.col(f"{c}__sd").alias("sd"),
+        ) for c in _COLS
+    ])
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
 # Winsorization: clip to corpus percentiles (two-pass scalar broadcast)
 # ---------------------------------------------------------------------------
 
@@ -110,6 +176,43 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
         F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6)
+            .alias("value_clipped"),
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            .otherwise(0).alias("clipped"),
+        )
+    )
+
+
+@declare(
+    "winsorize_approx",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT quantile_disc(value, {WINSOR_LO}) AS lo,
+               quantile_disc(value, {WINSOR_HI}) AS hi
+        FROM events
+    )
+    SELECT event_id,
+           ROUND(LEAST(GREATEST(value, lo), hi), 6) AS value_clipped,
+           CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS clipped
+    FROM events, bounds
+    """,
+)
+def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``winsorize_values`` with sketch-based bounds — the same two-pass
+    scalar-broadcast clip, but the bounds pass is ``approx_percentile`` with
+    bounded memory instead of a full sort buffer.  Plan shape is identical
+    (1-row aggregate → crossJoin-broadcast → scan-side clip); only the
+    aggregation buffer changes, which is what makes this the 100 TB path.
+    Exact (== ``quantile_disc``) while n ≤ APPROX_ACC."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(f"approx_percentile(value, {WINSOR_LO}, {APPROX_ACC})").alias("lo"),
+        F.expr(f"approx_percentile(value, {WINSOR_HI}, {APPROX_ACC})").alias("hi"))
     return (
         ev.crossJoin(F.broadcast(bounds))
         .select(
