@@ -80,3 +80,97 @@ def asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("view_ts").cast("string").alias("view_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-hardened variant: segmented carry-forward over time bins
+# ---------------------------------------------------------------------------
+
+#: Width of the time segment (seconds).  The plain as-of window puts a whole user
+#: in ONE task; binning caps a task's rows at one user-bin.  The knob trades
+#: straggler protection (narrow bins) against summary-table size (wide bins).
+ASOF_BIN_SECONDS = 6 * 3600
+
+
+@declare(
+    "asof_join_salted",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(c.ts AS VARCHAR) AS click_ts,
+           (SELECT MAX(v.event_id) FROM views v
+             WHERE v.user_id = c.user_id
+               AND v.ts = (SELECT MAX(v2.ts) FROM views v2
+                            WHERE v2.user_id = c.user_id AND v2.ts <= c.ts))
+               AS view_id,
+           CAST((SELECT MAX(v2.ts) FROM views v2
+                  WHERE v2.user_id = c.user_id AND v2.ts <= c.ts) AS VARCHAR)
+               AS view_ts
+    FROM clicks c
+    """,
+)
+def asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened as-of join, hash-equal to ``asof_join_click_view``.
+
+    The plain variant's per-user window makes one mega-user one straggler task at
+    100 TB.  Here the carry-forward is *segmented*: partition on
+    ``(user_id, time_bin)`` so no task ever holds more than one user-bin, run the
+    ordered carry-forward locally, then fix the segment boundaries with a prefix
+    pass over the tiny per-(user, bin) summary table (last view carried out of
+    each bin, carry-forwarded *exclusive* across bins) and ``coalesce(local,
+    prefix)``.  Two shuffles of the big relation + one window over the summary —
+    the segmented-scan decomposition of an ordered operator, same idea as
+    ``functions/skew.salted_agg``'s partial/merge split but for a
+    *non-commutative* (ordered) computation, where a hash salt would break the
+    order the semantics depend on; the deterministic time bin IS the salt.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts",
+                                                    "event_type")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("v_event_id"),
+        F.lit(None).cast("long").alias("c_event_id"),
+        F.lit(1).alias("is_view"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("v_event_id"),
+        F.col("event_id").alias("c_event_id"),
+        F.lit(0).alias("is_view"),
+    )
+    tagged = (
+        views.unionByName(clicks)
+        .withColumn("bin", F.floor(F.unix_timestamp("ts") / ASOF_BIN_SECONDS))
+        # the (view_id, view_ts) pair must carry atomically
+        .withColumn("pack", F.when(F.col("is_view") == 1,
+                                   F.struct(F.col("v_event_id").alias("vid"),
+                                            F.col("ts").alias("vts"))))
+    )
+    w_local = (Window.partitionBy("user_id", "bin")
+               .orderBy(F.col("ts").asc(), F.col("is_view").desc(),
+                        F.col("v_event_id").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = tagged.withColumn("local_pack",
+                              F.last("pack", ignorenulls=True).over(w_local))
+    # per-(user, bin) summary: the last view carried OUT of the bin …
+    seg = (local.groupBy("user_id", "bin")
+           .agg(F.max_by("local_pack", F.struct(
+               F.col("ts"), F.col("is_view"), F.col("v_event_id"))).alias("out_pack")))
+    # … carry-forwarded across bins, exclusive of the current bin
+    w_bins = (Window.partitionBy("user_id").orderBy("bin")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = seg.withColumn("prefix_pack",
+                            F.last("out_pack", ignorenulls=True).over(w_bins))
+    joined = local.join(prefix.select("user_id", "bin", "prefix_pack"),
+                        ["user_id", "bin"])
+    final_pack = F.coalesce(F.col("local_pack"), F.col("prefix_pack"))
+    return (
+        joined.filter(F.col("is_view") == 0)
+        .select(
+            F.col("c_event_id").alias("click_id"), "user_id",
+            F.col("ts").cast("string").alias("click_ts"),
+            final_pack["vid"].alias("view_id"),
+            final_pack["vts"].cast("string").alias("view_ts"),
+        )
+    )

@@ -93,3 +93,16 @@ def test_tfidf_df_join_is_not_hint_broadcast(spark):
         "no equi-join side may be hint-broadcast (vocabulary is unbounded)"
     # the single-row n_docs scalar keeps its legitimate broadcast (J7 idiom)
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_asof_salted_windows_partition_on_user_and_bin(spark):
+    # Straggler protection: the big-relation window must partition on
+    # (user_id, bin) — never user_id alone — so one mega-user can't own a task.
+    # Only the tiny per-bin summary window may partition on bare user_id.
+    plan = _plan(_build(spark, "asof_join_salted"))
+    assert "hashpartitioning(user_id" in plan
+    big_window_keys = [seg.split("],")[0] for seg in plan.split("Window [")[1:]]
+    per_user_only = [k for k in big_window_keys
+                     if "user_id" in k and "bin" not in k]
+    # exactly one bare-user window: the per-(user, bin) summary prefix pass
+    assert len(per_user_only) <= 1, per_user_only
