@@ -271,8 +271,77 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup clustering: connected components over the MinHash pair graph
 # ---------------------------------------------------------------------------
 
-#: convergence backstop; the fixture graph converges in <5 rounds
+#: convergence backstop; star contraction halves long chains every round, so this
+#: covers diameters far beyond any real near-dup graph (2^25 ≫ corpus size)
 _CC_MAX_ITERS = 25
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iters: int = _CC_MAX_ITERS) -> tuple[DataFrame, int]:
+    """Distributed connected components by alternating **large-star / small-star**
+    rounds (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round every node links its larger neighbors (large-star), then
+    its smaller neighbors plus itself (small-star), to the minimum of its
+    neighborhood.  The edge set contracts to stars rooted at each component's
+    minimum id in O(log diameter) rounds — unlike plain min-label propagation,
+    whose O(diameter) rounds silently exhaust any iteration cap on a long chain.
+
+    ``nodes``: one ``doc_id`` per vertex (isolated vertices become their own
+    component).  ``edges``: undirected ``(src, dst)`` pairs, any orientation.
+    Returns ``(labels, rounds)`` where labels is ``(doc_id, component)``.
+
+    Scale shape: each half-round is one groupBy + one join-back on the current
+    edge set — 2 key-shuffles over data that only shrinks; ``localCheckpoint``
+    truncates lineage per round.  Convergence is detected from a per-round
+    (count, hash-sum) digest — a driver-side scalar (S15-class), not a data
+    collect.  Raises ``RuntimeError`` if the cap is hit before the edge set is
+    stable: unconverged labels are wrong labels, and must never be returned
+    silently."""
+    e = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint())
+
+    def digest(df: DataFrame):
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = digest(e)
+    rounds = 0
+    converged = prev[0] == 0
+    while not converged and rounds < max_iters:
+        rounds += 1
+        # large-star: strictly-larger neighbors → min of the full neighborhood
+        nbrs = (e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+                .unionByName(e.select(F.col("v").alias("a"), F.col("u").alias("b"))))
+        mins = (nbrs.groupBy("a").agg(F.min("b").alias("mn"))
+                .select("a", F.least("a", "mn").alias("m")))
+        large = (nbrs.join(mins, "a")
+                 .filter(F.col("b") > F.col("a"))
+                 .select(F.greatest("b", "m").alias("u"), F.least("b", "m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # small-star: orient (u > v); smaller neighbors and u itself → min
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (large.join(m2, "u")
+                 .select(F.col("v").alias("x"), "m")
+                 .filter(F.col("x") != F.col("m"))
+                 .unionByName(m2.select(F.col("u").alias("x"), "m"))
+                 .select(F.col("x").alias("u"), F.col("m").alias("v"))
+                 .distinct().localCheckpoint())
+        cur = digest(small)
+        converged = cur == prev
+        prev, e = cur, small
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: edge set still changing after {max_iters} "
+            f"rounds — refusing to return unconverged (wrong) labels")
+    labels = (nodes.join(e.select(F.col("u").alias("doc_id"),
+                                  F.col("v").alias("component")),
+                         "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("component", "doc_id").alias("component")))
+    return labels, rounds
 
 
 @declare(
@@ -295,47 +364,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the MinHash near-dup pair graph — the canonical-representative step that
     turns pairwise dedup output into keep/drop decisions (keep ⇔ doc_id = component).
 
-    Implementation is iterative min-label propagation, the standard distributed
-    connected-components pattern: per round, each node takes the min label among
-    itself and its neighbors (join + groupBy = 2 key-shuffles per round), converging
-    in O(graph diameter) rounds.  ``localCheckpoint`` truncates lineage each round so
-    the plan doesn't grow with iterations.  Near-dup graphs are short-diameter almost
-    by construction (clusters are quasi-cliques), so the round count stays small at
-    100 TB; for adversarially long chains, switch to large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce"), which this loop structure
-    accommodates without changing the declared contract.
+    Implementation: :func:`connected_components` — alternating large-star /
+    small-star contraction (Kiveris et al.), O(log diameter) rounds of 2
+    key-shuffles each, raising rather than returning unconverged labels.
+    Near-dup graphs are short-diameter almost by construction (clusters are
+    quasi-cliques); the star contraction ALSO survives the adversarial
+    long-chain case that defeats plain min-label propagation
+    (tests/test_components.py pins both).
 
     Oracle: DuckDB recursive CTE computing min reachable label over the same
     (bit-identical) MinHash edge set."""
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .localCheckpoint()  # materialize once; reused every round
-    )
-    labels = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("doc_id").alias("component"))
-    for _ in range(_CC_MAX_ITERS):
-        neighbor = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "component")
-        )
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        # labels can only decrease; converged when none did
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels, _rounds = connected_components(
+        nodes, pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
     return labels
 
 

@@ -1,0 +1,56 @@
+"""Connected-components contraction: correctness, round count, convergence guard.
+
+The near-dup clustering oracle (dedup_components) only exercises quasi-clique
+graphs; these tests pin the properties that matter at scale — logarithmic round
+count on an adversarial long chain, and refusal to return unconverged labels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from alertas_spark.operators.dedup import connected_components
+
+CHAIN_N = 200  # min-label propagation would need ~CHAIN_N rounds (cap is 25)
+
+
+def _chain(spark, n):
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    edges = (spark.range(n - 1)
+             .selectExpr("id AS src", "id + 1 AS dst"))
+    return nodes, edges
+
+
+def test_long_chain_converges_logarithmically(spark):
+    nodes, edges = _chain(spark, CHAIN_N)
+    labels, rounds = connected_components(nodes, edges)
+    rows = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(CHAIN_N)}
+    # star contraction roughly halves the diameter per round; allow slack but
+    # pin the logarithmic order (plain propagation would need ~CHAIN_N rounds)
+    assert rounds <= 3 * int(math.log2(CHAIN_N)) + 2, rounds
+
+
+def test_two_components_and_isolated_nodes(spark):
+    nodes = spark.range(10).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (7, 8), (8, 6)], "src long, dst long")
+    labels, _ = connected_components(nodes, edges)
+    rows = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert rows == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 6, 8: 6, 9: 9}
+
+
+def test_unconverged_raises_instead_of_returning_wrong_labels(spark):
+    nodes, edges = _chain(spark, CHAIN_N)
+    with pytest.raises(RuntimeError, match="unconverged"):
+        connected_components(nodes, edges, max_iters=1)
+
+
+def test_empty_edge_set_short_circuits(spark):
+    nodes = spark.range(5).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame([], "src long, dst long")
+    labels, rounds = connected_components(nodes, edges)
+    assert rounds == 0
+    assert all(r["doc_id"] == r["component"] for r in labels.collect())
