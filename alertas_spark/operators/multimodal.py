@@ -1,11 +1,15 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata, processed with
 Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is a deterministic fake
-(documented stub — byte-length-derived dimensions + md5 checksum); everything the
-engine is responsible for is real: binary column construction, schema declaration,
-Arrow batch transfer, partition-preserving mapInPandas plumbing.  Swap
-:func:`_fake_decode_batch` for a real codec (PIL/ffmpeg) in production.
+The container has no image/audio codecs, so the *default* decode step is a
+deterministic fake (documented stub — byte-length-derived dimensions + md5
+checksum); everything the engine is responsible for is real: binary column
+construction, schema declaration, Arrow batch transfer, partition-preserving
+mapInPandas plumbing.  The codec is an injection seam, not a module edit:
+:func:`decode_features` and :func:`sample_frames` take any
+``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` batch function plus its
+output schema, so production passes ``decode_features(media,
+decoder=pil_decode, schema=...)`` and the stub never runs.
 
 Because the fake decode is a pure function of the bytes, the whole pipeline is
 oracle-checkable: DuckDB reproduces the same metadata straight from the text column.
@@ -67,11 +71,26 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         })
 
 
-def decode_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode/feature-extract over the binary column.  mapInPandas is
-    partition-preserving: no shuffle, batches stream through Python with Arrow."""
-    return media.mapInPandas(_fake_decode_batch, schema=FEATURES_SCHEMA)
+#: A codec: consumes Arrow-sized pandas batches of (doc_id, media, media_type),
+#: yields feature batches matching the declared output schema.
+Decoder = "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]"
 
+
+def decode_features(media: DataFrame, decoder=None,
+                    schema: StructType = FEATURES_SCHEMA) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column.  mapInPandas is
+    partition-preserving: no shuffle, batches stream through Python with Arrow.
+    ``decoder`` is the codec seam (defaults to the deterministic stub): production
+    injects a real PIL/ffmpeg batch function and its schema here."""
+    return media.mapInPandas(decoder or _fake_decode_batch, schema=schema)
+
+
+#: Both multimodal oracles recompute the stub's BYTE-level arithmetic with
+#: DuckDB's CHARACTER-level strlen/substring, which agree only because the
+#: fixture text is pure ASCII (pinned by tests/test_multimodal.py::
+#: test_fixture_text_is_ascii — this DuckDB build has no BLOB
+#: substring/md5, so the oracle cannot be expressed byte-based directly).
+#: Any multi-byte character would shift frame boundaries and lengths.
 
 @declare(
     "multimodal_decode_features",
@@ -128,8 +147,17 @@ def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame(out)
 
 
+def sample_frames(media: DataFrame, sampler=None,
+                  schema: StructType = _FRAME_SCHEMA) -> DataFrame:
+    """1→N frame extraction over the binary column; same codec seam as
+    :func:`decode_features` (default: the deterministic fixed-size-frame stub)."""
+    return media.mapInPandas(sampler or _sample_frames_batch, schema=schema)
+
+
 @declare(
     "multimodal_frame_sample",
+    # character-based oracle == byte-based operator only on ASCII fixtures; see
+    # the ASCII note above multimodal_decode_features
     oracle=f"""
     WITH idx AS (
         SELECT doc_id, text,
@@ -152,5 +180,4 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame becomes its own row (1→N mapInPandas, partition-preserving, no shuffle).
     The deterministic fake frames make the whole explode oracle-checkable."""
     docs = load_table(spark, sf_dir, "documents")
-    return with_media_column(docs).mapInPandas(_sample_frames_batch,
-                                               schema=_FRAME_SCHEMA)
+    return sample_frames(with_media_column(docs))

@@ -1,0 +1,85 @@
+"""Multimodal codec seam + the oracle's ASCII assumption.
+
+The decode/frame-sample stubs are placeholders for real codecs; what the engine
+guarantees is the seam (inject any batch function + schema, the stub never runs)
+and the Arrow plumbing around it.  The DuckDB oracles compare the stubs'
+byte-level arithmetic against character-level SQL, which is only valid while the
+fixture text is pure ASCII — pinned here so the assumption is checked, not silent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from alertas_spark.operators.multimodal import (decode_features, sample_frames,
+                                                with_media_column)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _media(spark):
+    from alertas_spark.sources.catalog import load_table
+
+    return with_media_column(load_table(spark, SF, "documents"))
+
+
+def test_injected_decoder_replaces_the_stub(spark):
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("head", StringType()),
+    ])
+
+    def head_decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "head": pdf["media"].map(lambda b: bytes(b)[:8].decode("utf-8")),
+            })
+
+    out = decode_features(_media(spark), decoder=head_decoder, schema=schema)
+    assert out.schema == schema
+    rows = out.limit(5).collect()
+    assert rows and all(len(r["head"]) <= 8 for r in rows)
+
+
+def test_injected_frame_sampler_replaces_the_stub(spark):
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+    ])
+
+    def counting_sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_frames": pdf["media"].map(lambda b: (len(bytes(b)) + 255) // 256),
+            })
+
+    out = sample_frames(_media(spark), sampler=counting_sampler, schema=schema)
+    assert out.columns == ["doc_id", "n_frames"]
+    assert out.count() > 0
+
+
+def test_default_stub_still_runs_when_nothing_injected(spark):
+    out = decode_features(_media(spark))
+    row = out.orderBy("doc_id").first()
+    assert set(out.columns) == {"doc_id", "n_bytes", "fake_width", "fake_height",
+                                "checksum"}
+    assert len(row["checksum"]) == 32
+
+
+def test_fixture_text_is_ascii(spark):
+    # the DuckDB oracles use character-based strlen/substring against the
+    # operator's byte slicing — valid only while every fixture document is ASCII
+    from alertas_spark.sources.catalog import load_table
+
+    for sf in ("sf0.001", "sf0.01"):
+        docs = load_table(spark, f"/root/testdata/{sf}", "documents")
+        n_non_ascii = docs.filter(
+            F.octet_length("text") != F.length("text")).count()
+        assert n_non_ascii == 0, f"{sf}: {n_non_ascii} non-ASCII documents"
