@@ -79,27 +79,32 @@ def session_aggregates(events: DataFrame, watermark: str = "10 minutes") -> Data
     )
 
 
-_STATE_SCHEMA = "n_events long, total_value double"
+# State keeps the accumulator as a scaled long of micro-units (value × 1e6), NOT
+# a double: a double round-trip through the state store loses exactness once a
+# running total passes ~15 significant digits, silently breaking the bit-equality
+# contract on long-lived keys across micro-batches.  A long holds ±9.2e12 units
+# exactly — and overflows loudly, never rounds.
+_STATE_SCHEMA = "n_events long, total_micro long"
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
 
 
 def _update_totals(key, batches: Iterator[pd.DataFrame], state: GroupState):
     # Same determinism contract as functions/numeric.dsum: quantize each double to
-    # 6 decimals, accumulate exactly in Decimal (order-independent across Arrow
-    # batches and shuffle partitionings), emit rounded half-up to 4 — so the
+    # 6 decimals, accumulate exactly in integer micro-units (order-independent
+    # across Arrow batches, shuffle partitionings, AND micro-batch replays — the
+    # persisted accumulator is lossless), emit rounded half-up to 4 — so the
     # full-replay output is bit-equal to the batch GROUP BY oracle.
     from decimal import ROUND_HALF_UP, Decimal
 
     q6, q4 = Decimal("0.000001"), Decimal("0.0001")
-    n, total = state.get if state.exists else (0, 0.0)
-    acc = Decimal(total).quantize(q6, rounding=ROUND_HALF_UP)
+    n, acc_micro = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
         for v in pdf["value"]:
-            acc += Decimal(float(v)).quantize(q6, rounding=ROUND_HALF_UP)
-    total = float(acc)
-    state.update((n, total))
-    emit = float(Decimal(total).quantize(q4, rounding=ROUND_HALF_UP))
+            acc_micro += int(Decimal(float(v)).quantize(q6, rounding=ROUND_HALF_UP)
+                             .scaleb(6))
+    state.update((n, acc_micro))
+    emit = float(Decimal(acc_micro).scaleb(-6).quantize(q4, rounding=ROUND_HALF_UP))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [emit]})
 
 

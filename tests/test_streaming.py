@@ -56,3 +56,28 @@ def test_stateful_running_totals(spark, stream):
     want = want.sort_values("user_id").reset_index(drop=True)
     assert final["n_events"].equals(want["n_events"])
     assert (final["total_value"] - want["total_value"]).abs().max() < 1e-6
+
+
+def test_state_accumulator_is_lossless_across_micro_batches(spark, tmp_path):
+    # Magnitudes where double spacing (~1.5e-5 at 1.2e11) exceeds the 1e-6
+    # quantum: a double-typed state accumulator would come back from the state
+    # store already off by more than a micro-unit between micro-batches, while
+    # the scaled-long state stays exact.  4 single-file micro-batches.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    big = 123456789012.345678
+    src = str(tmp_path / "stream_src")
+    for i in range(4):
+        (spark.createDataFrame([(1, big)], "user_id long, value double")
+         .coalesce(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    got = ev.run_to_memory(ev.user_running_totals(stream),
+                           output_mode="update", shuffle_partitions=2)
+    rows = got.filter(F.col("n_events") == 4).collect()
+    assert len(rows) == 1, got.collect()
+    q6, q4 = Decimal("0.000001"), Decimal("0.0001")
+    per_row = Decimal(float(big)).quantize(q6, rounding=ROUND_HALF_UP)
+    want = float((4 * per_row).quantize(q4, rounding=ROUND_HALF_UP))
+    assert rows[0]["total_value"] == want
