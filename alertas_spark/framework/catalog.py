@@ -105,8 +105,13 @@ class MetastoreCatalog:
                 and self.table_exists(spark, schema, name):
             # ≙ S10: dynamic partition overwrite — insertInto respects the session's
             # partitionOverwriteMode and rewrites only the incoming partitions,
-            # where saveAsTable(overwrite) would drop the whole table
-            out.write.mode("overwrite").insertInto(qualified)
+            # where saveAsTable(overwrite) would drop the whole table.
+            # insertInto binds POSITIONALLY (and saveAsTable stores partition
+            # columns last), so align to the existing table's column order by
+            # name first — otherwise a caller whose frame has a different column
+            # order writes values into the wrong columns silently.
+            table_cols = spark.table(qualified).columns
+            out.select(*table_cols).write.mode("overwrite").insertInto(qualified)
             return
         w = out.write.mode(mode)
         if partition_by:

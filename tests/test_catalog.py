@@ -55,6 +55,16 @@ def test_dynamic_partition_overwrite_touches_only_incoming(spark, catalog):
     got = {(r.id, r.dt_partition)
            for r in catalog.table(spark, "alertas", "hist").collect()}
     assert got == {(1, "202401"), (99, "202402")}
+    # permuted column order: the write contract is BY NAME on every backend
+    # (the metastore path binds insertInto positionally underneath, and
+    # saveAsTable stores partition columns last — alignment must not rely on
+    # the caller's column order matching either)
+    jan = spark.createDataFrame([("202401", 55)], "dt_partition string, id int")
+    catalog.write_table(spark, "alertas", "hist", jan,
+                        mode="overwrite", partition_by="dt_partition")
+    got = {(r.id, r.dt_partition)
+           for r in catalog.table(spark, "alertas", "hist").collect()}
+    assert got == {(55, "202401"), (99, "202402")}
     catalog.drop_table(spark, "alertas", "hist")
 
 
