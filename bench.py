@@ -63,12 +63,45 @@ def main() -> None:
                 else min(t, prev) if prev is not None else t
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # The nightly-batch e2e: all active alerts computed, staged and published
+    # through the engine (incl. the S7-S11 publication sinks the per-query loop
+    # never exercises).  One pass, wall-clock — mirrors the reference's
+    # Timer-phased generateAlertas run.
+    alert_batch = -1.0
+    try:
+        import shutil
+        import tempfile
+
+        from alertas_spark.framework import engine
+        from alertas_spark.framework.context import AlertContext
+        from alertas_spark.testing.fixtures import AS_OF, ensure_fixtures
+
+        fixture_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".fixtures", "mprj")
+        ensure_fixtures(fixture_dir)
+        wh = tempfile.mkdtemp(prefix="bench_wh_")
+        try:
+            for schema in ("exadata", "exadata_aux", "opengeo", "alertas_compras"):
+                os.symlink(os.path.join(fixture_dir, schema),
+                           os.path.join(wh, schema))
+            os.makedirs(os.path.join(wh, "alertas"))
+            ctx = AlertContext(spark=spark, warehouse=wh, as_of=AS_OF)
+            t0 = time.time()
+            engine.run_all(ctx, quiet=True)
+            alert_batch = round(time.time() - t0, 3)
+        finally:
+            spark.catalog.clearCache()
+            shutil.rmtree(wh, ignore_errors=True)
+    except Exception as ex:
+        print(f"# bench alert-batch skipped: {ex}", file=sys.stderr)
     # The recorder keeps the TAIL of this line: serialize queries ascending-by-time
     # (slowest — most informative — last) and the headline keys after them, so a
     # front truncation costs only the fastest per-query entries.  Full record also
     # goes to BENCH_LOCAL.json for round-over-round diffing (tools/bench_diff.py).
     record = {
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "alert_batch_wall_clock": alert_batch,
         "metric": "declared_query_corpus_wall_clock",
         "value": total,
         "unit": "sec",

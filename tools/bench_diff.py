@@ -11,8 +11,9 @@ Usage::
 
     python tools/bench_diff.py BENCH_r01.json BENCH_LOCAL.json [--threshold 1.5]
 
-Queries faster than the noise floor (0.5 s on both sides) are reported but never
-fail the gate — sub-second timings on a warm local JVM jitter well past 1.5x.
+Queries faster than the noise floor (NOISE_FLOOR_S = 1 s, on both sides) are
+reported but never fail the gate — timings that fast on a warm local JVM jitter
+well past 1.5x.
 """
 
 from __future__ import annotations
