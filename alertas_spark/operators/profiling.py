@@ -38,6 +38,7 @@ def _duck_profile(col: str) -> str:
 
 @declare(
     "profile_columns",
+    late=True,  # double-pinned: green driver rows in r1+r2; the approx variant holds the in-window slot
     oracle=" UNION ALL ".join(_duck_profile(c) for c in _COLS),
 )
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,8 +56,9 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
             F.round(F.min(c), 6).alias(f"{c}__min_v"),
             F.round(F.max(c), 6).alias(f"{c}__max_v"),
-            F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias(f"{c}__p50"),
-            F.round(F.expr(f"percentile({c}, 0.95)"), 6).alias(f"{c}__p95"),
+            # One percentile buffer per column serves both quantiles — two
+            # scalar percentile() calls each sort their own copy of the column.
+            F.expr(f"percentile({c}, array(0.5, 0.95))").alias(f"{c}__pcts"),
             F.round(F.stddev_samp(c), 6).alias(f"{c}__sd"),
         ]
     distincts = li.agg(*[F.countDistinct(c).alias(f"{c}__n_distinct") for c in _COLS])
@@ -69,8 +71,8 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"{c}__n_distinct").alias("n_distinct"),
             F.col(f"{c}__min_v").alias("min_v"),
             F.col(f"{c}__max_v").alias("max_v"),
-            F.col(f"{c}__p50").alias("p50"),
-            F.col(f"{c}__p95").alias("p95"),
+            F.round(F.col(f"{c}__pcts")[0], 6).alias("p50"),
+            F.round(F.col(f"{c}__pcts")[1], 6).alias("p95"),
             F.col(f"{c}__sd").alias("sd"),
         ) for c in _COLS
     ])
@@ -122,10 +124,9 @@ def profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(c).alias(f"{c}__n"),
             F.round(F.min(c), 6).alias(f"{c}__min_v"),
             F.round(F.max(c), 6).alias(f"{c}__max_v"),
-            F.round(F.expr(f"approx_percentile({c}, 0.5, {APPROX_ACC})"), 6)
-            .alias(f"{c}__p50"),
-            F.round(F.expr(f"approx_percentile({c}, 0.95, {APPROX_ACC})"), 6)
-            .alias(f"{c}__p95"),
+            # One sketch per column for both quantiles, not one per quantile.
+            F.expr(f"approx_percentile({c}, array(0.5, 0.95), {APPROX_ACC})")
+            .alias(f"{c}__pcts"),
             F.round(F.stddev_samp(c), 6).alias(f"{c}__sd"),
         ]
     wide = li.agg(*aggs)
@@ -135,8 +136,8 @@ def profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"{c}__n").alias("n"),
             F.col(f"{c}__min_v").alias("min_v"),
             F.col(f"{c}__max_v").alias("max_v"),
-            F.col(f"{c}__p50").alias("p50"),
-            F.col(f"{c}__p95").alias("p95"),
+            F.round(F.col(f"{c}__pcts")[0], 6).alias("p50"),
+            F.round(F.col(f"{c}__pcts")[1], 6).alias("p95"),
             F.col(f"{c}__sd").alias("sd"),
         ) for c in _COLS
     ])
@@ -173,9 +174,10 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB swap the exact percentile for approx_percentile; the plan shape is
     unchanged."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
-        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"))
+    bounds = (
+        ev.agg(F.expr(f"percentile(value, array({WINSOR_LO}, {WINSOR_HI}))")
+               .alias("b"))
+        .select(F.col("b")[0].alias("lo"), F.col("b")[1].alias("hi")))
     return (
         ev.crossJoin(F.broadcast(bounds))
         .select(
@@ -210,9 +212,10 @@ def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation buffer changes, which is what makes this the 100 TB path.
     Exact (== ``quantile_disc``) while n ≤ APPROX_ACC."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.expr(f"approx_percentile(value, {WINSOR_LO}, {APPROX_ACC})").alias("lo"),
-        F.expr(f"approx_percentile(value, {WINSOR_HI}, {APPROX_ACC})").alias("hi"))
+    bounds = (
+        ev.agg(F.expr(f"approx_percentile(value, array({WINSOR_LO}, {WINSOR_HI}),"
+                      f" {APPROX_ACC})").alias("b"))
+        .select(F.col("b")[0].alias("lo"), F.col("b")[1].alias("hi")))
     return (
         ev.crossJoin(F.broadcast(bounds))
         .select(
