@@ -18,6 +18,7 @@ idempotent across cluster re-runs (a 100 TB requirement).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from alertas_spark.registry import declare
@@ -630,3 +631,83 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     bucket computed IN-PLAN from the raw embedding (same partitioner as the IVF
     similarity search) — no precomputed assignment column required."""
     return _emb_pairs(spark, sf_dir, blocked=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (RefinedWeb-style repeated-passage removal)
+# ---------------------------------------------------------------------------
+
+#: tokens per "line" — the fixture corpus is whitespace text with no newlines, so
+#: the line unit is a deterministic re-lining into fixed 8-token spans; on real
+#: corpora swap the chunker for ``split(text, '\n')`` and the rest is unchanged
+LINE_TOKENS = 8
+
+
+@declare(
+    "dedup_lines",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, tok,
+               unnest(range(0, CAST(ceil(len(tok) / {LINE_TOKENS}.0) AS BIGINT)))
+                   AS ord
+        FROM toks WHERE len(tok) > 0
+    ), lines AS (
+        SELECT doc_id, ord,
+               array_to_string(tok[ord * {LINE_TOKENS} + 1 :
+                                   ord * {LINE_TOKENS} + {LINE_TOKENS}], ' ') AS line
+        FROM idx
+    ), ranked AS (
+        SELECT doc_id, ord, line,
+               ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_lines,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY ord),
+                    '') AS text_dedup
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup, keep-first: every repeated line (fixed
+    {LINE_TOKENS}-token span) is removed from all but its first occurrence
+    (ordered by doc_id, position), and documents are re-assembled from their
+    surviving lines — the repeated-passage removal step of web-corpus cleaning
+    (boilerplate headers, license blocks, navigation chrome).
+
+    Scale shape: scan-side re-lining explode (no shuffle) → one shuffle on the
+    line key for the keep-first window → one shuffle on doc_id for re-assembly.
+    The line key is the full line text here for oracle exactness; at 100 TB hash
+    it first (xxhash64) so the shuffle carries 8-byte keys, and the window stays
+    a 2-pass rank over the line's few occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    lined = (
+        docs.withColumn("tok", F.regexp_extract_all(F.lower(F.col("text")),
+                                                    F.lit("[a-z0-9]+"), 0))
+        .withColumn("n", F.size("tok"))
+        .filter(F.col("n") > 0)
+        .withColumn("ord", F.explode(F.expr(
+            f"sequence(0, cast(ceil(n / {LINE_TOKENS}.0) as int) - 1)")))
+        .select(
+            "doc_id", "ord",
+            F.array_join(F.slice("tok", F.col("ord") * LINE_TOKENS + 1,
+                                 LINE_TOKENS), " ").alias("line"),
+        )
+    )
+    w = W.partitionBy("line").orderBy("doc_id", "ord")
+    ranked = lined.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("ord", "line"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum((F.col("rn") == 1).cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s["line"]), " ").alias("text_dedup"),
+        )
+    )

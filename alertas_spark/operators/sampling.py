@@ -15,6 +15,7 @@ operators use; conventions: Spark ``conv(hex,16,10)`` ≡ DuckDB ``'0x'||hex::BI
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from alertas_spark.registry import declare
@@ -41,6 +42,7 @@ def _rate_case(col: str) -> str:
 
 @declare(
     "sample_hash_stratified",
+    late=True,  # r2 driver row; strict semantic subset of in-window dataset_mix_weighted (same hash-threshold idiom)
     oracle=f"""
     SELECT doc_id, source, {_DUCK_U} AS u
     FROM documents
@@ -59,4 +61,116 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("u", F.expr(_SPARK_U))
         .filter(F.col("u") < F.expr(_rate_case("source")))
         .select("doc_id", "source", "u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle into training shards
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = "e3"  # epoch tag mixed into the hash → a new seed reshuffles
+N_SHARDS = 8
+
+_SHUF_SPARK = (f"cast(conv(substring(md5(concat('{SHUFFLE_SEED}:', "
+               "cast(doc_id AS string))), 1, 15), 16, 10) AS bigint)")
+_SHUF_DUCK = (f"CAST(concat('0x', substring(md5('{SHUFFLE_SEED}:' || "
+              "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)")
+
+
+@declare(
+    "shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, {_SHUF_DUCK} AS k FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(k % {N_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY k % {N_SHARDS}
+                                   ORDER BY k, doc_id) AS INTEGER) AS pos
+    FROM keyed
+    """,
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: the pre-training data-order step.  Every doc
+    gets a content-keyed pseudorandom 60-bit key; shard = key mod {N_SHARDS},
+    pos = rank of the key within the shard — together a reproducible random
+    permutation of the corpus (same order on every run/partitioning/engine, and a
+    new SHUFFLE_SEED is a fresh epoch permutation with zero state to coordinate).
+
+    Scale shape: one shuffle on the shard key, then each shard sorts locally by
+    the hash — no global ordering ever serializes onto one reducer.  At 100 TB
+    raise N_SHARDS to O(cluster cores) (thousands); the per-shard sort stays
+    memory-bounded and the output is exactly the sharded-file layout a training
+    dataloader consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "source", F.expr(_SHUF_SPARK).alias("k"))
+    w = W.partitionBy(F.col("k") % N_SHARDS).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", "source",
+        (F.col("k") % N_SHARDS).cast("int").alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted dataset mixing — per-source epoch weights with upsampling
+# ---------------------------------------------------------------------------
+
+#: per-source epoch weights in basis points (10_000 = 1.0 epoch): sources can be
+#: downsampled (< 1 epoch), upsampled a fractional amount, or repeated whole
+#: epochs — the mixture recipe of LLM pre-training (e.g. wiki seen 2.5x, web 0.3x)
+MIX_WEIGHTS_BP = {"src0": 3_000, "src1": 25_000, "src2": 17_000}
+MIX_DEFAULT_BP = 10_000
+
+_MIX_U = ("pmod(cast(conv(substring(md5(concat('mix:', cast(doc_id AS string))), "
+          f"1, 15), 16, 10) AS bigint), {SAMPLE_MOD})")
+_MIX_U_DUCK = ("CAST(concat('0x', substring(md5('mix:' || CAST(doc_id AS VARCHAR)), "
+               f"1, 15)) AS BIGINT) % {SAMPLE_MOD}")
+
+
+def _mix_case(col: str) -> str:
+    branches = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS_BP.items())
+    return f"CASE {col} {branches} ELSE {MIX_DEFAULT_BP} END"
+
+
+@declare(
+    "dataset_mix_weighted",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, {_MIX_U_DUCK} AS u,
+               {_mix_case('source')} AS w_bp
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source,
+               (w_bp // {SAMPLE_MOD})
+               + CASE WHEN u < (w_bp % {SAMPLE_MOD}) THEN 1 ELSE 0 END AS n_copies
+        FROM w
+    ), e AS (
+        SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_idx
+        FROM c WHERE n_copies >= 1
+    )
+    SELECT doc_id, source, CAST(copy_idx AS INTEGER) AS copy_idx FROM e
+    """,
+)
+def dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted dataset mixing: each source's epoch weight w maps a
+    doc to floor(w) whole copies plus one more iff its content-keyed uniform falls
+    under frac(w) — so a 2.5x source repeats every doc twice and half the docs (a
+    deterministic, reshard-stable half) a third time, and a 0.3x source keeps 30%.
+    The standard mixture-recipe materialization for pre-training.
+
+    Scale shape: pure scan-side projection + explode — zero shuffles; copies are
+    generated where the row is read.  Growing a weight only ADDS copies (nested
+    under the same hash key), so recipe diffs are stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_copies = (
+        (F.expr(_mix_case("source")) / SAMPLE_MOD).cast("int")
+        + (F.expr(_MIX_U) < F.expr(_mix_case("source")) % SAMPLE_MOD).cast("int")
+    )
+    return (
+        docs.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .select("doc_id", "source",
+                F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"))
+        .withColumn("copy_idx", F.col("copy_idx").cast("int"))
     )

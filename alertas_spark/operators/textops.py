@@ -426,3 +426,47 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_N)
         .select("doc_id", "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary heavy hitters — corpus-global token frequencies
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 50
+
+
+@declare(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM t GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT {VOCAB_TOP_K}
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global token heavy hitters: term frequency + document frequency for
+    the top-{VOCAB_TOP_K} tokens — the first pass of tokenizer-vocabulary induction
+    and the stopword/boilerplate census of corpus QA.
+
+    Scale shape: explode is scan-side; the groupBy(token) aggregates with map-side
+    partial combine, so the shuffle carries one row per (partition, distinct token),
+    not one per token occurrence; the top-k is a TakeOrdered over the aggregate
+    (per-partition heaps, no global sort shuffle).  Ties at the cut are impossible:
+    the ordering key (tf, token) is unique per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.withColumn("tok", F.regexp_extract_all(F.lower(F.col("text")),
+                                                    F.lit("[a-z0-9]+"), 0))
+        .select("doc_id", F.explode("tok").alias("token"))
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(VOCAB_TOP_K)
+    )

@@ -106,3 +106,29 @@ def test_asof_salted_windows_partition_on_user_and_bin(spark):
                      if "user_id" in k and "bin" not in k]
     # exactly one bare-user window: the per-(user, bin) summary prefix pass
     assert len(per_user_only) <= 1, per_user_only
+
+
+def test_dataset_mix_is_shuffle_free_scan_side_explode(spark):
+    plan = _plan(_build(spark, "dataset_mix_weighted"))
+    assert "Exchange" not in plan, "mixing must generate copies where rows are read"
+    assert plan.count("FileScan") == 1
+
+
+def test_shuffle_shards_single_exchange(spark):
+    plan = _plan(_build(spark, "shuffle_shards"))
+    # one hash exchange on the shard key; per-shard sort, never a global sort
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), \
+        "a range partitioning would imply a global ordering"
+
+
+def test_dedup_lines_two_key_shuffles(spark):
+    plan = _plan(_build(spark, "dedup_lines"))
+    # line-key window shuffle + doc-id reassembly shuffle, and nothing else
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+
+
+def test_vocab_top_k_is_take_ordered_not_global_sort(spark):
+    plan = _plan(_build(spark, "vocab_top_tokens"))
+    assert "TakeOrderedAndProject" in plan, \
+        "top-k must plan as per-partition heaps, not a global sort"

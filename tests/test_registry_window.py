@@ -96,6 +96,20 @@ def test_demoted_queries_have_prior_driver_rows():
         "dedup_embedding_cosine_blocked", "simsearch_topk_bruteforce",
         "text_quality", "lang_guess", "doc_fingerprint",
         "multimodal_decode_features", "pipeline_clean_corpus",
+        # demoted mid-r3 to make window room for the new corpus operators
+        "profile_columns", "salted_skew_agg", "salted_skew_join",
+        "sample_hash_stratified",
     }
     assert all(REGISTRY[n].late for n in demoted_r3)
     assert demoted_r3 <= seen, sorted(demoted_r3 - seen)
+
+
+def test_new_corpus_operators_in_window():
+    # The r3 additions (line dedup, vocab heavy hitters, global shuffle, weighted
+    # mixing) are first-class unique operators — they must sit inside the driver
+    # window so their first CORRECTNESS rows land this round.
+    names = _names()
+    window = set(names[:WINDOW])
+    new_ops = {"dedup_lines", "vocab_top_tokens", "shuffle_shards",
+               "dataset_mix_weighted"}
+    assert new_ops <= window, sorted(new_ops - window)
