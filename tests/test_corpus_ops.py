@@ -1,0 +1,132 @@
+"""Semantic properties of the corpus-pipeline operators (beyond oracle equality).
+
+The DuckDB oracles pin cross-engine value equality; these tests pin the properties
+the operators PROMISE in their docstrings — the invariants a pipeline author relies
+on — on the sf0.001 testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name: str):
+    from alertas_spark.registry import load_all
+
+    return load_all()[name].builder(spark, SF)
+
+
+# ---------------------------------------------------------------------------
+# shuffle_shards: a reproducible permutation
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "shuffle_shards").cache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    try:
+        # every document exactly once
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+        # pos is a dense 1..n_shard numbering within each shard
+        per_shard = out.groupBy("shard").agg(
+            F.count("*").alias("n"), F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"), F.countDistinct("pos").alias("nd"))
+        bad = per_shard.filter(
+            (F.col("lo") != 1) | (F.col("hi") != F.col("n"))
+            | (F.col("nd") != F.col("n"))).count()
+        assert bad == 0
+    finally:
+        out.unpersist()
+
+
+def test_shuffle_shards_is_rerun_stable(spark):
+    a = {(r.doc_id, r.shard, r.pos) for r in _run(spark, "shuffle_shards").collect()}
+    b = {(r.doc_id, r.shard, r.pos) for r in _run(spark, "shuffle_shards").collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# dataset_mix_weighted: weights realized, diffs nested
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_mix_copy_counts_bracket_the_weight(spark):
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.sampling import MIX_DEFAULT_BP, MIX_WEIGHTS_BP
+
+    per_doc = (
+        _run(spark, "dataset_mix_weighted")
+        .groupBy("doc_id", "source").agg(F.count("*").alias("copies"))
+        .collect()
+    )
+    for r in per_doc:
+        w_bp = MIX_WEIGHTS_BP.get(r.source, MIX_DEFAULT_BP)
+        lo, hi = w_bp // 10_000, -(-w_bp // 10_000)  # floor, ceil
+        assert max(lo, 1) <= r.copies <= max(hi, 1), (r.source, r.copies, w_bp)
+
+
+def test_dataset_mix_growing_a_weight_only_adds_copies(spark, monkeypatch):
+    import alertas_spark.operators.sampling as sampling
+
+    base = {(r.doc_id, r.copy_idx)
+            for r in _run(spark, "dataset_mix_weighted").collect()
+            if r.source == "src0"}
+    grown_bp = dict(sampling.MIX_WEIGHTS_BP, src0=sampling.MIX_WEIGHTS_BP["src0"] + 4_000)
+    monkeypatch.setattr(sampling, "MIX_WEIGHTS_BP", grown_bp)
+    # rebuild through the module function directly (the registry caches the oracle
+    # string at import, but the builder reads the weight dict at call time)
+    grown = {(r.doc_id, r.copy_idx)
+             for r in sampling.dataset_mix_weighted(spark, SF).collect()
+             if r.source == "src0"}
+    assert base <= grown
+    assert len(grown) > len(base)
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines: keep-first, conservation, idempotence
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lines_out(spark):
+    from alertas_spark.registry import load_all
+
+    df = load_all()["dedup_lines"].builder(spark, SF).cache()
+    yield df
+    df.unpersist()
+
+
+def test_dedup_lines_conserves_and_only_removes(spark, lines_out):
+    rows = lines_out.select("doc_id", "n_lines", "n_kept").collect()
+    assert all(0 <= r.n_kept <= r.n_lines for r in rows)
+    # at least one duplicate line must exist in the fixture for the test to bite
+    assert any(r.n_kept < r.n_lines for r in rows)
+
+
+def test_dedup_lines_keeps_exactly_one_copy_per_distinct_line(spark, lines_out):
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.dedup import LINE_TOKENS
+
+    # keep-first ⇒ Σ n_kept == number of DISTINCT lines in the original corpus
+    distinct_lines = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("tok", F.regexp_extract_all(F.lower(F.col("text")),
+                                                F.lit("[a-z0-9]+"), 0))
+        .withColumn("n", F.size("tok"))
+        .filter(F.col("n") > 0)
+        .withColumn("ord", F.explode(F.expr(
+            f"sequence(0, cast(ceil(n / {LINE_TOKENS}.0) as int) - 1)")))
+        .select(F.array_join(
+            F.slice("tok", F.col("ord") * LINE_TOKENS + 1, LINE_TOKENS), " ")
+            .alias("line"))
+        .distinct().count()
+    )
+    total_kept = lines_out.agg(F.sum("n_kept")).collect()[0][0]
+    assert total_kept == distinct_lines

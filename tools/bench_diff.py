@@ -30,7 +30,14 @@ def _extract_queries(text: str) -> dict[str, float]:
     key = '"queries": {'
     start = text.find(key)
     if start < 0:
-        raise ValueError("no queries object found")
+        # Front-truncated mid-object (bench.py serializes queries slowest-last so
+        # exactly this truncation is survivable): drop the possibly-cut first
+        # entry, close the braces ourselves.  Keys can't contain '}' or ', "'.
+        end = text.find("}")
+        first = text.find(', "')
+        if end < 0 or first < 0 or first > end:
+            raise ValueError("no queries object found")
+        return json.loads("{" + text[first + 2:end] + "}")
     i = start + len(key) - 1
     depth = 0
     for j in range(i, len(text)):
