@@ -130,3 +130,29 @@ def test_dedup_lines_keeps_exactly_one_copy_per_distinct_line(spark, lines_out):
     )
     total_kept = lines_out.agg(F.sum("n_kept")).collect()[0][0]
     assert total_kept == distinct_lines
+
+
+def test_dedup_lines_all_duplicate_doc_reassembles_empty(spark, tmp_path):
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    # doc 2 is an exact copy of doc 1: every one of its lines loses keep-first,
+    # so it must survive with n_kept=0 and an EMPTY text_dedup (not vanish, not
+    # NULL); doc 3 has no tokens at all and is out of scope on both engines.
+    text = " ".join(f"tok{i}" for i in range(20))  # 20 tokens → 3 lines of ≤8
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [text, text, "!!! ??? ..."],
+        "lang": ["en"] * 3,
+        "source": ["srcA"] * 3,
+        "n_chars": [len(text), len(text), 11],
+    }).to_parquet(tmp_path / "documents.parquet")
+
+    out = {r.doc_id: r for r in
+           load_all()["dedup_lines"].builder(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}, "token-less docs are out of scope, copies are not"
+    assert out[1].n_kept == out[1].n_lines == 3
+    assert out[1].text_dedup == text
+    assert out[2].n_lines == 3 and out[2].n_kept == 0
+    assert out[2].text_dedup == ""
