@@ -711,3 +711,69 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lambda s: s["line"]), " ").alias("text_dedup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — new batch vs already-ingested corpus
+# ---------------------------------------------------------------------------
+
+#: deterministic corpus split for the declared query: docs whose content-keyed
+#: uniform falls under 80% play the "already-ingested corpus"; the rest are the
+#: "incoming crawl batch" to be deduped against it
+INCR_SPLIT_BP = 8_000
+_INCR_MOD = 10_000
+
+_INCR_U_SPARK = ("pmod(cast(conv(substring(md5(concat('incr:', "
+                 "cast(doc_id AS string))), 1, 15), 16, 10) AS bigint), "
+                 f"{_INCR_MOD})")
+_INCR_U_DUCK = ("CAST(concat('0x', substring(md5('incr:' || "
+                "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % "
+                f"{_INCR_MOD}")
+
+
+@declare(
+    "dedup_incremental",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, source, md5(text) AS fp,
+               {_INCR_U_DUCK} < {INCR_SPLIT_BP} AS is_existing
+        FROM documents
+    ), incoming AS (
+        SELECT doc_id, source, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM split WHERE NOT is_existing
+    )
+    SELECT i.doc_id, i.source, i.fp
+    FROM incoming i
+    WHERE i.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM split e
+                      WHERE e.is_existing AND e.fp = i.fp)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the survivors of a new crawl batch after (a)
+    keep-first dedup within the batch and (b) an anti join against the
+    fingerprints of the already-ingested corpus — how a production pipeline
+    dedups each day's crawl against petabytes of history without ever
+    re-deduping the history itself.
+
+    Scale shape: both passes key on the 128-bit content fingerprint — the
+    within-batch keep-first window and the anti join hash-shuffle on the same
+    key, so AQE reuses the exchange; the "existing" side is a fingerprint-only
+    projection (16 bytes a row at 100 TB, not the documents).  Skewed
+    fingerprints don't exist by construction (md5 of distinct content)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id", "source", F.md5("text").alias("fp"),
+        (F.expr(_INCR_U_SPARK) < INCR_SPLIT_BP).alias("is_existing"))
+    existing_fps = split.filter("is_existing").select("fp")
+    incoming = (
+        split.filter(~F.col("is_existing"))
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        incoming.join(existing_fps, "fp", "left_anti")
+        .select("doc_id", "source", "fp")
+    )

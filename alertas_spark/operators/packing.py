@@ -66,6 +66,7 @@ _STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 @declare(
     "doc_chunk",
+    late=True,  # r2 driver row; 1-N explode chunking also pinned in-window by multimodal_frame_sample
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok

@@ -132,3 +132,10 @@ def test_vocab_top_k_is_take_ordered_not_global_sort(spark):
     plan = _plan(_build(spark, "vocab_top_tokens"))
     assert "TakeOrderedAndProject" in plan, \
         "top-k must plan as per-partition heaps, not a global sort"
+
+
+def test_dedup_incremental_reuses_the_fingerprint_exchange(spark):
+    plan = _plan(_build(spark, "dedup_incremental"))
+    assert "CartesianProduct" not in plan
+    # window + anti join both key on fp: the scan-side exchange must be shared
+    assert "ReusedExchange" in plan or plan.count("Exchange") <= 2, plan

@@ -98,7 +98,7 @@ def test_demoted_queries_have_prior_driver_rows():
         "multimodal_decode_features", "pipeline_clean_corpus",
         # demoted mid-r3 to make window room for the new corpus operators
         "profile_columns", "salted_skew_agg", "salted_skew_join",
-        "sample_hash_stratified",
+        "sample_hash_stratified", "doc_chunk",
     }
     assert all(REGISTRY[n].late for n in demoted_r3)
     assert demoted_r3 <= seen, sorted(demoted_r3 - seen)
@@ -111,5 +111,5 @@ def test_new_corpus_operators_in_window():
     names = _names()
     window = set(names[:WINDOW])
     new_ops = {"dedup_lines", "vocab_top_tokens", "shuffle_shards",
-               "dataset_mix_weighted"}
+               "dataset_mix_weighted", "dedup_incremental"}
     assert new_ops <= window, sorted(new_ops - window)
