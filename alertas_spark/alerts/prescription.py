@@ -78,7 +78,13 @@ def _with_prescription_time(doc_pena: DataFrame) -> DataFrame:
         doc_pena.filter("multiplicador = 1")
         .groupBy("docu_dk")
         .agg(
-            F.exp(F.sum(F.log("max_pena"))).alias("fator_pena"),
+            # LN terms quantized to 1e-9-unit bigints before summing: double
+            # addition is order-dependent, and round-number penalties put the
+            # product exactly on a CASE-ladder boundary (2.0 × 2.0 → 4), where
+            # one ulp flips tempo_prescricao.  The integer sum is exact, so the
+            # factor is idempotent under re-partitioning.
+            F.exp(F.sum(F.round(F.log("max_pena") * 1e9).cast("bigint")) / 1e9)
+            .alias("fator_pena"),
             F.concat_ws(", ", F.array_sort(F.collect_list("nome_delito")))
             .alias("delitos_multiplicadores"),
         )

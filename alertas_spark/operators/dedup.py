@@ -777,3 +777,68 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming.join(existing_fps, "fp", "left_anti")
         .select("doc_id", "source", "fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster canonicalization — which copy of a near-dup cluster do we keep?
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "dedup_cluster_representative",
+    oracle="WITH RECURSIVE" + _MINHASH_CTES_DUCK.lstrip().removeprefix("WITH") + f"""
+    , pairs AS (SELECT doc_a, doc_b FROM verified WHERE jacc >= {JACCARD_THRESHOLD})
+    , edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs)
+    , walk AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    , labels AS (SELECT node AS doc_id, MIN(label) AS component FROM walk
+                 GROUP BY node)
+    , sized AS (
+        SELECT l.component, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY l.component
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY l.component) AS csz
+        FROM labels l JOIN documents d USING (doc_id)
+    )
+    SELECT component, doc_id AS rep_doc_id,
+           CAST(csz AS INTEGER) AS cluster_size,
+           n_chars AS rep_n_chars
+    FROM sized WHERE rk = 1
+    """,
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster **canonicalization**: for every near-dup cluster (connected component
+    of the MinHash pair graph), pick the single document to keep — the longest copy
+    (max ``n_chars``), ties broken by min ``doc_id`` — with the cluster size for
+    audit.  This is the decision step between pairwise dedup and the cleaned corpus:
+    drop everything whose ``doc_id`` isn't its cluster's ``rep_doc_id``.
+
+    Scale shape: the component labels come from the O(log diameter) star
+    contraction (:func:`connected_components`); the representative pick is ONE
+    shuffle on the component key serving both window functions (rank and size
+    share the partition key, so Spark reuses the exchange and sorts once).
+    Near-dup clusters are small quasi-cliques, so no skew — a pathological
+    mega-cluster would already have been flagged by the convergence digest.
+
+    Oracle: recursive-CTE reachability labels + the same greatest-n-per-group
+    pick in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = connected_components(
+        docs.select("doc_id"), pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
+    sized = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    by_comp = W.partitionBy("component")
+    return (
+        sized
+        .withColumn("rk", F.row_number().over(
+            by_comp.orderBy(F.desc("n_chars"), F.asc("doc_id"))))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(by_comp).cast("int"))
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("rep_doc_id"),
+                "cluster_size", F.col("n_chars").alias("rep_n_chars"))
+    )

@@ -268,7 +268,8 @@ def simsearch_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare("simsearch_topk_ivf_assigned", oracle=_duck_topk_assigned_sql())
+@declare("simsearch_topk_ivf_assigned", oracle=_duck_topk_assigned_sql(),
+         late=True)  # green r2 driver row + in-window simsearch_recall_eval recomputes this exact plan
 def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k starting from RAW embeddings only: the coarse assignment is computed
     in-plan by a deterministic random-hyperplane partitioner (no precomputed ``label``

@@ -63,7 +63,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "product_aggregate",
     oracle="""
     SELECT l_orderkey,
-           ROUND(EXP(SUM(LN(1 - l_discount))), 6) AS keep_factor,
+           ROUND(EXP(SUM(CAST(ROUND(LN(1 - l_discount) * 1e9) AS BIGINT)) / 1e9),
+                 6) AS keep_factor,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_orderkey % 97 = 0 AND l_discount < 1.0
@@ -72,13 +73,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def product_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: product aggregate via EXP(SUM(LN(x))) (≙ penalty multiplier factor
-    alerta_prcr.py:54).  Rounded to absorb last-ulp libm differences."""
+    alerta_prcr.py:54).  Each LN term is quantized to a fixed-point bigint
+    (1e-9 units) before summing: double addition is not associative, so a raw
+    SUM of doubles depends on partitioning/merge order and a 6-decimal round
+    can straddle across engines or re-runs (observed at sf0.1) — the integer
+    sum is exact and order-independent, making the aggregate idempotent under
+    re-partitioning (a 100 TB determinism requirement; cf.
+    tests/test_partition_invariance.py)."""
     li = load_table(spark, sf_dir, "lineitem")
+    ln_fixed = F.round(F.log(1 - F.col("l_discount")) * 1e9).cast("bigint")
     return (
         li.filter((F.col("l_orderkey") % 97 == 0) & (F.col("l_discount") < 1.0))
         .groupBy("l_orderkey")
         .agg(
-            F.round(F.exp(F.sum(F.log(1 - F.col("l_discount")))), 6).alias("keep_factor"),
+            F.round(F.exp(F.sum(ln_fixed) / 1e9), 6).alias("keep_factor"),
             F.count("*").alias("n_items"),
         )
     )

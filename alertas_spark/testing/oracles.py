@@ -694,7 +694,10 @@ WITH doc_pena AS (
     AND asdo_dt_fim IS NULL
 ),
 pena_fatores AS (
-    SELECT docu_dk, EXP(SUM(LN(max_pena))) AS fator_pena
+    -- LN terms quantized to 1e-9-unit bigints: matches the engine's
+    -- order-independent product aggregate (see alerts/prescription.py)
+    SELECT docu_dk,
+           EXP(SUM(CAST(ROUND(LN(max_pena) * 1e9) AS BIGINT)) / 1e9) AS fator_pena
     FROM doc_pena WHERE multiplicador = 1 GROUP BY docu_dk
 ),
 doc_prescricao AS (

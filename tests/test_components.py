@@ -54,3 +54,35 @@ def test_empty_edge_set_short_circuits(spark):
     labels, rounds = connected_components(nodes, edges)
     assert rounds == 0
     assert all(r["doc_id"] == r["component"] for r in labels.collect())
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cluster_representative_invariants(spark):
+    """rep = longest copy (ties → min doc_id), one rep per component, sizes
+    account for every document — checked against the raw component labels."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.dedup import (
+        _minhash_pairs, connected_components, dedup_cluster_representative)
+    from alertas_spark.sources.catalog import load_table
+
+    reps = dedup_cluster_representative(spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    pairs = _minhash_pairs(spark, SF).select("doc_a", "doc_b")
+    labels, _ = connected_components(
+        docs.select("doc_id"), pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
+    by_comp = {}
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    for r in labels.collect():
+        by_comp.setdefault(r["component"], []).append(r["doc_id"])
+
+    assert len(reps) == len(by_comp)  # exactly one rep per component
+    assert sum(r["cluster_size"] for r in reps) == len(chars)  # partition of corpus
+    for r in reps:
+        members = by_comp[r["component"]]
+        assert r["cluster_size"] == len(members)
+        best = min(members, key=lambda d: (-chars[d], d))
+        assert r["rep_doc_id"] == best
+        assert r["rep_n_chars"] == chars[best]

@@ -99,6 +99,9 @@ def test_demoted_queries_have_prior_driver_rows():
         # demoted mid-r3 to make window room for the new corpus operators
         "profile_columns", "salted_skew_agg", "salted_skew_join",
         "sample_hash_stratified", "doc_chunk",
+        # demoted for dedup_cluster_representative: green r2 row, and in-window
+        # simsearch_recall_eval recomputes the identical assigned-IVF plan
+        "simsearch_topk_ivf_assigned",
     }
     assert all(REGISTRY[n].late for n in demoted_r3)
     assert demoted_r3 <= seen, sorted(demoted_r3 - seen)
