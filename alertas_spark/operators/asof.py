@@ -27,6 +27,9 @@ from alertas_spark.sources.catalog import load_table
 
 @declare(
     "asof_join_click_view",
+    # green r2 driver row + in-window asof_join_salted is oracle-pinned to the
+    # identical output (hash-equal by construction)
+    late=True,
     oracle="""
     WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
     views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')

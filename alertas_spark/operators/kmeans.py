@@ -104,7 +104,8 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-@declare("kmeans_assign", oracle=_DUCK_ORACLE)
+@declare("kmeans_assign", oracle=_DUCK_ORACLE,
+         late=True)  # green r2 driver row + in-window simsearch_topk_ivf_trained re-runs this exact quantizer
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train an IVF coarse quantizer with {ITERS} deterministic Lloyd iterations and
     return the final cluster assignment (+ L2² distance) per vector."""

@@ -46,6 +46,9 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "events_sessionize",
+    # green r1+r2 driver rows; in-window streaming_sessionize pins the same
+    # gap-session semantics with its own full value-hash oracle
+    late=True,
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.dedup",
     "alertas_spark.operators.simsearch",
     "alertas_spark.operators.kmeans",
+    "alertas_spark.operators.pq",
     "alertas_spark.operators.textops",
     "alertas_spark.operators.sessionize",
     "alertas_spark.operators.asof",

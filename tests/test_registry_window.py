@@ -102,6 +102,13 @@ def test_demoted_queries_have_prior_driver_rows():
         # demoted for dedup_cluster_representative: green r2 row, and in-window
         # simsearch_recall_eval recomputes the identical assigned-IVF plan
         "simsearch_topk_ivf_assigned",
+        # demoted for the PQ pair: both hold green r2 rows, and their semantics
+        # stay in-window (ivf_trained re-runs the kmeans quantizer; asof_salted
+        # is oracle-pinned hash-equal to the plain as-of join)
+        "kmeans_assign", "asof_join_click_view",
+        # demoted for the PQ exact-rerank: green r1+r2 rows; in-window
+        # streaming_sessionize pins the same gap-session semantics
+        "events_sessionize",
     }
     assert all(REGISTRY[n].late for n in demoted_r3)
     assert demoted_r3 <= seen, sorted(demoted_r3 - seen)
@@ -114,5 +121,7 @@ def test_new_corpus_operators_in_window():
     names = _names()
     window = set(names[:WINDOW])
     new_ops = {"dedup_lines", "vocab_top_tokens", "shuffle_shards",
-               "dataset_mix_weighted", "dedup_incremental"}
+               "dataset_mix_weighted", "dedup_incremental",
+               "dedup_cluster_representative", "pq_encode", "simsearch_topk_pq",
+               "simsearch_topk_pq_reranked"}
     assert new_ops <= window, sorted(new_ops - window)
