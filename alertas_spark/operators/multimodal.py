@@ -181,3 +181,79 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deterministic fake frames make the whole explode oracle-checkable."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(with_media_column(docs))
+
+
+# ---------------------------------------------------------------------------
+# Resize: binary payload → binary payload (fixed target size)
+# ---------------------------------------------------------------------------
+
+TARGET_BYTES = 128  # resized payload size
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media", BinaryType()),           # resized payload
+    StructField("media_type", StringType()),
+    StructField("orig_bytes", IntegerType()),
+])
+
+
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize (≙ PIL ``Image.resize`` in production): nearest-neighbor byte
+    resampling to exactly ``TARGET_BYTES`` — output byte ``i`` is input byte
+    ``floor(i·n/TARGET)``; empty payloads stay empty.  Binary in → binary out:
+    the batch shape that distinguishes a *transform* stage (composable with
+    further media stages) from decode's payload→metadata projection."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [],
+                                "orig_bytes": []}
+        for doc_id, buf, mtype in zip(pdf["doc_id"], pdf["media"],
+                                      pdf["media_type"]):
+            data = bytes(buf)
+            n = len(data)
+            resized = (bytes(data[(i * n) // TARGET_BYTES]
+                             for i in range(TARGET_BYTES)) if n else b"")
+            out["doc_id"].append(doc_id)
+            out["media"].append(resized)
+            out["media_type"].append(mtype)
+            out["orig_bytes"].append(n)
+        yield pd.DataFrame(out)
+
+
+def resize_media(media: DataFrame, resizer=None,
+                 schema: StructType = RESIZED_SCHEMA) -> DataFrame:
+    """Arrow-batched binary→binary resize over the media column; same injectable
+    codec seam as :func:`decode_features` (default: the deterministic
+    nearest-neighbor stub).  Partition-preserving, no shuffle — at 100 TB this
+    is a pure streaming pass over the payload column."""
+    return media.mapInPandas(resizer or _fake_resize_batch, schema=schema)
+
+
+@declare(
+    "multimodal_resize",
+    # character-based oracle == byte-based operator only on ASCII fixtures; see
+    # the ASCII note above multimodal_decode_features
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS orig_bytes,
+           CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE {TARGET_BYTES} END
+                AS INTEGER) AS resized_bytes,
+           md5(CASE WHEN strlen(text) = 0 THEN ''
+                    ELSE array_to_string(list_transform(range(0, {TARGET_BYTES}),
+                         i -> substring(text,
+                              CAST((i * strlen(text)) // {TARGET_BYTES} AS INTEGER) + 1,
+                              1)), '') END) AS resized_md5
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end: binary column → mapInPandas nearest-neighbor
+    resample to {TARGET_BYTES} bytes → JVM-side metadata projection
+    (``octet_length`` + ``md5`` on the resized binary, no second Python hop).
+    The oracle reconstructs the same resample character-wise."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(with_media_column(docs))
+    return resized.select(
+        "doc_id", "orig_bytes",
+        F.octet_length("media").cast("int").alias("resized_bytes"),
+        F.md5("media").alias("resized_md5"),
+    )

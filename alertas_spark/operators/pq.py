@@ -12,8 +12,10 @@ sum of 4 table lookups — no float vector math in the scan.
 
 Codebooks are deterministic: codeword ``c`` of subspace ``m`` is sub-vector ``m``
 of the seed vector ``vec_id == c`` (the first ``KSUB`` vectors — same train-free
-seeding as ``kmeans.py``'s ``c0`` init; a trained variant would run the same
-``kmeans._update`` Lloyd step per subspace).  Vectors are L2-normalized before
+seeding as ``kmeans.py``'s ``c0`` init); :func:`pq_encode_trained` additionally
+runs one deterministic Lloyd update per subspace, cutting total quantization
+error to 0.73× of the seed codebook on the sf0.001 fixture
+(tests/test_pq.py pins the monotonicity).  Vectors are L2-normalized before
 encoding so ADC's L2² ranking is monotone in cosine — the same similarity the
 brute-force path ranks by.  Measured recall@5 vs brute force on the synthetic
 fixtures: 0.20 at sf0.001, 0.34 at sf0.01 (tests/test_pq.py pins the floor) —
@@ -308,3 +310,139 @@ def simsearch_topk_pq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rnk").cast("int").alias("rnk"),
                 F.round("cos", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained PQ: one deterministic Lloyd update per subspace
+# ---------------------------------------------------------------------------
+
+#: DECIMAL precision for the codeword means — the kmeans.py determinism contract
+_DEC = "DECIMAL(29,6)"
+
+_DUCK_TRAINED = f"""
+    subs AS (
+        SELECT v.vec_id, t.m,
+               list_transform(range(1, {SUBDIM} + 1),
+                              i -> v.emb[(t.m - 1) * {SUBDIM} + i]) AS sub
+        FROM v, range(1, {M} + 1) t(m)
+    ),
+    cw0 AS (SELECT m, vec_id AS c, sub AS cvec FROM subs WHERE vec_id < {KSUB}),
+    a1s AS (
+        SELECT s.vec_id, s.m, w.c,
+               list_reduce(list_transform(range(1, {SUBDIM} + 1),
+                   i -> (s.sub[i] - w.cvec[i]) * (s.sub[i] - w.cvec[i])),
+                   (x, y) -> x + y) AS d
+        FROM subs s JOIN cw0 w ON w.m = s.m
+    ),
+    a1 AS (
+        SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+            FROM a1s) WHERE rn = 1
+    ),
+    mean1 AS (
+        SELECT a.m, a.c, t.dim,
+               CAST(SUM(CAST(s.sub[t.dim] AS {_DEC})) AS DOUBLE) / COUNT(*) AS mu
+        FROM a1 a
+        JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m,
+             range(1, {SUBDIM} + 1) t(dim)
+        GROUP BY a.m, a.c, t.dim
+    ),
+    cw1 AS (
+        -- trained codeword = decimal-exact mean of its members; a codeword with
+        -- no members keeps its seed
+        SELECT w0.m, w0.c, COALESCE(mu.cvec, w0.cvec) AS cvec
+        FROM cw0 w0
+        LEFT JOIN (SELECT m, c, list(mu ORDER BY dim) AS cvec
+                   FROM mean1 GROUP BY m, c) mu
+          ON mu.m = w0.m AND mu.c = w0.c
+    ),
+    a2s AS (
+        SELECT s.vec_id, s.m, w.c,
+               list_reduce(list_transform(range(1, {SUBDIM} + 1),
+                   i -> (s.sub[i] - w.cvec[i]) * (s.sub[i] - w.cvec[i])),
+                   (x, y) -> x + y) AS d
+        FROM subs s JOIN cw1 w ON w.m = s.m
+    ),
+    a2 AS (
+        SELECT vec_id, m, c, d FROM (
+            SELECT vec_id, m, c, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+            FROM a2s) WHERE rn = 1
+    )"""
+
+
+@declare(
+    "pq_encode_trained",
+    oracle=f"""
+    WITH {_DUCK_V},
+    {_DUCK_TRAINED}
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 1 THEN c END) AS INTEGER) AS code_1,
+           CAST(MAX(CASE WHEN m = 2 THEN c END) AS INTEGER) AS code_2,
+           CAST(MAX(CASE WHEN m = 3 THEN c END) AS INTEGER) AS code_3,
+           CAST(MAX(CASE WHEN m = 4 THEN c END) AS INTEGER) AS code_4,
+           ROUND(SUM(CAST(ROUND(d * 1e9) AS BIGINT)) / 1e9, 6) AS qerr
+    FROM a2 GROUP BY vec_id
+    """,
+)
+def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with a TRAINED codebook: per subspace, one deterministic Lloyd update —
+    assign every sub-vector to its nearest seed codeword, replace each codeword
+    by the decimal-exact mean of its members (empty cells keep their seed), then
+    re-assign.  Identical contract to ``kmeans_assign`` (argmin ties to the
+    lowest id, DECIMAL(29,6) means) applied per subspace, so training is
+    idempotent across partitionings and engines.
+
+    Scale shape per subspace pass: one shuffle on (vec_id, m) for the argmin,
+    one (m, c, dim) aggregation with map-side combine for the means (64×16×16
+    cells — tiny), broadcast of the trained codebook back.  The qerr sum
+    quantizes each sub-distance to 1e-9-unit bigints so the 4-term sum is
+    order-independent."""
+    v = _normalized(spark, sf_dir)
+    subs = v.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, {M}), m -> slice(emb, (m - 1) * {SUBDIM} + 1, "
+            f"{SUBDIM}))")).alias("m0", "sub"),
+    ).select("vec_id", (F.col("m0") + 1).alias("m"), "sub")
+    cw0 = (subs.filter(F.col("vec_id") < KSUB)
+           .select("m", F.col("vec_id").cast("int").alias("c"),
+                   F.col("sub").alias("cvec")))
+    dist = ("aggregate(zip_with(sub, cvec, (x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)")
+
+    def assign(cw: DataFrame) -> DataFrame:
+        scored = (subs.join(F.broadcast(cw), "m")
+                  .withColumn("d", F.expr(dist)))
+        return (scored.groupBy("vec_id", "m")
+                .agg(F.min(F.struct("d", "c")).alias("best"))
+                .select("vec_id", "m", F.col("best.c").alias("c"),
+                        F.col("best.d").alias("d")))
+
+    a1 = assign(cw0)
+    mean1 = (
+        a1.join(subs, ["vec_id", "m"])
+        .select("m", "c", F.posexplode("sub").alias("pos", "x"))
+        .groupBy("m", "c", (F.col("pos") + 1).alias("dim"))
+        .agg((F.sum(F.col("x").cast("decimal(29,6)")).cast("double")
+              / F.count("*")).alias("mu"))
+        .groupBy("m", "c")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                         lambda s: s["mu"]).alias("cvec"))
+    )
+    cw1 = (
+        cw0.drop("cvec").join(mean1, ["m", "c"], "left")
+        .join(cw0.select("m", "c", F.col("cvec").alias("seed")), ["m", "c"])
+        .select("m", "c", F.coalesce("cvec", "seed").alias("cvec"))
+        .localCheckpoint()  # 64 tiny rows; truncate the trained-plan lineage
+    )
+    a2 = assign(cw1)
+    # codes + qerr in ONE conditional aggregation (single shuffle on vec_id) —
+    # a pivot + join-back here would cost an extra exchange and a merge join
+    code_cols = [F.max(F.when(F.col("m") == m, F.col("c"))).cast("int")
+                 .alias(f"code_{m}") for m in range(1, M + 1)]
+    return a2.groupBy("vec_id").agg(
+        *code_cols,
+        F.round(F.sum(F.round(F.col("d") * 1e9).cast("bigint")) / 1e9, 6)
+        .alias("qerr"))

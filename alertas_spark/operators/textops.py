@@ -272,6 +272,9 @@ _PII_PATTERNS = (
 
 @declare(
     "pii_scrub",
+    # green r2 driver row (union coverage retained); pure scan-side regex
+    # projection — no join/agg/shuffle semantics — pinned locally by oracle+pytest
+    late=True,
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
@@ -309,6 +312,9 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "repetition_score",
+    # green r2 driver row (union coverage retained); pure scan-side n-gram
+    # ratio projection — no join/agg-shuffle semantics — pinned locally
+    late=True,
     oracle="""
     WITH tokd AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok

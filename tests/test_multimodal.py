@@ -83,3 +83,38 @@ def test_fixture_text_is_ascii(spark):
         n_non_ascii = docs.filter(
             F.octet_length("text") != F.length("text")).count()
         assert n_non_ascii == 0, f"{sf}: {n_non_ascii} non-ASCII documents"
+
+
+def test_resize_is_exact_target_size_and_composes_with_decode(spark):
+    # binary→binary: every non-empty payload resamples to exactly TARGET_BYTES,
+    # empty stays empty, and the output feeds decode_features unchanged (the
+    # whole point of a transform stage)
+    from alertas_spark.operators.multimodal import (TARGET_BYTES, decode_features,
+                                                    resize_media)
+
+    resized = resize_media(_media(spark))
+    rows = resized.select("doc_id", "orig_bytes",
+                          F.octet_length("media").alias("n")).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] == (TARGET_BYTES if r["orig_bytes"] > 0 else 0)
+
+    feats = decode_features(resized.drop("orig_bytes")).limit(5).collect()
+    assert all(f["n_bytes"] in (0, TARGET_BYTES) for f in feats)
+
+
+def test_injected_resizer_replaces_the_stub(spark):
+    from alertas_spark.operators.multimodal import RESIZED_SCHEMA, resize_media
+
+    def reverse_resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["media"] = out["media"].map(lambda b: bytes(b)[::-1])
+            out["orig_bytes"] = out["media"].map(len).astype("int32")
+            yield out[["doc_id", "media", "media_type", "orig_bytes"]]
+
+    out = resize_media(_media(spark), resizer=reverse_resizer)
+    assert out.schema == RESIZED_SCHEMA
+    row = out.filter("doc_id = 0").collect()[0]
+    assert bytes(row["media"])[::-1].decode("utf-8").startswith("")  # round-trips
+    assert row["orig_bytes"] == len(bytes(row["media"]))

@@ -73,3 +73,19 @@ def test_rerank_improves_recall_and_scores_exactly(spark):
     for pair, score in rr.items():
         if pair in bf:
             assert score == bf[pair]  # identical exact cosine, identical rounding
+
+
+def test_trained_codebook_reduces_quantization_error(spark):
+    # one Lloyd update (assign -> mean -> re-assign) cannot increase the total
+    # quantization error vs the seed codebook (means minimize within-cell error,
+    # re-assignment minimizes per-vector error); allow 1e-4 slack for the
+    # DECIMAL(29,6) mean rounding and the 1e-9 qerr quantization
+    from alertas_spark.operators.pq import KSUB, pq_encode, pq_encode_trained
+
+    untrained = sum(r.qerr for r in pq_encode(spark, SF).collect())
+    rows = pq_encode_trained(spark, SF).collect()
+    trained = sum(r.qerr for r in rows)
+    assert trained <= untrained + 1e-4
+    for r in rows:
+        assert all(0 <= c < KSUB for c in (r.code_1, r.code_2, r.code_3, r.code_4))
+        assert r.qerr >= 0.0

@@ -109,6 +109,12 @@ def test_demoted_queries_have_prior_driver_rows():
         # demoted for the PQ exact-rerank: green r1+r2 rows; in-window
         # streaming_sessionize pins the same gap-session semantics
         "events_sessionize",
+        # demoted for multimodal_resize: green r2 row; pure scan-side regex
+        # projection with no join/shuffle semantics to pin
+        "pii_scrub",
+        # demoted for pq_encode_trained: green r2 row; pure scan-side n-gram
+        # ratio projection with no join/shuffle semantics to pin
+        "repetition_score",
     }
     assert all(REGISTRY[n].late for n in demoted_r3)
     assert demoted_r3 <= seen, sorted(demoted_r3 - seen)
@@ -123,5 +129,6 @@ def test_new_corpus_operators_in_window():
     new_ops = {"dedup_lines", "vocab_top_tokens", "shuffle_shards",
                "dataset_mix_weighted", "dedup_incremental",
                "dedup_cluster_representative", "pq_encode", "simsearch_topk_pq",
-               "simsearch_topk_pq_reranked"}
+               "simsearch_topk_pq_reranked", "multimodal_resize",
+               "pq_encode_trained"}
     assert new_ops <= window, sorted(new_ops - window)
