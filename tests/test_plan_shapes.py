@@ -139,3 +139,38 @@ def test_dedup_incremental_reuses_the_fingerprint_exchange(spark):
     assert "CartesianProduct" not in plan
     # window + anti join both key on fp: the scan-side exchange must be shared
     assert "ReusedExchange" in plan or plan.count("Exchange") <= 2, plan
+
+
+def test_pq_encode_is_scan_side_after_codebook_build(spark):
+    plan = _plan(_build(spark, "pq_encode"))
+    # the ONLY exchanges are the 16-row codebook global agg + its broadcast back;
+    # the encoding pass over the corpus never shuffles data
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+    assert plan.count("BroadcastExchange") == 1
+    for join_node in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert join_node not in plan
+
+
+def test_pq_adc_topk_shuffles_only_for_the_window(spark):
+    plan = _plan(_build(spark, "simsearch_topk_pq"))
+    # codes and LUTs are broadcast-composed scan-side; the single data shuffle
+    # is the per-query top-k window
+    non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert non_broadcast == 3, non_broadcast  # codebook agg ×2 reuse + window
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_resize_is_shuffle_free(spark):
+    plan = _plan(_build(spark, "multimodal_resize"))
+    assert "Exchange" not in plan, "binary resize must be a pure streaming pass"
+    assert plan.count("FileScan") == 1
+
+
+def test_cluster_representative_windows_share_one_exchange(spark):
+    plan = _plan(_build(spark, "dedup_cluster_representative"))
+    # rank and cluster-size windows both partition on component → one sort+
+    # exchange serves both (plan shows two adjacent Window nodes over one Sort)
+    import re
+
+    assert re.search(r"Window .*\n\s*\+- Window", plan), plan[:400]
