@@ -22,6 +22,11 @@ QUERIES = [
     "pack_sequences",            # per-shard window cumsum
     "salted_skew_agg",           # two-phase decimal aggregation
     "sample_hash_stratified",    # hash-derived sampling
+    "product_aggregate",         # fixed-point EXP(SUM(LN)) quantization
+    "pq_encode",                 # scan-side argmin over broadcast codebook
+    "pq_encode_trained",         # Lloyd update: decimal means + quantized qerr
+    "simsearch_topk_pq_reranked",  # ADC shortlist + exact-cosine re-rank
+    "dedup_cluster_representative",  # CC labels + deterministic rep pick
 ]
 
 
