@@ -95,6 +95,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fail-fast cap for the exact shingle-join verifier (the EXACT_PAIRS_MAX_ROWS
+#: sibling contract for text): past this, use the banded MinHash path.
+EXACT_PAIRS_MAX_DOCS = 200_000
+
+
 @declare(
     "dedup_ngram_jaccard",
     late=True,  # the exact verifier; the scale path (minhash) holds the in-window row
@@ -117,7 +122,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: explode distinct 3-shingles, self-join on
     shingle equality, jaccard = |∩| / (|A|+|B|-|∩|).  The shingle join is the shuffle;
-    use :func:`dedup_minhash_lsh` for the sub-quadratic path at scale."""
+    use :func:`dedup_minhash_lsh` for the sub-quadratic path at scale.
+
+    Same fail-fast contract as the exact cosine verifier: past
+    ``EXACT_PAIRS_MAX_DOCS`` documents the hot-shingle join is quadratic-prone,
+    so the verifier refuses instead of melting the cluster."""
+    n_probe = (load_table(spark, sf_dir, "documents")
+               .limit(EXACT_PAIRS_MAX_DOCS + 1).count())
+    if n_probe > EXACT_PAIRS_MAX_DOCS:
+        raise RuntimeError(
+            "dedup_ngram_jaccard is the exact all-pairs verifier, capped at "
+            f"{EXACT_PAIRS_MAX_DOCS} documents; use dedup_minhash_lsh for the "
+            "banded sub-quadratic path at scale")
     shing = _with_shingles(spark, sf_dir).cache()
     sh = shing.select("doc_id", F.explode("shingles").alias("s"))
     sizes = shing.select("doc_id", F.size("shingles").alias("n"))

@@ -219,6 +219,9 @@ _NGRAM_DUCK = f"""
 
 @declare(
     "decontaminate_overlap",
+    # green r2 driver row (union coverage retained); the join-against-broadcast-
+    # reference-set shape stays in-window via dedup_incremental
+    late=True,
     oracle=f"""
     WITH tokd AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
@@ -475,4 +478,69 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(VOCAB_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-level quality gating (CCNet-style group gate)
+# ---------------------------------------------------------------------------
+
+SRC_PASS_THRESHOLD = 0.75  # keep sources whose doc-level pass rate reaches this
+
+#: doc-level pass flag — the text_quality `quality_ok` contract
+_QOK_DUCK = """CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        BETWEEN 30 AND 2000
+                AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                    / GREATEST(length(text), 1) < 0.2
+               THEN 1 ELSE 0 END"""
+
+
+@declare(
+    "source_quality_gate",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source, {_QOK_DUCK} AS quality_ok FROM documents
+    ),
+    s AS (
+        SELECT source, COUNT(*) AS n_src_docs, SUM(quality_ok) AS n_ok
+        FROM q GROUP BY source
+    )
+    SELECT q.doc_id, q.source,
+           CAST(s.n_src_docs AS INTEGER) AS n_src_docs,
+           ROUND(CAST(s.n_ok AS DOUBLE) / s.n_src_docs, 6) AS src_pass_rate
+    FROM q JOIN s USING (source)
+    WHERE q.quality_ok = 1
+      AND CAST(s.n_ok AS DOUBLE) / s.n_src_docs >= {SRC_PASS_THRESHOLD}
+    """,
+)
+def source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level quality gating (the CCNet/RefinedWeb *domain* filter): a
+    document survives only if it passes the doc-level quality flag AND its
+    whole source's pass rate reaches {SRC_PASS_THRESHOLD} — low-quality
+    *origins* are dropped wholesale, catching spam domains whose individual
+    documents squeak past doc-level heuristics.
+
+    Scale shape: one aggregation keyed by source (map-side combine; source
+    cardinality ≪ corpus), then the tiny per-source table joins back by
+    broadcast — the corpus is scanned once and never shuffled.  The pass rate
+    is an exact-integer ratio (SUM of 0/1 over COUNT), so the threshold
+    comparison is deterministic across engines and partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    punct_len = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    qok = F.when(
+        F.size(toks).between(30, 2000)
+        & (punct_len / F.greatest(F.length("text"), F.lit(1)) < 0.2), 1).otherwise(0)
+    q = docs.select("doc_id", "source", qok.alias("quality_ok"))
+    s = (q.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_src_docs"),
+              F.sum("quality_ok").alias("n_ok"))
+         .withColumn("src_pass_rate",
+                     F.col("n_ok").cast("double") / F.col("n_src_docs"))
+         .filter(F.col("src_pass_rate") >= SRC_PASS_THRESHOLD))
+    return (
+        q.filter(F.col("quality_ok") == 1)
+        .join(F.broadcast(s), "source")
+        .select("doc_id", "source", F.col("n_src_docs").cast("int").alias("n_src_docs"),
+                F.round("src_pass_rate", 6).alias("src_pass_rate"))
     )

@@ -156,3 +156,28 @@ def test_dedup_lines_all_duplicate_doc_reassembles_empty(spark, tmp_path):
     assert out[1].text_dedup == text
     assert out[2].n_lines == 3 and out[2].n_kept == 0
     assert out[2].text_dedup == ""
+
+
+def test_source_gate_thresholds_and_doc_flag(spark):
+    # every surviving row's source meets the threshold; no surviving doc fails
+    # the doc-level flag; and at least one source was gated away entirely
+    from alertas_spark.operators.textops import (SRC_PASS_THRESHOLD,
+                                                 source_quality_gate)
+    from alertas_spark.sources.catalog import load_table
+
+    rows = source_quality_gate(spark, SF).collect()
+    assert rows
+    assert all(r.src_pass_rate >= SRC_PASS_THRESHOLD for r in rows)
+    survivors = {r.source for r in rows}
+    all_sources = {r.source for r in
+                   load_table(spark, SF, "documents").select("source").distinct().collect()}
+    assert survivors < all_sources  # the gate actually dropped some origin
+
+
+def test_ngram_jaccard_fails_fast_past_the_doc_cap(spark, monkeypatch):
+    from alertas_spark.operators import dedup
+    import pytest
+
+    monkeypatch.setattr(dedup, "EXACT_PAIRS_MAX_DOCS", 10)
+    with pytest.raises(RuntimeError, match="exact all-pairs verifier"):
+        dedup.dedup_ngram_jaccard(spark, SF)

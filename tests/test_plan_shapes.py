@@ -174,3 +174,12 @@ def test_cluster_representative_windows_share_one_exchange(spark):
     import re
 
     assert re.search(r"Window .*\n\s*\+- Window", plan), plan[:400]
+
+
+def test_source_gate_broadcasts_the_per_source_table(spark):
+    plan = _plan(_build(spark, "source_quality_gate"))
+    # per-source aggregate is tiny → must come back as a broadcast join; the
+    # corpus side is scanned once and never shuffle-joined
+    assert "BroadcastHashJoin" in plan
+    for join_node in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert join_node not in plan

@@ -115,6 +115,9 @@ def test_demoted_queries_have_prior_driver_rows():
         # demoted for pq_encode_trained: green r2 row; pure scan-side n-gram
         # ratio projection with no join/shuffle semantics to pin
         "repetition_score",
+        # demoted for source_quality_gate: green r2 row; broadcast-reference
+        # join shape stays in-window via dedup_incremental
+        "decontaminate_overlap",
     }
     assert all(REGISTRY[n].late for n in demoted_r3)
     assert demoted_r3 <= seen, sorted(demoted_r3 - seen)
@@ -130,5 +133,5 @@ def test_new_corpus_operators_in_window():
                "dataset_mix_weighted", "dedup_incremental",
                "dedup_cluster_representative", "pq_encode", "simsearch_topk_pq",
                "simsearch_topk_pq_reranked", "multimodal_resize",
-               "pq_encode_trained"}
+               "pq_encode_trained", "source_quality_gate"}
     assert new_ops <= window, sorted(new_ops - window)
