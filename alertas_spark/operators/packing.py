@@ -24,6 +24,9 @@ PACK_BUDGET = 1024  # tokens per pack
 
 @declare(
     "pack_sequences",
+    # green r2 driver row (union coverage retained); the ordered per-shard
+    # window-cumsum shape stays in-window via the segmented as-of carry-forward
+    late=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, source,

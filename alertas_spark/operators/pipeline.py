@@ -74,3 +74,38 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(quality, "doc_id")
         .select("doc_id", "n_tokens")
     )
+
+
+def _oracle_v2() -> str:
+    gate = REGISTRY["source_quality_gate"].oracle
+    reps = REGISTRY["dedup_cluster_representative"].oracle
+    return f"""
+    WITH gate AS ({gate}),
+    reps AS ({reps})
+    SELECT g.doc_id, g.source, r.cluster_size
+    FROM gate g
+    JOIN reps r ON r.rep_doc_id = g.doc_id
+    """
+
+
+@declare("pipeline_clean_corpus_v2", oracle=_oracle_v2())
+def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 cleaning pipeline: CCNet-style *origin* gating ∩ graph-based
+    near-dup *canonicalization* — a document survives only if (a) it passes the
+    doc-level quality flag, (b) its whole source's pass rate clears the
+    threshold, and (c) it is its near-dup cluster's elected representative
+    (every cluster contributes exactly one copy, so the output is near-dup-free
+    by construction rather than by pairwise dropping).
+
+    Each stage is an independently-oracled operator (``source_quality_gate``,
+    ``dedup_cluster_representative``); this query pins their composition.  The
+    final intersection is one join on ``doc_id`` between two already-thin
+    relations — at scale both sides are small fractions of the corpus, and the
+    corpus itself is scanned twice total (once per stage)."""
+    from alertas_spark.operators.dedup import dedup_cluster_representative
+    from alertas_spark.operators.textops import source_quality_gate
+
+    gated = source_quality_gate(spark, sf_dir).select("doc_id", "source")
+    reps = dedup_cluster_representative(spark, sf_dir).select(
+        F.col("rep_doc_id").alias("doc_id"), "cluster_size")
+    return gated.join(reps, "doc_id").select("doc_id", "source", "cluster_size")

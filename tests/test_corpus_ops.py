@@ -181,3 +181,15 @@ def test_ngram_jaccard_fails_fast_past_the_doc_cap(spark, monkeypatch):
     monkeypatch.setattr(dedup, "EXACT_PAIRS_MAX_DOCS", 10)
     with pytest.raises(RuntimeError, match="exact all-pairs verifier"):
         dedup.dedup_ngram_jaccard(spark, SF)
+
+
+def test_pipeline_v2_is_exactly_gate_intersect_representatives(spark):
+    from alertas_spark.operators.dedup import dedup_cluster_representative
+    from alertas_spark.operators.pipeline import pipeline_clean_corpus_v2
+    from alertas_spark.operators.textops import source_quality_gate
+
+    v2 = {r.doc_id for r in pipeline_clean_corpus_v2(spark, SF).collect()}
+    gate = {r.doc_id for r in source_quality_gate(spark, SF).collect()}
+    reps = {r.rep_doc_id for r in dedup_cluster_representative(spark, SF).collect()}
+    assert v2 == gate & reps
+    assert v2  # the composition is non-degenerate on the fixture

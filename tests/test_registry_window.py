@@ -118,6 +118,9 @@ def test_demoted_queries_have_prior_driver_rows():
         # demoted for source_quality_gate: green r2 row; broadcast-reference
         # join shape stays in-window via dedup_incremental
         "decontaminate_overlap",
+        # demoted for pipeline_clean_corpus_v2: green r2 row; ordered per-shard
+        # window-cumsum shape stays in-window via asof_join_salted
+        "pack_sequences",
     }
     assert all(REGISTRY[n].late for n in demoted_r3)
     assert demoted_r3 <= seen, sorted(demoted_r3 - seen)
@@ -133,5 +136,6 @@ def test_new_corpus_operators_in_window():
                "dataset_mix_weighted", "dedup_incremental",
                "dedup_cluster_representative", "pq_encode", "simsearch_topk_pq",
                "simsearch_topk_pq_reranked", "multimodal_resize",
-               "pq_encode_trained", "source_quality_gate"}
+               "pq_encode_trained", "source_quality_gate",
+               "pipeline_clean_corpus_v2"}
     assert new_ops <= window, sorted(new_ops - window)
