@@ -305,34 +305,7 @@ def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ANN quality evaluation: recall@k of the IVF probe against brute force
+# ANN quality evaluation lives in pq.py (simsearch_recall_eval): it compares
+# EVERY approximate tier — IVF, PQ, PQ+rerank — against the brute-force truth,
+# and pq.py is the module that can see all of them.
 # ---------------------------------------------------------------------------
-
-
-@declare(
-    "simsearch_recall_eval",
-    oracle=f"""
-    SELECT bf.query_id,
-           CAST(COUNT(iv.cand_id) AS INTEGER) AS n_match,
-           ROUND(COUNT(iv.cand_id) / {TOP_K}, 6) AS recall_at_k
-    FROM ({_duck_topk_sql(same_label=False)}) bf
-    LEFT JOIN ({_duck_topk_assigned_sql()}) iv
-      ON bf.query_id = iv.query_id AND bf.cand_id = iv.cand_id
-    GROUP BY bf.query_id
-    """,
-)
-def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality harness as a declared query: recall@k of the hyperplane-assigned
-    IVF search against the exact brute-force top-k, per query.  The evaluation the
-    operator's accuracy claims rest on, runnable (and oracle-checked) at every scale
-    — composition of two declared plans, joined on (query, candidate)."""
-    bf = simsearch_topk_bruteforce(spark, sf_dir).select("query_id", "cand_id")
-    iv = simsearch_topk_ivf_assigned(spark, sf_dir).select(
-        F.col("query_id").alias("iq"), F.col("cand_id").alias("ic"))
-    return (
-        bf.join(F.broadcast(iv), (F.col("query_id") == F.col("iq"))
-                & (F.col("cand_id") == F.col("ic")), "left")
-        .groupBy("query_id")
-        .agg(F.count("ic").cast("int").alias("n_match"),
-             F.round(F.count("ic") / TOP_K, 6).alias("recall_at_k"))
-    )
