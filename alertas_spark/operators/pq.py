@@ -499,7 +499,6 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    simsearch_topk_ivf_assigned,
                                                    simsearch_topk_multiprobe)
 
-    bf = simsearch_topk_bruteforce(spark, sf_dir).select("query_id", "cand_id")
     methods = {
         "ivf": simsearch_topk_ivf_assigned,
         "ivf_multiprobe": simsearch_topk_multiprobe,
@@ -507,18 +506,24 @@ def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq": simsearch_topk_pq,
         "pq_rerank": simsearch_topk_pq_reranked,
     }
-    out = None
+    # Truth set computed ONCE (the brute-force scan is the expensive side),
+    # replicated across the five method labels; all tiers union into one tiny
+    # broadcast side so the whole dashboard is a single join + single agg.
+    bf = (simsearch_topk_bruteforce(spark, sf_dir)
+          .select("query_id", "cand_id")
+          .crossJoin(F.broadcast(
+              spark.createDataFrame([(m,) for m in methods], "method string"))))
+    ap = None
     for name, builder in methods.items():
-        ap = builder(spark, sf_dir).select(
-            F.col("query_id").alias("aq"), F.col("cand_id").alias("ac"))
-        ev = (
-            bf.join(F.broadcast(ap), (F.col("query_id") == F.col("aq"))
-                    & (F.col("cand_id") == F.col("ac")), "left")
-            .groupBy("query_id")
-            .agg(F.count("ac").cast("int").alias("n_match"),
-                 F.round(F.count("ac") / TOP_K, 6).alias("recall_at_k"))
-            .select(F.lit(name).alias("method"), "query_id", "n_match",
-                    "recall_at_k")
-        )
-        out = ev if out is None else out.unionByName(ev)
-    return out
+        tier = builder(spark, sf_dir).select(
+            F.lit(name).alias("am"), F.col("query_id").alias("aq"),
+            F.col("cand_id").alias("ac"))
+        ap = tier if ap is None else ap.unionByName(tier)
+    return (
+        bf.join(F.broadcast(ap), (F.col("method") == F.col("am"))
+                & (F.col("query_id") == F.col("aq"))
+                & (F.col("cand_id") == F.col("ac")), "left")
+        .groupBy("method", "query_id")
+        .agg(F.count("ac").cast("int").alias("n_match"),
+             F.round(F.count("ac") / TOP_K, 6).alias("recall_at_k"))
+    )
