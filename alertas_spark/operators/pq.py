@@ -482,8 +482,8 @@ def _recall_oracle() -> str:
     """
 
 
-@declare("simsearch_recall_eval", oracle=_recall_oracle())
-def simsearch_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+@declare("simsearch_recall_dashboard", oracle=_recall_oracle())
+def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness as a declared query: recall@k per query of EVERY
     approximate tier — hyperplane-assigned IVF, compressed-domain PQ, and
     PQ + exact re-rank — against the exact brute-force top-k.  The evaluation

@@ -269,7 +269,7 @@ def simsearch_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare("simsearch_topk_ivf_assigned", oracle=_duck_topk_assigned_sql(),
-         late=True)  # green r2 driver row + in-window simsearch_recall_eval recomputes this exact plan
+         late=True)  # green r2 driver row + in-window simsearch_recall_dashboard recomputes this exact plan
 def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k starting from RAW embeddings only: the coarse assignment is computed
     in-plan by a deterministic random-hyperplane partitioner (no precomputed ``label``
@@ -305,7 +305,7 @@ def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ANN quality evaluation lives in pq.py (simsearch_recall_eval): it compares
+# ANN quality evaluation lives in pq.py (simsearch_recall_dashboard): it compares
 # EVERY approximate tier — IVF, PQ, PQ+rerank — against the brute-force truth,
 # and pq.py is the module that can see all of them.
 # ---------------------------------------------------------------------------

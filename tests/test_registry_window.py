@@ -100,7 +100,7 @@ def test_demoted_queries_have_prior_driver_rows():
         "profile_columns", "salted_skew_agg", "salted_skew_join",
         "sample_hash_stratified", "doc_chunk",
         # demoted for dedup_cluster_representative: green r2 row, and in-window
-        # simsearch_recall_eval recomputes the identical assigned-IVF plan
+        # simsearch_recall_dashboard recomputes the identical assigned-IVF plan
         "simsearch_topk_ivf_assigned",
         # demoted for the PQ pair: both hold green r2 rows, and their semantics
         # stay in-window (ivf_trained re-runs the kmeans quantizer; asof_salted
