@@ -84,9 +84,49 @@ def declare(name: str, oracle: str | None = None,
     return deco
 
 
+#: Driver-window rotation (the driver oracle-checks the FIRST 50 registry entries
+#: each round; the full 104 stay pinned locally by tools/verify_local.py + pytest).
+#: Coverage history: r1/r2 windows checked the §2 micro-queries + extension
+#: operators; r3/r4 checked the product surface (20 alerts + streaming + unique
+#: extension variants).  Round 5 rotates the stale half back in so every query's
+#: most recent driver row is ≤ 2 rounds old: the 6 streaming queries stay (their
+#: r3/r4 rows are red on the now-fixed NTZ loader — this round must show them
+#: green), the batch event-time pair joins them (same fix), and the remaining
+#: slots go to the queries whose last driver row is r1/r2.  The 10 extension
+#: siblings left out are those whose semantics a r4-green in-window sibling pins
+#: (e.g. ivf / ivf_assigned ⊂ ivf_trained+multiprobe; profile_columns ⊂ _approx);
+#: they rotate back in r6 with the alerts.
+_WINDOW_PRIORITY = (
+    # streaming: red in r3/r4 (NTZ loader), fixed this round — must re-check
+    "streaming_tumbling_5min", "streaming_user_totals", "streaming_dedup_counts",
+    "streaming_static_join", "streaming_interval_join", "streaming_sessionize",
+    # batch event-time ops broken by the same loader bug, fixed this round
+    "events_tumbling_5min", "events_sessionize",
+    # §2 micro-queries — last driver row r1
+    "revenue_by_nation", "left_join_optional_dim", "anti_customers_without_orders",
+    "semi_customers_with_big_orders", "latest_order_per_customer",
+    "max_by_top_customer_per_nation", "range_conjunct_late_shipments",
+    "inequality_nation_pairs", "cross_join_global_ratio", "disjunctive_key_match",
+    "pricing_summary", "product_aggregate", "collect_sorted_concat",
+    "having_conditional_agg", "count_distinct_segments", "minmax_strings",
+    "global_aggregate", "filter_project", "case_priority_buckets",
+    "alert_key_hash", "slugify", "coalesce_fallback_dates", "date_kitchen_sink",
+    "deadline_elapsed", "unpivot_measures", "union_distinct_keys",
+    # extension operators — last driver row r1/r2
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine_blocked", "lang_guess", "token_count",
+    "doc_fingerprint", "decontaminate_overlap", "pii_scrub", "repetition_score",
+    "salted_skew_agg", "salted_skew_join", "sample_hash_stratified",
+    "pack_sequences", "doc_chunk",
+)
+
+
 def load_all() -> dict[str, DeclaredQuery]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    ordered = {n: q for n, q in REGISTRY.items() if not q.late}
-    ordered.update({n: q for n, q in REGISTRY.items() if q.late})
-    return ordered
+    priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
+    rest_early = [n for n, q in REGISTRY.items()
+                  if n not in _WINDOW_PRIORITY and not q.late]
+    rest_late = [n for n, q in REGISTRY.items()
+                 if n not in _WINDOW_PRIORITY and q.late]
+    return {n: REGISTRY[n] for n in (*priority, *rest_early, *rest_late)}

@@ -20,22 +20,34 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP (LTZ) whatever the parquet encoding.
+
+    The driver testdata has shipped three encodings across rounds: parquet
+    TIMESTAMP(NANOS) (read as ``bigint`` via the nanosAsLong legacy conf),
+    TIMESTAMP(MICROS) without timezone (read as ``timestamp_ntz``), and plain
+    TIMESTAMP.  Session TZ is pinned UTC (session.py), so the NTZ→LTZ cast is a
+    pure relabel — wall-clock values, and therefore the DuckDB oracle results,
+    are unchanged.  Dispatch on the observed dtype so all three load identically."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # TIMESTAMP(NANOS) read as long: rebuild µs timestamps
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.  Parquet scan → column pruning + predicate pushdown
     happen automatically once downstream operators select/filter.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; we read nanos as long (legacy conf) and rebuild a microsecond
-    timestamp — lossless here (generator emits µs precision)."""
+    ``events.ts`` arrives in encoding-of-the-round; see :func:`normalize_event_ts`."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -47,14 +47,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    # events.ts is parquet TIMESTAMP(NANOS): read nanos as long, rebuild µs timestamps
-    # (same handling as the batch loader, sources/catalog.py)
+    # events.ts encoding varies by testdata round (nanos-as-long / NTZ micros /
+    # plain timestamp) — same dtype dispatch as the batch loader.
+    from alertas_spark.sources.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -96,13 +96,20 @@ def _update_totals(key, batches: Iterator[pd.DataFrame], state: GroupState):
     # full-replay output is bit-equal to the batch GROUP BY oracle.
     from decimal import ROUND_HALF_UP, Decimal
 
-    q6, q4 = Decimal("0.000001"), Decimal("0.0001")
+    import numpy as np
+
+    q4 = Decimal("0.0001")
     n, acc_micro = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        for v in pdf["value"]:
-            acc_micro += int(Decimal(float(v)).quantize(q6, rounding=ROUND_HALF_UP)
-                             .scaleb(6))
+        # Vectorized ROUND_HALF_UP to 6 decimals in scaled-long micro-units
+        # (sign-aware: half-up rounds away from zero, np.rint would round
+        # half-to-even).  Equivalent to Decimal(v).quantize(1e-6, HALF_UP)
+        # for the value domain (|v| < 2^52/1e6, so v*1e6 is exact enough that
+        # no representable double lands on a spurious .5 boundary shift).
+        x = pdf["value"].to_numpy(dtype="float64") * 1e6
+        micro = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype("int64")
+        acc_micro += int(micro.sum())
     state.update((n, acc_micro))
     emit = float(Decimal(acc_micro).scaleb(-6).quantize(q4, rounding=ROUND_HALF_UP))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [emit]})

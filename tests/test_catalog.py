@@ -105,3 +105,38 @@ def test_run_all_end_to_end_on_metastore(spark):
     finally:
         for db in ("e2e_exadata", "e2e_alertas"):
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+# --- events.ts encoding matrix ------------------------------------------------
+# The driver testdata has shipped ts as parquet TIMESTAMP(NANOS) (r1-r3) and
+# TIMESTAMP(MICROS) without timezone (r4+, reads as TIMESTAMP_NTZ).  load_table
+# must normalize every encoding to TIMESTAMP so event-time operators
+# (withWatermark, unix_micros) work regardless of which testdata round produced
+# the files.
+
+@pytest.mark.parametrize("unit,tz", [("ns", None), ("us", None), ("us", "UTC")])
+def test_events_ts_encoding_matrix(spark, tmp_path, unit, tz):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alertas_spark.sources.catalog import load_table
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:05:30"])
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp(unit, tz=tz)),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+    })
+    sf_dir = str(tmp_path / f"enc_{unit}_{tz}")
+    import os as _os
+    _os.makedirs(sf_dir)
+    pq.write_table(tbl, _os.path.join(sf_dir, "events.parquet"))
+
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", dict(df.dtypes)
+    got = sorted(r.ts.strftime("%Y-%m-%d %H:%M:%S") for r in df.select("ts").collect())
+    assert got == ["2024-01-01 00:00:00", "2024-01-01 00:05:30"]
+    # event-time ops that the NTZ regression broke must work on the loaded frame
+    df.selectExpr("unix_micros(ts)").collect()

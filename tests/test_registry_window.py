@@ -1,15 +1,26 @@
 """Guard the driver's 50-query correctness window composition.
 
-The driver harness oracle-checks the FIRST 50 registry entries.  These tests pin
-the invariant that the window holds the product surface — every alert, every
-streaming query, every extension operator that is not an explicitly-demoted
-redundant sibling — so a future module addition can't silently push a unique
-capability out of driver coverage.
+The driver harness oracle-checks the FIRST 50 registry entries, and the registry
+rotates that window each round so every query's most recent driver row stays
+fresh (≤ 2 rounds old) while the full 104 remain pinned locally by
+tools/verify_local.py + pytest.  These tests pin the ROUND-5 rotation:
+
+* the 6 streaming queries stay in-window — their r3/r4 rows are red on the
+  (now-fixed) TIMESTAMP_NTZ loader and this round must record them green;
+* the batch event-time pair (tumbling / sessionize) joins them — same fix;
+* the remaining slots hold exactly the queries whose last driver row is r1/r2;
+* everything rotated OUT this round (alerts + 10 extension siblings) holds a
+  green r3/r4 driver row, so the union of the r4+r5 windows covers all 104.
 """
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 WINDOW = 50
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
 def _names():
@@ -18,35 +29,89 @@ def _names():
     return list(load_all())
 
 
-def test_all_alerts_and_streaming_in_window():
-    from alertas_spark.registry import REGISTRY
+def _green_rows(*artifacts: str) -> set[str]:
+    seen = set()
+    for rec in artifacts:
+        p = ROOT / rec
+        if p.exists():
+            seen |= {k for k, v in json.loads(p.read_text()).items()
+                     if isinstance(v, dict)
+                     and (v.get("hash_match") or v.get("rows_match"))}
+    return seen
+
+
+def test_window_is_exactly_the_priority_list():
+    from alertas_spark.registry import _WINDOW_PRIORITY
 
     names = _names()
+    assert len(_WINDOW_PRIORITY) == WINDOW
+    assert names[:WINDOW] == list(_WINDOW_PRIORITY)
+
+
+def test_streaming_and_event_time_fixes_in_window():
+    # red in r3/r4 on the NTZ loader regression; the fix lands in r5 and these
+    # rows MUST be re-checked by the driver to flip green
+    names = _names()
     window = set(names[:WINDOW])
-    alerts = [n for n in names if n.startswith("alerta_")]
-    streaming = [n for n in names
-                 if n.startswith("streaming_") and not REGISTRY[n].late]
-    assert len(alerts) == 20
-    assert set(alerts) <= window
-    assert set(streaming) <= window
+    fixed = {"streaming_tumbling_5min", "streaming_static_join",
+             "streaming_interval_join", "streaming_sessionize",
+             "streaming_user_totals", "streaming_dedup_counts",
+             "events_tumbling_5min", "events_sessionize"}
+    assert fixed <= window, sorted(fixed - window)
 
 
-def test_non_late_operator_queries_in_window():
-    from alertas_spark.registry import REGISTRY, load_all
-
-    names = list(load_all())
+def test_stale_r1_r2_queries_rotated_in():
+    # every non-streaming in-window query this round must be one WITHOUT a green
+    # r3/r4 driver row (that's the point of the rotation); conversely nothing
+    # stale beyond the 4 deliberately-deferred sibling groups stays out
+    names = _names()
     window = set(names[:WINDOW])
-    # every non-late query from an operators/streaming/alert module must be inside
-    micros = {n for n, q in REGISTRY.items()
-              if q.builder.__module__.startswith("alertas_spark.plans")
-              and not n.startswith("alerta_")}
-    out_of_window = [n for n in names[WINDOW:]
-                     if n not in micros and not REGISTRY[n].late]
-    assert out_of_window == [], (
-        f"unique operator queries pushed past the driver window: {out_of_window}")
+    recent = _green_rows("CORRECTNESS_r03.json", "CORRECTNESS_r04.json")
+    redundant_in_window = sorted(
+        n for n in window if n in recent and not n.startswith("streaming_"))
+    assert redundant_in_window == [], redundant_in_window
 
 
-def test_late_queries_all_carry_oracles_and_reasons():
+#: Extension queries deferred to the r6 window.  A 50-slot window over 104
+#: queries cannot keep every row ≤2 rounds fresh (perfect alternation needs 52);
+#: the overflow is absorbed by exactly these 10, each of which (a) holds a green
+#: r1/r2 driver row, (b) has a sibling with a green r4 row pinning the same plan
+#: shape (ivf/ivf_assigned/bruteforce ⊂ ivf_trained+multiprobe+recall_dashboard;
+#: profile_columns ⊂ profile_columns_approx; pipeline_clean_corpus ⊂ _v2;
+#: asof_join_click_view ⊂ asof_join_salted; kmeans_assign ⊂ ivf_trained;
+#: text_quality ⊂ source_quality_gate; multimodal_decode_features ⊂
+#: frame_sample+resize; dedup_embedding_cosine ⊂ _blocked), and (c) stays
+#: exact-oracle-checked every round by tools/verify_local.py + pytest.
+DEFERRED_TO_R6 = {
+    "simsearch_topk_ivf", "simsearch_topk_ivf_assigned",
+    "simsearch_topk_bruteforce", "kmeans_assign", "text_quality",
+    "profile_columns", "asof_join_click_view", "multimodal_decode_features",
+    "pipeline_clean_corpus", "dedup_embedding_cosine",
+}
+
+
+def test_union_of_r4_and_r5_windows_covers_everything_but_deferred():
+    # whatever is out-of-window this round must carry a green r3/r4 driver row,
+    # except the 10 documented deferrals (green r1/r2 rows + r4-green siblings)
+    names = _names()
+    out = set(names[WINDOW:])
+    recent = _green_rows("CORRECTNESS_r03.json", "CORRECTNESS_r04.json")
+    uncovered = sorted(out - recent - DEFERRED_TO_R6)
+    assert uncovered == [], uncovered
+
+
+def test_deferred_siblings_have_in_window_or_recent_pins():
+    # the 10 extension queries deferred to r6 all have a green r2 row AND a
+    # sibling with a green r4 row pinning the same plan shape
+    from alertas_spark.registry import REGISTRY
+
+    _names()
+    early = _green_rows("CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
+    assert DEFERRED_TO_R6 <= early, sorted(DEFERRED_TO_R6 - early)
+    assert all(n in REGISTRY for n in DEFERRED_TO_R6)
+
+
+def test_late_queries_all_carry_oracles():
     from alertas_spark.registry import REGISTRY, load_all
 
     load_all()
@@ -56,86 +121,9 @@ def test_late_queries_all_carry_oracles_and_reasons():
     assert all(REGISTRY[n].oracle for n in late), late
 
 
-def test_round3_first_time_queries_in_window():
-    # These 7 had no driver CORRECTNESS row in r1 or r2 (their coverage was only
-    # local); r3 rotates them in.  Pin that so a later reorder can't push any of
-    # them back out before the driver has recorded a green row.
+def test_registry_complete_and_duplicate_free():
     names = _names()
-    window = set(names[:WINDOW])
-    first_timers = {
-        "multimodal_frame_sample",
-        "range_bin_join_order_shipments",
-        "simsearch_topk_ivf_trained",
-        "simsearch_topk_multiprobe",
-        "streaming_sessionize",
-        "tfidf_top_terms",
-        "winsorize_values",
-    }
-    assert first_timers <= window, sorted(first_timers - window)
-
-
-def test_demoted_queries_have_prior_driver_rows():
-    # late=True is only legal for queries that already hold green driver rows in
-    # CORRECTNESS_r01/r02 (double-pinned) or whose semantics are pinned by an
-    # in-window sibling plus a local oracle.  The r3 demotions are all the former.
-    import json
-    import pathlib
-
-    from alertas_spark.registry import REGISTRY
-
-    _names()
-    root = pathlib.Path(__file__).resolve().parent.parent
-    seen = set()
-    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        p = root / rec
-        if p.exists():
-            seen |= {k for k, v in json.loads(p.read_text()).items()
-                     if v.get("hash_match") or v.get("rows_match")}
-    demoted_r3 = {
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_embedding_cosine_blocked", "simsearch_topk_bruteforce",
-        "text_quality", "lang_guess", "doc_fingerprint",
-        "multimodal_decode_features", "pipeline_clean_corpus",
-        # demoted mid-r3 to make window room for the new corpus operators
-        "profile_columns", "salted_skew_agg", "salted_skew_join",
-        "sample_hash_stratified", "doc_chunk",
-        # demoted for dedup_cluster_representative: green r2 row, and in-window
-        # simsearch_recall_dashboard recomputes the identical assigned-IVF plan
-        "simsearch_topk_ivf_assigned",
-        # demoted for the PQ pair: both hold green r2 rows, and their semantics
-        # stay in-window (ivf_trained re-runs the kmeans quantizer; asof_salted
-        # is oracle-pinned hash-equal to the plain as-of join)
-        "kmeans_assign", "asof_join_click_view",
-        # demoted for the PQ exact-rerank: green r1+r2 rows; in-window
-        # streaming_sessionize pins the same gap-session semantics
-        "events_sessionize",
-        # demoted for multimodal_resize: green r2 row; pure scan-side regex
-        # projection with no join/shuffle semantics to pin
-        "pii_scrub",
-        # demoted for pq_encode_trained: green r2 row; pure scan-side n-gram
-        # ratio projection with no join/shuffle semantics to pin
-        "repetition_score",
-        # demoted for source_quality_gate: green r2 row; broadcast-reference
-        # join shape stays in-window via dedup_incremental
-        "decontaminate_overlap",
-        # demoted for pipeline_clean_corpus_v2: green r2 row; ordered per-shard
-        # window-cumsum shape stays in-window via asof_join_salted
-        "pack_sequences",
-    }
-    assert all(REGISTRY[n].late for n in demoted_r3)
-    assert demoted_r3 <= seen, sorted(demoted_r3 - seen)
-
-
-def test_new_corpus_operators_in_window():
-    # The r3 additions (line dedup, vocab heavy hitters, global shuffle, weighted
-    # mixing) are first-class unique operators — they must sit inside the driver
-    # window so their first CORRECTNESS rows land this round.
-    names = _names()
-    window = set(names[:WINDOW])
-    new_ops = {"dedup_lines", "vocab_top_tokens", "shuffle_shards",
-               "dataset_mix_weighted", "dedup_incremental",
-               "dedup_cluster_representative", "pq_encode", "simsearch_topk_pq",
-               "simsearch_topk_pq_reranked", "multimodal_resize",
-               "pq_encode_trained", "source_quality_gate",
-               "pipeline_clean_corpus_v2"}
-    assert new_ops <= window, sorted(new_ops - window)
+    assert len(names) == 104
+    assert len(set(names)) == len(names)
+    alerts = [n for n in names if n.startswith("alerta_")]
+    assert len(alerts) == 20
