@@ -188,3 +188,38 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events", "total_value",
     )
     return ev.run_to_memory(out, shuffle_partitions=8)
+
+
+@declare(
+    "streaming_dedup_within_watermark",
+    # late: the unbounded-state sibling streaming_dedup_counts holds the in-window
+    # driver row for stream dedup; this pins the BOUNDED-state production variant
+    # locally (new in r5 — rotates into the driver window next round)
+    late=True,
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark`` keeps
+    an id in the state store only until the watermark passes its event time, then
+    evicts it — the production path at scale, where the unbounded ``dropDuplicates``
+    sibling's state grows with the total id cardinality forever.  The contract is
+    weaker (duplicates are only suppressed while their first occurrence is within
+    the watermark) but that is exactly the guarantee replayed pipelines need:
+    at-least-once sources re-deliver within minutes, not months.
+
+    Full replay over the single-file source is one micro-batch, so every row is
+    processed before the watermark first advances and the output equals the batch
+    ``COUNT(DISTINCT)`` — the oracle.  tests/test_streaming.py drives the
+    duplicate-suppression behavior explicitly with a doubled source."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        ev.read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    counts = stream.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return ev.run_to_memory(counts, shuffle_partitions=8)

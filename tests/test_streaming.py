@@ -81,3 +81,35 @@ def test_state_accumulator_is_lossless_across_micro_batches(spark, tmp_path):
     per_row = Decimal(float(big)).quantize(q6, rounding=ROUND_HALF_UP)
     want = float((4 * per_row).quantize(q4, rounding=ROUND_HALF_UP))
     assert rows[0]["total_value"] == want
+
+
+def test_dedup_within_watermark_suppresses_duplicates(spark, tmp_path):
+    """A doubled source (same file linked twice) must dedup back to the
+    single-copy distinct count — the bounded-state guarantee the
+    dropDuplicatesWithinWatermark query rests on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from alertas_spark.sources.catalog import normalize_event_ts
+    from alertas_spark.streaming import events as ev
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    doubled = tmp_path / "doubled"
+    doubled.mkdir()
+    os.symlink(src, doubled / "a.parquet")
+    os.symlink(src, doubled / "b.parquet")
+
+    schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(str(doubled)))
+    deduped = (stream.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .groupBy("event_type").agg(F.count("*").alias("n_unique")))
+    got = {(r.event_type, r.n_unique)
+           for r in ev.run_to_memory(deduped, shuffle_partitions=8).collect()}
+
+    want = {(r.event_type, r.n_unique)
+            for r in spark.read.parquet(src)
+            .groupBy("event_type")
+            .agg(F.countDistinct("event_id").alias("n_unique")).collect()}
+    assert got == want

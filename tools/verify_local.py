@@ -126,7 +126,7 @@ def main() -> int:
     print(f"\n{failures} failures")
     # Machine-readable artifact: the driver's CORRECTNESS window only covers the
     # first 50 registry entries per round — this file records the FULL-corpus
-    # exact-oracle check (all 104 queries) for each round's judge to read.
+    # exact-oracle check (the full corpus) for each round's judge to read.
     if not ONLY:
         import json
 
