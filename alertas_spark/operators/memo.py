@@ -33,8 +33,12 @@ def session_artifact(spark: SparkSession, key: tuple,
     """Return the memoized artifact for ``key``, building (and caching) on miss.
 
     ``build`` must return an eagerly-materialized DataFrame (``localCheckpoint``)
-    — the memo hands the same object to every consumer in the session."""
-    k = (id(spark), *key)
+    — the memo hands the same object to every consumer in the session.
+
+    Keyed by ``applicationId`` (unique per SparkContext), not ``id(spark)``: a
+    stopped context invalidates its checkpointed blocks, and a Python object id
+    can be reused after GC — either would hand a dead artifact to a new session."""
+    k = (spark.sparkContext.applicationId, *key)
     df = _CACHE.get(k)
     if df is None:
         df = _CACHE[k] = build()

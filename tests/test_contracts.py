@@ -73,3 +73,20 @@ def test_contract_covers_all_catalog_tables():
     from alertas_spark.sources.catalog import TABLES
 
     assert set(TABLES) == set(EXPECTED)
+
+
+def test_session_artifact_memoizes_and_clears(spark):
+    from alertas_spark.operators import memo
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).localCheckpoint()
+
+    a = memo.session_artifact(spark, ("t", "x"), build)
+    b = memo.session_artifact(spark, ("t", "x"), build)
+    assert a is b and len(calls) == 1
+    memo.clear()
+    c = memo.session_artifact(spark, ("t", "x"), build)
+    assert len(calls) == 2 and c.count() == 3
