@@ -44,3 +44,60 @@ def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
 
     # the checkpoint's commit log is what makes this exactly-once
     assert os.path.isdir(os.path.join(ckpt, "commits"))
+
+
+def test_foreachbatch_upsert_across_micro_batches(spark, tmp_path):
+    """Force MULTIPLE micro-batches (maxFilesPerTrigger=1 over a two-file source)
+    through the stateful per-user totals in update mode; the upsert snapshot must
+    end up equal to the one-shot batch aggregate — keys updated in batch 2 must
+    REPLACE their batch-1 rows, not duplicate them."""
+    import os
+
+    from alertas_spark.sources.catalog import normalize_event_ts
+    from alertas_spark.streaming import events as ev
+    from alertas_spark.streaming.sinks import upsert_stream_to_snapshot
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    two_files = tmp_path / "two"
+    two_files.mkdir()
+    os.symlink(src, two_files / "a.parquet")
+    os.symlink(src, two_files / "b.parquet")
+
+    schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(two_files)))
+    totals = ev.user_running_totals(stream)
+
+    snap = str(tmp_path / "snapshot")
+    upsert_stream_to_snapshot(totals, ["user_id"], snap,
+                              str(tmp_path / "ckpt"))
+
+    got = {(r.user_id, r.n_events, r.total_value)
+           for r in spark.read.parquet(snap).collect()}
+
+    # oracle: the doubled input aggregated in one shot, with the same decimal
+    # contract as the stateful accumulator
+    from pyspark.sql import functions as F
+
+    from alertas_spark.functions.numeric import dsum
+
+    doubled = spark.read.parquet(str(two_files))
+    want = {(r.user_id, r.n_events, r.total_value)
+            for r in doubled.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 dsum(F.col("value"), 4).alias("total_value")).collect()}
+    assert got == want
+
+    # snapshot holds exactly one row per key (upsert, not append)
+    n_users = doubled.select("user_id").distinct().count()
+    assert spark.read.parquet(snap).count() == n_users
+
+    # restart against the same checkpoint: no new input, snapshot unchanged
+    stream2 = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(two_files)))
+    upsert_stream_to_snapshot(ev.user_running_totals(stream2), ["user_id"], snap,
+                              str(tmp_path / "ckpt"))
+    assert {(r.user_id, r.n_events, r.total_value)
+            for r in spark.read.parquet(snap).collect()} == want
