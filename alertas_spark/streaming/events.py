@@ -108,6 +108,10 @@ def _update_totals(key, batches: Iterator[pd.DataFrame], state: GroupState):
         # for the value domain (|v| < 2^52/1e6, so v*1e6 is exact enough that
         # no representable double lands on a spurious .5 boundary shift).
         x = pdf["value"].to_numpy(dtype="float64") * 1e6
+        if not np.isfinite(x).all():
+            # NaN/inf would cast to garbage int64 silently; the determinism
+            # contract fails loudly instead (matches the Decimal path it replaced)
+            raise ValueError("user_running_totals: non-finite value in stream")
         micro = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype("int64")
         acc_micro += int(micro.sum())
     state.update((n, acc_micro))
