@@ -43,12 +43,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.  Parquet scan → column pruning + predicate pushdown
     happen automatically once downstream operators select/filter.
 
-    ``events.ts`` arrives in encoding-of-the-round; see :func:`normalize_event_ts`."""
+    Timestamp-family columns arrive in encoding-of-the-round (the fixture
+    generator has shipped NANOS, NTZ-MICROS, and plain TIMESTAMP across rounds);
+    every table normalizes to session-TZ TIMESTAMP so event-time operators and
+    temporal functions behave identically regardless of producer encoding.  The
+    casts sit on top of the scan and do not block pushdown of other predicates."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return normalize_event_ts(spark.read.parquet(path))
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = normalize_event_ts(df, col)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

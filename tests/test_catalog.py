@@ -140,3 +140,15 @@ def test_events_ts_encoding_matrix(spark, tmp_path, unit, tz):
     assert got == ["2024-01-01 00:00:00", "2024-01-01 00:05:30"]
     # event-time ops that the NTZ regression broke must work on the loaded frame
     df.selectExpr("unix_micros(ts)").collect()
+
+
+def test_all_tables_load_without_ntz_columns(spark):
+    """Every table's timestamp-family columns normalize to TIMESTAMP at load —
+    no TIMESTAMP_NTZ leaks into downstream operators regardless of the fixture
+    generator's parquet encoding of the round."""
+    from alertas_spark.sources.catalog import TABLES, load_table
+
+    for name in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        assert ntz == [], f"{name}: NTZ columns leaked: {ntz}"
