@@ -1,26 +1,21 @@
-"""Guard the driver's 50-query correctness window composition.
+"""Guard the driver's 50-query correctness-window scheduler.
 
-The driver harness oracle-checks the FIRST 50 registry entries, and the registry
-rotates that window each round so every query's most recent driver row stays
-fresh (≤ 2 rounds old) while the full 104 remain pinned locally by
-tools/verify_local.py + pytest.  These tests pin the ROUND-5 rotation:
+The driver harness oracle-checks the FIRST 50 registry entries; the registry
+orders queries from the driver's own CORRECTNESS_r*.json history — red-at-last-
+check first, never-checked next, then stalest-green first (registry.window_order).
+These tests pin the scheduler's invariants rather than any round's hand-picked
+list, so the rotation self-corrects every round without edits:
 
-* the 6 streaming queries stay in-window — their r3/r4 rows are red on the
-  (now-fixed) TIMESTAMP_NTZ loader and this round must record them green;
-* the batch event-time pair (tumbling / sessionize) joins them — same fix;
-* the remaining slots hold exactly the queries whose last driver row is r1/r2;
-* everything rotated OUT this round (alerts + 10 extension siblings) holds a
-  green r3/r4 driver row, so the union of the r4+r5 windows covers all 104.
+* a query the driver last saw FAILING is always re-checked next round;
+* a newly declared query gets its first driver row immediately;
+* no green query is skipped in favor of one with a fresher driver row;
+* the full corpus stays locally exact-oracle-checked regardless of order
+  (tools/verify_local.py + pytest).
 """
 
 from __future__ import annotations
 
-import json
-import pathlib
-
 WINDOW = 50
-
-ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
 def _names():
@@ -29,107 +24,92 @@ def _names():
     return list(load_all())
 
 
-def _green_rows(*artifacts: str) -> set[str]:
-    seen = set()
-    for rec in artifacts:
-        p = ROOT / rec
-        if p.exists():
-            seen |= {k for k, v in json.loads(p.read_text()).items()
-                     if isinstance(v, dict)
-                     and (v.get("hash_match") or v.get("rows_match"))}
-    return seen
+def test_order_is_deterministic_and_complete():
+    from alertas_spark.registry import REGISTRY, driver_history, window_order
 
-
-def test_window_is_exactly_the_priority_list():
-    from alertas_spark.registry import _WINDOW_PRIORITY
-
-    names = _names()
-    assert len(_WINDOW_PRIORITY) == WINDOW
-    assert names[:WINDOW] == list(_WINDOW_PRIORITY)
-
-
-def test_streaming_and_event_time_fixes_in_window():
-    # red in r3/r4 on the NTZ loader regression; the fix lands in r5 and these
-    # rows MUST be re-checked by the driver to flip green
-    names = _names()
-    window = set(names[:WINDOW])
-    fixed = {"streaming_tumbling_5min", "streaming_static_join",
-             "streaming_interval_join", "streaming_sessionize",
-             "streaming_user_totals", "streaming_dedup_counts",
-             "events_tumbling_5min", "events_sessionize"}
-    assert fixed <= window, sorted(fixed - window)
-
-
-def test_stale_r1_r2_queries_rotated_in():
-    # every non-streaming in-window query this round must be one WITHOUT a green
-    # r3/r4 driver row (that's the point of the rotation); conversely nothing
-    # stale beyond the 4 deliberately-deferred sibling groups stays out
-    names = _names()
-    window = set(names[:WINDOW])
-    recent = _green_rows("CORRECTNESS_r03.json", "CORRECTNESS_r04.json")
-    redundant_in_window = sorted(
-        n for n in window if n in recent and not n.startswith("streaming_"))
-    assert redundant_in_window == [], redundant_in_window
-
-
-#: Extension queries deferred to the r6 window.  A 50-slot window over 104
-#: queries cannot keep every row ≤2 rounds fresh (perfect alternation needs 52);
-#: the overflow is absorbed by exactly these 10, each of which (a) holds a green
-#: r1/r2 driver row, (b) has a sibling with a green r4 row pinning the same plan
-#: shape (ivf/ivf_assigned/bruteforce ⊂ ivf_trained+multiprobe+recall_dashboard;
-#: profile_columns ⊂ profile_columns_approx; pipeline_clean_corpus ⊂ _v2;
-#: asof_join_click_view ⊂ asof_join_salted; kmeans_assign ⊂ ivf_trained;
-#: text_quality ⊂ source_quality_gate; multimodal_decode_features ⊂
-#: frame_sample+resize; dedup_embedding_cosine ⊂ _blocked), and (c) stays
-#: exact-oracle-checked every round by tools/verify_local.py + pytest.
-DEFERRED_TO_R6 = {
-    "simsearch_topk_ivf", "simsearch_topk_ivf_assigned",
-    "simsearch_topk_bruteforce", "kmeans_assign", "text_quality",
-    "profile_columns", "asof_join_click_view", "multimodal_decode_features",
-    "pipeline_clean_corpus", "dedup_embedding_cosine",
-}
-
-
-#: Queries first declared in round 5 — no prior driver row exists by definition;
-#: they hold local oracles now and rotate into the driver window in r6.
-NEW_IN_R5 = {"streaming_dedup_within_watermark"}
-
-
-def test_union_of_r4_and_r5_windows_covers_everything_but_deferred():
-    # whatever is out-of-window this round must carry a green r3/r4 driver row,
-    # except the 10 documented deferrals (green r1/r2 rows + r4-green siblings)
-    # and the queries newly declared this round
-    names = _names()
-    out = set(names[WINDOW:])
-    recent = _green_rows("CORRECTNESS_r03.json", "CORRECTNESS_r04.json")
-    uncovered = sorted(out - recent - DEFERRED_TO_R6 - NEW_IN_R5)
-    assert uncovered == [], uncovered
-
-
-def test_deferred_siblings_have_in_window_or_recent_pins():
-    # the 10 extension queries deferred to r6 all have a green r2 row AND a
-    # sibling with a green r4 row pinning the same plan shape
-    from alertas_spark.registry import REGISTRY
-
-    _names()
-    early = _green_rows("CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
-    assert DEFERRED_TO_R6 <= early, sorted(DEFERRED_TO_R6 - early)
-    assert all(n in REGISTRY for n in DEFERRED_TO_R6)
-
-
-def test_late_queries_all_carry_oracles():
-    from alertas_spark.registry import REGISTRY, load_all
-
-    load_all()
-    late = [n for n, q in REGISTRY.items() if q.late]
-    # late demotion is only for redundant-coverage siblings; they must still be
-    # oracle-checked locally (no silent weakening to rows-only)
-    assert all(REGISTRY[n].oracle for n in late), late
-
-
-def test_registry_complete_and_duplicate_free():
     names = _names()
     assert len(names) == 105  # 104 carried from r4 + streaming_dedup_within_watermark
     assert len(set(names)) == len(names)
+    assert sorted(names) == sorted(REGISTRY)
+    # recomputing the schedule reproduces the load order exactly
+    assert window_order(list(REGISTRY), driver_history()) == names
+
+
+def test_red_queries_rechecked_first():
+    from alertas_spark.registry import driver_history
+
+    names = _names()
+    hist = driver_history()
+    red = [n for n in names if n in hist and not hist[n][1]]
+    assert set(red) <= set(names[:WINDOW]), (
+        f"driver-red queries pushed out of the re-check window: "
+        f"{sorted(set(red) - set(names[:WINDOW]))}")
+    # and they sort before everything else
+    assert names[:len(red)] == [n for n in names if n in set(red)]
+
+
+def test_new_queries_get_first_driver_row():
+    from alertas_spark.registry import driver_history
+
+    names = _names()
+    hist = driver_history()
+    new = [n for n in names if n not in hist]
+    assert set(new) <= set(names[:WINDOW]), sorted(set(new) - set(names[:WINDOW]))
+
+
+def test_no_stale_query_skipped_for_a_fresher_one():
+    from alertas_spark.registry import driver_history
+
+    names = _names()
+    hist = driver_history()
+    in_green = [hist[n][0] for n in names[:WINDOW] if n in hist and hist[n][1]]
+    out_green = [hist[n][0] for n in names[WINDOW:] if n in hist and hist[n][1]]
+    if in_green and out_green:
+        assert max(in_green) <= min(out_green), (
+            "a fresher-checked query occupies a window slot while a staler one "
+            "waits outside")
+
+
+def test_window_order_unit():
+    from alertas_spark.registry import window_order
+
+    names = ["a", "b", "c", "d", "e"]
+    hist = {
+        "a": (4, True),    # fresh green
+        "b": (1, True),    # stale green
+        "c": (3, False),   # red at last check
+        # d never checked
+        "e": (2, True),    # mid green
+    }
+    assert window_order(names, hist) == ["c", "d", "b", "e", "a"]
+    # no history → insertion order (cold-start fallback)
+    assert window_order(names, {}) == names
+
+
+def test_driver_history_reads_latest_row_per_query(tmp_path):
+    import json
+
+    from alertas_spark.registry import driver_history
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(
+        {"q": {"rows_match": True, "hash_match": True, "err": None}}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(
+        {"q": {"rows_match": None, "hash_match": None, "err": "boom"}}))
+    hist = driver_history(str(tmp_path))
+    assert hist["q"] == (2, False)
+
+
+def test_all_queries_carry_oracles():
+    from alertas_spark.registry import REGISTRY, load_all
+
+    load_all()
+    missing = [n for n, q in REGISTRY.items() if not q.oracle]
+    # every declared query is exact-oracle-checked; genuinely non-SQL ops would
+    # be a documented exception (none currently)
+    assert missing == [], missing
+
+
+def test_alert_corpus_complete():
+    names = _names()
     alerts = [n for n in names if n.startswith("alerta_")]
     assert len(alerts) == 20
