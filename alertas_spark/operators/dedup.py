@@ -268,8 +268,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sha"))
-    sb = sig.select(F.col("doc_id").alias("db"), F.col("shingles").alias("shb"))
+    # the shingle-bearing side must NEVER broadcast: it is corpus-sized (every
+    # doc's shingle set) and AQE's size estimate under a cache is unreliable —
+    # at 10x fixture scale the auto-chosen broadcast OOMed the driver
+    # (tools/scale_probe.py).  Pin the scale-correct strategy: shuffle hash
+    # join on the high-cardinality doc_id keys.
+    sa = sig.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sha")) \
+        .hint("shuffle_hash")
+    sb = sig.select(F.col("doc_id").alias("db"), F.col("shingles").alias("shb")) \
+        .hint("shuffle_hash")
     verified = (
         cand.join(sa, F.col("doc_a") == F.col("da"))
         .join(sb, F.col("doc_b") == F.col("db"))

@@ -38,6 +38,11 @@ BUILD_CONF = {
     # 1000 executors; locally it keeps task count sane.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # the sandbox is a 32-thread / 128 GiB single-JVM box; the 1 GiB default
+    # driver heap OOMs the first time AQE builds a non-trivial broadcast
+    # (found by tools/scale_probe.py at 10x data).  On a real cluster the
+    # submitter sets this; only applied when WE build the session.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 #: Settings safe to apply on an already-running session.

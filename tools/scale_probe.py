@@ -1,0 +1,132 @@
+"""Scale probe: measure how the heaviest operators scale with row count.
+
+Builds a synthetic N× replica of the sf0.1 tables (shifted ids, per-replica text
+mutation so dedup structure stays realistic instead of collapsing into N-sized
+exact-dup cliques, jittered embeddings so ANN buckets stay populated), then times
+headline operators COLD (trained-artifact memo cleared per run) at 1× and N× and
+reports the time ratio.
+
+Reading the ratios: ideal data-parallel scaling on a fixed 32-thread box is
+≤ N× time for N× rows; meaningfully sublinear means fixed overhead dominates at
+1×; superlinear flags a shuffle/candidate-set blowup worth investigating.  This
+is a single-node row-count probe — cluster behavior adds network shuffle and is
+addressed by the plan-shape arguments in README — but it catches quadratic
+candidate generation and driver-side bottlenecks empirically, which plan
+inspection alone cannot.
+
+Usage: python tools/scale_probe.py [N] [query ...]   (default N=10)
+Writes SCALING.md at the repo root when run with no explicit query list.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/tmp/scale_probe"
+
+#: operators probed: the corpus's most expensive + one representative per family
+QUERIES = [
+    "events_tumbling_5min",        # windowed agg (events ×N)
+    "events_sessionize",           # gaps-and-islands windows (events ×N)
+    "dedup_exact",                 # hash aggregate (documents ×N)
+    "dedup_minhash_lsh",           # LSH band self-join (documents ×N)
+    "dedup_cluster_representative",  # pairs + star contraction + window
+    "source_quality_gate",         # scan-side text scoring + gate join
+    "profile_columns_approx",      # sketch profiling (documents ×N)
+    "simsearch_topk_ivf_trained",  # Lloyd training + pruned top-k (embeddings ×N)
+    "salted_skew_agg",             # two-stage salted aggregation (events ×N)
+]
+
+
+def build_replica(n: int) -> str:
+    out = os.path.join(WORK, f"sf{n}x")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT event_id + i * 10000000 AS event_id, ts, user_id,
+                     event_type, value, props
+              FROM read_parquet('{SRC}/events.parquet'), range({n}) t(i))
+        TO '{out}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT doc_id + i * 1000000 AS doc_id,
+                     CASE WHEN i = 0 THEN text
+                          ELSE text || ' r' || i || '-' || doc_id END AS text,
+                     lang, source,
+                     CAST(length(CASE WHEN i = 0 THEN text
+                          ELSE text || ' r' || i || '-' || doc_id END) AS BIGINT)
+                         AS n_chars
+              FROM read_parquet('{SRC}/documents.parquet'), range({n}) t(i))
+        TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT vec_id + i * 1000000 AS vec_id,
+                     list_transform(embedding,
+                         x -> (x + i * 0.0001)::FLOAT) AS embedding,
+                     label
+              FROM read_parquet('{SRC}/embeddings.parquet'), range({n}) t(i))
+        TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        os.symlink(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def timed(spark, builder, sf_dir: str) -> float:
+    from alertas_spark.operators import memo
+
+    memo.clear()  # cold: include training/artifact cost every run
+    t0 = time.time()
+    builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:]
+    from alertas_spark.registry import load_all
+    from alertas_spark.session import get_spark
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    big = build_replica(n)
+    spark = get_spark("scale-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    reg = load_all()
+
+    rows = []
+    for name in (only or QUERIES):
+        b = reg[name].builder
+        t1 = min(timed(spark, b, SRC) for _ in range(2))
+        tn = min(timed(spark, b, big) for _ in range(2))
+        ratio = round(tn / t1, 2) if t1 > 0 else float("inf")
+        rows.append((name, t1, tn, ratio))
+        print(f"{name:34s} 1x={t1:6.2f}s  {n}x={tn:6.2f}s  ratio={ratio:5.2f}")
+
+    if not only:
+        with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
+            f.write(
+                f"# Row-count scaling probe ({n}x, local[32])\n\n"
+                f"Synthetic {n}x replica of sf0.1 (shifted ids, mutated replica "
+                "text, jittered embeddings — see tools/scale_probe.py). Cold "
+                "runs (trained-artifact memo cleared), min of 2. Ideal "
+                f"data-parallel scaling on a fixed box is <= {n}.0; sublinear "
+                "means fixed overhead dominates at 1x; superlinear flags a "
+                "candidate-set or shuffle blowup.\n\n"
+                f"| query | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n")
+            for name, t1, tn, ratio in rows:
+                f.write(f"| {name} | {t1} | {tn} | {ratio} |\n")
+        print(f"wrote {os.path.join(ROOT, 'SCALING.md')}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
