@@ -526,10 +526,19 @@ _EMB_DUCK_CTE = """
 """
 
 
+#: Per-block size guard for the blocked verifier: a block this hot means the
+#: hyperplane partitioner is too coarse for the data's duplicate structure —
+#: add hyperplanes (finer blocks) rather than letting one executor build an
+#: unbounded matrix.  200k × 64 float64 ≈ 100 MB per block, comfortably in
+#: executor memory.
+BLOCK_MAX_ROWS = 200_000
+
+
 def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
     if not blocked:
         return _emb_pairs_broadcast_matmul(spark, sf_dir)
-    from alertas_spark.operators.simsearch import _dot, _norm2
+    import numpy as np
+    import pandas as pd
 
     from alertas_spark.operators.simsearch import _bucket_expr
 
@@ -537,25 +546,37 @@ def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("block", F.expr(_bucket_expr(one_based=False)))
-        .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
-        # materialize the assignment once: the 4x64-term bucket expression would
-        # otherwise be inlined (and codegen-compiled) into BOTH self-join branches
-        # and every AQE re-plan — observed 10x plan-compile overhead.  The table is
-        # read twice by the pair join anyway, so one materialization is the cheaper
-        # shape at any scale.
-        .localCheckpoint()
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    cond = (F.col("a.vec_id") < F.col("b.vec_id")) \
-        & (F.col("a.block") == F.col("b.block"))
-    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, cond)
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= COS_THRESHOLD)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-                F.round("cos", 6).alias("cos_sim"))
-    )
+
+    # Within-block verification as ONE grouped Arrow batch per block: normalize
+    # rows, one BLAS matmul, threshold the upper triangle.  Replaces the earlier
+    # within-block self-join whose per-candidate interpreted `aggregate(zip_with)`
+    # dot made verify cost ~1.5 ms/pair (tools/scale_probe.py, 10x run) — the
+    # matmul is the same arithmetic the exact verifier already proves
+    # oracle-equal at round-6.  Plan: one shuffle on the block key, no pair
+    # relation ever materialized before thresholding.
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > BLOCK_MAX_ROWS:
+            raise ValueError(
+                f"embedding block holds {len(pdf)} rows (> {BLOCK_MAX_ROWS}); "
+                "the hyperplane partitioner is too coarse for this duplicate "
+                "structure — raise the hyperplane count for finer blocks")
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+        m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m_n @ m_n.T
+        ri, ci = np.where(sims >= COS_THRESHOLD)
+        keep = ids[ri] < ids[ci]
+        return pd.DataFrame({
+            "vec_a": ids[ri[keep]],
+            "vec_b": ids[ci[keep]],
+            "cos_sim": np.round(sims[ri[keep], ci[keep]], 6),
+        })
+
+    return emb.groupBy("block").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cos_sim double")
 
 
 #: Hard cap on the broadcast side of the exact all-pairs verifier: 200k × 64-dim
