@@ -526,6 +526,18 @@ _EMB_DUCK_CTE = """
 """
 
 
+def _round6_half_away(sims):
+    """Round to 6 decimals half-AWAY-from-zero — the semantics of both
+    ``F.round(..., 6)`` (which these numpy paths replaced) and the DuckDB
+    ``ROUND`` oracle.  ``np.round`` is half-to-even, so a cosine landing exactly
+    on a .5 at the 6th decimal would diverge from the oracle by 1e-6."""
+    import numpy as np
+
+    return np.where(sims >= 0,
+                    np.floor(sims * 1e6 + 0.5),
+                    np.ceil(sims * 1e6 - 0.5)) / 1e6
+
+
 #: Per-block size guard for the blocked verifier: a block this hot means the
 #: hyperplane partitioner is too coarse for the data's duplicate structure —
 #: add hyperplanes (finer blocks) rather than letting one executor build an
@@ -572,7 +584,7 @@ def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
         return pd.DataFrame({
             "vec_a": ids[ri[keep]],
             "vec_b": ids[ci[keep]],
-            "cos_sim": np.round(sims[ri[keep], ci[keep]], 6),
+            "cos_sim": _round6_half_away(sims[ri[keep], ci[keep]]),
         })
 
     return emb.groupBy("block").applyInPandas(
@@ -623,7 +635,7 @@ def _emb_pairs_broadcast_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({
                 "vec_a": my_ids[ri[keep]],
                 "vec_b": all_ids[ci[keep]],
-                "cos_sim": np.round(sims[ri[keep], ci[keep]], 6),
+                "cos_sim": _round6_half_away(sims[ri[keep], ci[keep]]),
             })
 
     return emb.mapInPandas(gen, "vec_a long, vec_b long, cos_sim double")

@@ -48,3 +48,10 @@ def session_artifact(spark: SparkSession, key: tuple,
 def clear() -> None:
     """Drop all memoized artifacts (tests / plan audits that need cold builds)."""
     _CACHE.clear()
+
+
+def artifact_count() -> int:
+    """Number of live memoized artifacts (bench uses this to detect which
+    queries build session artifacts, so warm timings can be reported separately
+    from the cold headline)."""
+    return len(_CACHE)

@@ -135,7 +135,12 @@ def driver_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
             continue
         for name, row in data.items():
             if isinstance(row, dict):
-                green = bool(row.get("hash_match") or row.get("rows_match"))
+                # hash_match is authoritative when present: right cardinality +
+                # wrong values must schedule as red, not count as green via
+                # rows_match.  rows_match alone decides only for the weaker
+                # rows-only checks (no oracle SQL → hash_match absent/None).
+                hm = row.get("hash_match")
+                green = bool(hm) if hm is not None else bool(row.get("rows_match"))
                 prev = hist.get(name)
                 if prev is None or rnd >= prev[0]:
                     hist[name] = (rnd, green)

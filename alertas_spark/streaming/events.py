@@ -88,6 +88,37 @@ _STATE_SCHEMA = "n_events long, total_micro long"
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
 
 
+def quantize_micro(vals) -> "pd.Series":
+    """Vectorized ROUND_HALF_UP of float64 values to 6-decimal micro-units
+    (int64), bit-equal to ``Decimal(float(v)).quantize(1e-6, HALF_UP)`` per row.
+
+    Sign-aware floor/ceil gives half-AWAY-from-zero (np.rint would round
+    half-to-even).  The ``v * 1e6`` double multiply itself rounds and can move a
+    value onto — or off — the .5 boundary spuriously, so the fast path is
+    trusted only when the fractional part is more than a few ULPs away from .5;
+    the rare boundary-suspect rows are recomputed exactly via Decimal, which
+    works on the full binary expansion of the double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    x = np.asarray(vals, dtype="float64") * 1e6
+    if not np.isfinite(x).all():
+        # NaN/inf would cast to garbage int64 silently; the determinism
+        # contract fails loudly instead (matches the Decimal path it replaced)
+        raise ValueError("quantize_micro: non-finite value")
+    micro = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype("int64")
+    frac = np.abs(x - np.trunc(x))
+    suspect = np.abs(frac - 0.5) <= 8 * np.spacing(np.abs(x) + 1.0)
+    if suspect.any():
+        q6 = Decimal("0.000001")
+        v = np.asarray(vals, dtype="float64")
+        for i in np.flatnonzero(suspect):
+            micro[i] = int(Decimal(float(v[i]))
+                           .quantize(q6, rounding=ROUND_HALF_UP).scaleb(6))
+    return micro
+
+
 def _update_totals(key, batches: Iterator[pd.DataFrame], state: GroupState):
     # Same determinism contract as functions/numeric.dsum: quantize each double to
     # 6 decimals, accumulate exactly in integer micro-units (order-independent
@@ -96,24 +127,11 @@ def _update_totals(key, batches: Iterator[pd.DataFrame], state: GroupState):
     # full-replay output is bit-equal to the batch GROUP BY oracle.
     from decimal import ROUND_HALF_UP, Decimal
 
-    import numpy as np
-
     q4 = Decimal("0.0001")
     n, acc_micro = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        # Vectorized ROUND_HALF_UP to 6 decimals in scaled-long micro-units
-        # (sign-aware: half-up rounds away from zero, np.rint would round
-        # half-to-even).  Equivalent to Decimal(v).quantize(1e-6, HALF_UP)
-        # for the value domain (|v| < 2^52/1e6, so v*1e6 is exact enough that
-        # no representable double lands on a spurious .5 boundary shift).
-        x = pdf["value"].to_numpy(dtype="float64") * 1e6
-        if not np.isfinite(x).all():
-            # NaN/inf would cast to garbage int64 silently; the determinism
-            # contract fails loudly instead (matches the Decimal path it replaced)
-            raise ValueError("user_running_totals: non-finite value in stream")
-        micro = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype("int64")
-        acc_micro += int(micro.sum())
+        acc_micro += int(quantize_micro(pdf["value"].to_numpy(dtype="float64")).sum())
     state.update((n, acc_micro))
     emit = float(Decimal(acc_micro).scaleb(-6).quantize(q4, rounding=ROUND_HALF_UP))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [emit]})

@@ -44,13 +44,21 @@ def main() -> None:
     except Exception as ex:
         print(f"# bench warmup skipped: {ex}", file=sys.stderr)
 
-    # Per-query time = min of two passes: a single sample conflates the query with
-    # whatever the machine was doing that second (observed 1.5-2x whole-corpus swings
-    # between back-to-back runs), and the min is the steady-state cost the plan
-    # actually has.  The corpus metric is the sum of per-query minima.
+    # Per-query time = min of two COLD passes: a single sample conflates the query
+    # with whatever the machine was doing that second (observed 1.5-2x whole-corpus
+    # swings between back-to-back runs), and the min is the steady-state cost the
+    # plan actually has.  COLD means the session-scoped trained-artifact memo
+    # (operators/memo.py) is cleared before every timed run, so each query pays its
+    # full standalone cost — kmeans training, PQ codebooks, dashboard truth sets —
+    # and min-of-2 stays purely a machine-noise guard, never a cache-warmth
+    # artifact.  The corpus metric is the sum of per-query cold minima.
+    from alertas_spark.operators import memo
+
     timings: dict[str, float] = {}
+    memoized: set[str] = set()
     for _pass in range(2):
         for name, q in registry.items():
+            memo.clear()
             t0 = time.time()
             try:
                 q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -58,11 +66,32 @@ def main() -> None:
             except Exception as ex:  # keep the bench line parseable even on one failure
                 t = -1.0
                 print(f"# bench error {name}: {ex}", file=sys.stderr)
+            if memo.artifact_count():
+                memoized.add(name)
             prev = timings.get(name)
             timings[name] = -1.0 if (t < 0 or (prev is not None and prev < 0)) \
                 else min(t, prev) if prev is not None else t
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # Session-warm timings for the artifact-memoized queries, reported SEPARATELY
+    # (never folded into the headline): in a real multi-query session the trained
+    # quantizer/codebook is built once and shared, so this is the marginal cost of
+    # re-running such a query with its artifacts live.  Each query's own prior run
+    # warms its memo; no cross-query sharing is staged here.
+    warm: dict[str, float] = {}
+    for name in memoized:
+        memo.clear()
+        q = registry[name]
+        try:
+            q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.time() - t0, 3)
+        except Exception as ex:
+            warm[name] = -1.0
+            print(f"# bench warm error {name}: {ex}", file=sys.stderr)
+    memo.clear()
 
     # The nightly-batch e2e: all active alerts computed, staged and published
     # through the engine (incl. the S7-S11 publication sinks the per-query loop
@@ -101,13 +130,19 @@ def main() -> None:
     # goes to BENCH_LOCAL.json for round-over-round diffing (tools/bench_diff.py).
     record = {
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "queries_warm_shared_artifacts": dict(sorted(warm.items())),
         "alert_batch_wall_clock": alert_batch,
         "metric": "declared_query_corpus_wall_clock",
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "protocol": ("per-query = min of 2 passes (machine-noise guard; observed "
-                     "±12% whole-corpus swings on unchanged code between rounds); "
+        "protocol": ("per-query = min of 2 COLD passes (trained-artifact memo "
+                     "cleared before every timed run, so min-of-2 is purely a "
+                     "machine-noise guard — observed ±12% whole-corpus swings on "
+                     "unchanged code between rounds); "
+                     "queries_warm_shared_artifacts = same query re-timed with "
+                     "its session memo live (multi-query-session marginal cost), "
+                     "disclosed separately and excluded from the headline; "
                      "streaming_* carry ~1-2s fixed micro-batch + state-store "
                      "machinery per run; fixture regeneration between rounds "
                      "shifts absolute times"),

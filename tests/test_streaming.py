@@ -83,6 +83,35 @@ def test_state_accumulator_is_lossless_across_micro_batches(spark, tmp_path):
     assert rows[0]["total_value"] == want
 
 
+def test_quantize_micro_matches_decimal_on_boundaries():
+    """The vectorized half-up quantizer must be bit-equal to the scalar
+    Decimal(float(v)).quantize(1e-6, HALF_UP) path it replaced — including on
+    adversarial .5 boundaries where the v*1e6 double multiply itself rounds."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from alertas_spark.streaming.events import quantize_micro
+
+    q6 = Decimal("0.000001")
+    cases = [0.0, -0.0, 0.0000005, -0.0000005, 1.0000005, -1.0000005,
+             2.5e-6, 123456789012.345678, -123456789012.345678,
+             0.1 + 0.2, 1e-7, 8.0000005, 8.5e-6, 1234.5678915]
+    # doubles engineered to sit ULP-close to a .5 micro boundary
+    for k in range(200):
+        base = (k * 7 + 1) / 2e6  # exact .5 multiples of 1e-6 in binary-ish
+        cases += [base, np.nextafter(base, 0), np.nextafter(base, np.inf),
+                  -base, np.nextafter(-base, 0), np.nextafter(-base, -np.inf)]
+    rng = random.Random(42)
+    cases += [rng.uniform(-1e6, 1e6) for _ in range(500)]
+
+    got = quantize_micro(np.array(cases, dtype="float64"))
+    for v, g in zip(cases, got):
+        want = int(Decimal(float(v)).quantize(q6, rounding=ROUND_HALF_UP).scaleb(6))
+        assert g == want, (v, int(g), want)
+
+
 def test_dedup_within_watermark_suppresses_duplicates(spark, tmp_path):
     """A doubled source (same file linked twice) must dedup back to the
     single-copy distinct count — the bounded-state guarantee the

@@ -101,3 +101,54 @@ def test_foreachbatch_upsert_across_micro_batches(spark, tmp_path):
                               str(tmp_path / "ckpt"))
     assert {(r.user_id, r.n_events, r.total_value)
             for r in spark.read.parquet(snap).collect()} == want
+
+
+def test_snapshot_swap_survives_crash_windows(spark, tmp_path):
+    """The two-rename swap must leave a complete snapshot recoverable from EVERY
+    crash state — in particular the window the old rmtree+rename scheme lost:
+    dying between 'remove current snapshot' and 'promote staging', where a
+    replayed batch would have found no snapshot and silently dropped all
+    previously-merged keys."""
+    import shutil
+
+    from alertas_spark.streaming.sinks import (merge_batch_into_snapshot,
+                                               recover_snapshot)
+
+    snap = str(tmp_path / "snap")
+    old, staging = snap + ".old", snap + ".staging"
+
+    def rows():
+        return {(r.k, r.v) for r in spark.read.parquet(snap).collect()}
+
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    merge_batch_into_snapshot(b1, ["k"], snap)
+    assert rows() == {(1, "a"), (2, "b")}
+
+    # crash state 1: died between the renames (snapshot gone, .old intact).
+    shutil.copytree(snap, old)
+    shutil.rmtree(snap)
+    recover_snapshot(snap)
+    assert rows() == {(1, "a"), (2, "b")}
+
+    # crash state 2: died after promote, before cleanup (.old is stale leftover).
+    shutil.copytree(snap, old)
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    merge_batch_into_snapshot(b2, ["k"], snap)  # runs recovery itself
+    assert rows() == {(1, "a"), (2, "B"), (3, "c")}
+    assert not shutil.os.path.exists(old)
+
+    # crash state 3: leftover partial .staging is untrusted and replaced.
+    shutil.os.makedirs(staging)
+    with open(shutil.os.path.join(staging, "garbage"), "w") as fh:
+        fh.write("not parquet")
+    b3 = spark.createDataFrame([(4, "d")], "k int, v string")
+    merge_batch_into_snapshot(b3, ["k"], snap)
+    assert rows() == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    assert not shutil.os.path.exists(staging) and not shutil.os.path.exists(old)
+
+    # replay semantics after crash state 1: the batch that was mid-merge re-merges
+    # idempotently against the restored snapshot (batch rows win on collision).
+    shutil.copytree(snap, old)
+    shutil.rmtree(snap)
+    merge_batch_into_snapshot(b3, ["k"], snap)
+    assert rows() == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
