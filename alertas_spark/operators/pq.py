@@ -30,10 +30,12 @@ Scale shape:
   the broadcast codebook with array HOFs, fold order fixed left-to-right so the
   codes are bit-deterministic across engines and partitionings) — ZERO shuffles,
   embarrassingly parallel at 100 TB.
-* **ADC top-k** — the per-query LUTs (N_QUERIES × 4×16 doubles) are built in-plan
-  and broadcast; approximate distances are scan-side lookups; the only shuffle is
-  the final top-k window on ``query_id`` — identical to the brute-force shape but
-  over 4-int codes instead of 64-double vectors.
+* **ADC top-k** — the per-query LUTs (N_QUERIES × 4×16 doubles) and the packed
+  codebook are tiny driver artifacts broadcast to every task; codes + approximate
+  distances are vectorized numpy inside ONE ``mapInPandas`` scan that emits only
+  its partition-local top-k per query; the single shuffle is the exact final rank
+  over ≤ k · n_partitions rows per query (two-phase top-k, operators/topk.py) —
+  never a full-corpus sort in N_QUERIES tasks.
 
 All distances are sequential left-to-right double folds (the ``simsearch._dot``
 contract), bit-equal to the DuckDB oracle's ``list_reduce``.
@@ -197,31 +199,108 @@ _DUCK_ADC_RANKED = f"""
     )"""
 
 
-def _adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, vec_id, adist, rnk): every candidate ranked per query by ADC
-    distance ascending, ties to the lowest candidate id — the Spark twin of
-    ``_DUCK_ADC_RANKED``."""
+def _seq_subdist(a, b):
+    """Sequential left-fold of Σ(aᵢ−bᵢ)² over the LAST axis — operation-for-
+    operation the `_SUBDIST` / `_DUCK_SUBDIST` fold (single IEEE add per step,
+    no pairwise regrouping, no FMA), so results are bit-equal to both engines."""
+    diff = a - b
+    sq = diff * diff
+    d = sq[..., 0].copy()
+    for i in range(1, sq.shape[-1]):
+        d += sq[..., i]
+    return d
+
+
+def _adc_artifacts(spark: SparkSession, sf_dir: str):
+    """Driver-side bounded pull of the tiny PQ scoring artifacts (the S15
+    scalar-pull pattern, size-bounded by module constants): ONE job collecting
+    the ≤ max(KSUB, N_QUERIES) seed/query rows — the `vec_id <` filter rides
+    into the parquet scan — from which the packed codebook (seed sub-vector
+    slices, pure selection) and the per-query ADC LUTs (`_seq_subdist`, the
+    bit-exact fold) are assembled in numpy.  The normalized embeddings come out
+    of the SAME plan every other PQ path reads, so all doubles are bit-identical
+    to the declarative computation they replace."""
+    import numpy as np
+
     v = _normalized(spark, sf_dir)
-    luts = (
-        v.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(_codebook(v)))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.expr(
-                f"transform(sequence(1, {M}), m -> transform(sequence(1, {KSUB}), "
-                f"c -> {_SUBDIST.format(m='m', sd=SUBDIM, c='c')}))").alias("lut"),
-        )
-    )
-    cands = _encoded(spark, sf_dir)
-    scored = (
-        cands.crossJoin(F.broadcast(luts))
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("adist", F.expr(
-            f"aggregate(sequence(1, {M}), cast(0.0 as double), (acc, m) -> "
-            "acc + element_at(element_at(lut, m), element_at(codes, m).c))"))
-    )
+    rows = v.filter(F.col("vec_id") < max(KSUB, N_QUERIES)).collect()
+    by_id = {r["vec_id"]: np.asarray(r["emb"], dtype=np.float64) for r in rows}
+    # cb[m][c] = sub-vector m of seed vector vec_id == c (the _codebook contract)
+    cb = np.stack([
+        np.stack([by_id[c][m * SUBDIM:(m + 1) * SUBDIM] for c in range(KSUB)])
+        for m in range(M)])                                          # (M,KSUB,SUBDIM)
+    qids = np.array(sorted(i for i in by_id if i < N_QUERIES), dtype=np.int64)
+    qsub = np.stack([
+        np.stack([by_id[int(q)][m * SUBDIM:(m + 1) * SUBDIM] for m in range(M)])
+        for q in qids])                                              # (nq,M,SUBDIM)
+    lut = _seq_subdist(qsub[:, :, None, :], cb[None, :, :, :])       # (nq,M,KSUB)
+    return qids, lut, cb
+
+
+def _adc_topk(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
+    """(query_id, vec_id, adist, rnk ≤ depth): the exact per-query top-``depth``
+    by ADC distance ascending, ties to the lowest candidate id — row-identical to
+    ranking EVERY candidate (the ``_DUCK_ADC_RANKED`` oracle) and filtering.
+
+    Round-6 rewrite of the former full-rank plan: PQ codes AND the ADC distance
+    are computed numpy-side in one ``mapInPandas`` pass (the interpreted
+    ``aggregate(sequence(...))`` LUT fold was the round-5 bench regression), and
+    each partition emits only its local top-``depth`` per query, so the final
+    exact rank window sees ≤ depth · n_partitions rows per query instead of the
+    corpus — the two-phase top-k shape (operators/topk.py), no N_QUERIES-task
+    full sort anywhere.
+
+    Bit-equality is preserved operation-for-operation: sub-distances accumulate
+    sequentially over dims (same left fold as `_SUBDIST`/`_DUCK_SUBDIST`, single
+    IEEE add per step, no FMA), argmin ties resolve to the lowest codeword id
+    (first-occurrence argmin), and adist sums the 4 LUT lookups in subspace
+    order — so codes, distances, and therefore ranks match the oracle exactly."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(_adc_artifacts(spark, sf_dir))
+    v = _normalized(spark, sf_dir)
+
+    def gen(batches):
+        qids, lut, cb = bc.value
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+            acc = None  # (nq, n) ADC distances, accumulated in subspace order
+            for m in range(M):
+                sub = mat[:, m * SUBDIM:(m + 1) * SUBDIM]
+                d = _seq_subdist(sub[:, None, :], cb[m][None, :, :])
+                codes_m = d.argmin(axis=1)          # ties → lowest codeword id
+                lm = lut[:, m, :][:, codes_m]       # (nq, n) LUT gather
+                acc = lm if acc is None else acc + lm
+            qs, vs, ds = [], [], []
+            for qi, q in enumerate(qids):
+                mask = ids != q                     # a query never matches itself
+                cand, dd = ids[mask], acc[qi][mask]
+                order = np.lexsort((cand, dd))[:depth]
+                qs.append(np.full(len(order), q, dtype=np.int64))
+                vs.append(cand[order])
+                ds.append(dd[order])
+            batch_best = pd.DataFrame({
+                "query_id": np.concatenate(qs),
+                "vec_id": np.concatenate(vs),
+                "adist": np.concatenate(ds),
+            })
+            cur = batch_best if best is None else pd.concat(
+                (best, batch_best), ignore_index=True)
+            cur = cur.sort_values(["adist", "vec_id"], kind="mergesort",
+                                  ignore_index=True)
+            best = cur.groupby("query_id", sort=False).head(depth)
+        if best is not None and len(best):
+            yield best
+
+    scored = v.mapInPandas(gen, "query_id long, vec_id long, adist double")
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= depth))
 
 
 @declare(
@@ -238,7 +317,7 @@ def simsearch_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace LUT lookups on the candidate's PQ codes; rank ascending
     (L2² distance), ties to the lowest candidate id.  The scan never touches
     the raw vectors — only the 4-int codes and the broadcast per-query LUTs."""
-    return _topk_from_adc(_adc_ranked(spark, sf_dir))
+    return _topk_from_adc(_adc_topk(spark, sf_dir, TOP_K))
 
 
 def _topk_from_adc(adc: DataFrame) -> DataFrame:
@@ -294,7 +373,7 @@ def simsearch_topk_pq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the vector gather for the shortlist is one hash join on
     ``vec_id`` against the embedding table (bucket-ready key); queries are a
     broadcast; the final window re-ranks {SHORTLIST}-row groups."""
-    return _rerank_from_adc(spark, sf_dir, _adc_ranked(spark, sf_dir))
+    return _rerank_from_adc(spark, sf_dir, _adc_topk(spark, sf_dir, SHORTLIST))
 
 
 def _rerank_from_adc(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataFrame:
@@ -525,8 +604,7 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    simsearch_topk_multiprobe)
 
     def adc_short() -> DataFrame:
-        return (_adc_ranked(spark, sf_dir)
-                .filter(F.col("rnk") <= SHORTLIST).localCheckpoint())
+        return _adc_topk(spark, sf_dir, SHORTLIST).localCheckpoint()
 
     shortlist = session_artifact(spark, ("dashboard_adc_short", sf_dir), adc_short)
     methods = {

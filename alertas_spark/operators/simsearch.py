@@ -64,9 +64,24 @@ def _duck_topk_sql(same_label: bool) -> str:
     """
 
 
-def _spark_topk(spark: SparkSession, sf_dir: str, same_label: bool) -> DataFrame:
-    from pyspark.sql import Window
+def _topk_shape(scored: DataFrame) -> DataFrame:
+    """(query_id, vec_id, cos) → the declared top-k result shape, via the
+    two-phase exact top-k (operators/topk.py): per-partition shortlist with no
+    shuffle, then the exact rank over ≤ k·partitions rows per query — never a
+    full-corpus sort in N_QUERIES tasks."""
+    from alertas_spark.operators.topk import ranked_topk
 
+    return (
+        ranked_topk(scored.select("query_id", "vec_id", "cos"),
+                    "query_id", "cos", "vec_id", TOP_K, ascending=False)
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"),
+            F.col("rnk").cast("int").alias("rnk"), F.round("cos", 6).alias("score"),
+        )
+    )
+
+
+def _spark_topk(spark: SparkSession, sf_dir: str, same_label: bool) -> DataFrame:
     v = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
@@ -83,15 +98,7 @@ def _spark_topk(spark: SparkSession, sf_dir: str, same_label: bool) -> DataFrame
         v.join(F.broadcast(q), cond)
         .withColumn("cos", _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id", F.col("vec_id").alias("cand_id"),
-            F.col("rnk").cast("int").alias("rnk"), F.round("cos", 6).alias("score"),
-        )
-    )
+    return _topk_shape(scored)
 
 
 @declare("simsearch_topk_bruteforce", oracle=_duck_topk_sql(same_label=False),
@@ -233,8 +240,6 @@ def simsearch_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     force at 2/2^planes of its cost; the probe expansion is a 2-element explode on
     the (broadcast) query side only, so the candidate table still shuffles once on
     its single bucket key."""
-    from pyspark.sql import Window
-
     v = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
@@ -257,15 +262,7 @@ def simsearch_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("probe") == F.col("bucket")))
         .withColumn("cos", _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id", F.col("vec_id").alias("cand_id"),
-            F.col("rnk").cast("int").alias("rnk"), F.round("cos", 6).alias("score"),
-        )
-    )
+    return _topk_shape(scored)
 
 
 @declare("simsearch_topk_ivf_assigned", oracle=_duck_topk_assigned_sql(),
@@ -276,8 +273,6 @@ def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     column), then candidates are pruned to the query's bucket exactly as in
     ``simsearch_topk_ivf``.  Assignment is a shuffle-free projection; the search
     shuffles only on the bucket key with the query set broadcast."""
-    from pyspark.sql import Window
-
     v = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
@@ -293,15 +288,7 @@ def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("qbucket") == F.col("bucket")))
         .withColumn("cos", _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id", F.col("vec_id").alias("cand_id"),
-            F.col("rnk").cast("int").alias("rnk"), F.round("cos", 6).alias("score"),
-        )
-    )
+    return _topk_shape(scored)
 
 
 # ---------------------------------------------------------------------------

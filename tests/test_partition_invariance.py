@@ -26,6 +26,7 @@ QUERIES = [
     "pq_encode",                 # scan-side argmin over broadcast codebook
     "pq_encode_trained",         # Lloyd update: decimal means + quantized qerr
     "simsearch_topk_pq_reranked",  # ADC shortlist + exact-cosine re-rank
+    "simsearch_topk_bruteforce",   # two-phase top-k local shortlist (topk.py)
     "dedup_cluster_representative",  # CC labels + deterministic rep pick
 ]
 

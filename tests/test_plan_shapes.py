@@ -153,12 +153,50 @@ def test_pq_encode_is_scan_side_after_codebook_build(spark):
 
 def test_pq_adc_topk_shuffles_only_for_the_window(spark):
     plan = _plan(_build(spark, "simsearch_topk_pq"))
-    # codes and LUTs are broadcast-composed scan-side; the single data shuffle
-    # is the per-query top-k window
+    # r6 two-phase shape: codes + ADC distances + partition-local top-k all live
+    # in one numpy mapInPandas scan; the ONLY shuffle is the exact final rank
+    # window over the ≤ k·partitions-per-query shortlist
     non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert non_broadcast == 3, non_broadcast  # codebook agg ×2 reuse + window
+    assert non_broadcast == 1, non_broadcast
+    assert "MapInPandas" in plan, "partial top-k must run scan-side"
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bruteforce_topk_is_two_phase(spark):
+    plan = _plan(_build(spark, "simsearch_topk_bruteforce"))
+    # local per-partition shortlist (MapInPandas, selection-only) ahead of the
+    # exact rank window: the window's input is ≤ k·partitions rows per query,
+    # never the full scored corpus in N_QUERIES tasks
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") > plan.index("Window"), \
+        "shortlist must feed the window (formatted plans list leaves below)"
+    assert "CartesianProduct" not in plan
+
+
+def test_ranked_topk_equals_full_rank(spark):
+    """Two-phase exact top-k == the full global rank, under an adversarial
+    partition layout (many tiny partitions, duplicate scores forcing the tie
+    path)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.topk import ranked_topk
+
+    rows = [(i % 7, i, float((i * 37) % 11)) for i in range(500)]
+    df = (spark.createDataFrame(rows, "k int, vid long, score double")
+          .repartition(23))
+    got = ranked_topk(df, "k", "score", "vid", 4, ascending=False)
+    w = Window.partitionBy("k").orderBy(F.desc("score"), F.asc("vid"))
+    want = (df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 4))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # ascending variant too
+    got_a = ranked_topk(df, "k", "score", "vid", 3, ascending=True)
+    wa = Window.partitionBy("k").orderBy(F.asc("score"), F.asc("vid"))
+    want_a = (df.withColumn("rnk", F.row_number().over(wa))
+              .filter(F.col("rnk") <= 3))
+    assert sorted(map(tuple, got_a.collect())) == sorted(map(tuple, want_a.collect()))
 
 
 def test_multimodal_resize_is_shuffle_free(spark):
