@@ -259,7 +259,13 @@ def _adc_topk(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
     import pandas as pd
 
     bc = spark.sparkContext.broadcast(_adc_artifacts(spark, sf_dir))
-    v = _normalized(spark, sf_dir)
+    # raw vectors in, normalization INSIDE the numpy scan: the interpreted
+    # per-row `aggregate(transform(...))` norm fold was the dominant 10×-probe
+    # cost once scoring went vectorized — `_seq_subdist(mat, 0.0)` is the same
+    # fold op-for-op (x−0.0 ≡ x bit-wise), sqrt and the per-element divide are
+    # single-rounded in both engines, so normalized values stay bit-equal.
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
 
     def gen(batches):
         qids, lut, cb = bc.value
@@ -268,7 +274,8 @@ def _adc_topk(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             if not len(ids):
                 continue
-            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+            raw = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+            mat = raw / np.sqrt(_seq_subdist(raw, 0.0))[:, None]
             acc = None  # (nq, n) ADC distances, accumulated in subspace order
             for m in range(M):
                 sub = mat[:, m * SUBDIM:(m + 1) * SUBDIM]
@@ -377,19 +384,29 @@ def simsearch_topk_pq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rerank_from_adc(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataFrame:
-    """ADC ranking → exact-cosine re-rank (shared with the recall dashboard)."""
+    """ADC ranking → exact-cosine re-rank (shared with the recall dashboard).
+
+    The gather joins the RAW embedding scan against the broadcast shortlist
+    (bounded by constants: N_QUERIES × SHORTLIST rows) and only THEN normalizes
+    — the per-row norm fold runs on the ≤ 500 surviving rows, never the corpus,
+    and the corpus-sized table is never shuffled to meet 500 rows."""
     short = (
         adc
         .filter(F.col("rnk") <= SHORTLIST)
         .select("query_id", "vec_id")
     )
-    v = _normalized(spark, sf_dir)
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    vraw = (load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("e0")))
+    q = (_normalized(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")))
     dot = ("aggregate(zip_with(qemb, emb, (x, y) -> x * y), "
            "cast(0.0 as double), (acc, v) -> acc + v)")
     rr = (
-        short.join(v, "vec_id")
+        vraw.join(F.broadcast(short), "vec_id")
+        .withColumn("nrm", F.sqrt(F.expr(
+            "aggregate(transform(e0, x -> x * x), cast(0.0 as double), "
+            "(acc, v) -> acc + v)")))
+        .withColumn("emb", F.expr("transform(e0, x -> x / nrm)"))
         .join(F.broadcast(q), "query_id")
         .withColumn("cos", F.expr(dot))
     )

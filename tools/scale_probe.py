@@ -41,18 +41,43 @@ QUERIES = [
     "dedup_minhash_lsh",           # LSH band self-join (documents ×N)
     "dedup_simhash",               # bit-signature banding + Hamming verify
     "dedup_cluster_representative",  # pairs + star contraction + window
+    "dedup_components",            # large-star/small-star label propagation
     "dedup_embedding_cosine_blocked",  # LSH-bucketed cosine (embeddings ×N)
     "source_quality_gate",         # scan-side text scoring + gate join
     "tfidf_top_terms",             # df join-back on term + window top-n
+    "profile_columns",             # exact distinct + quantiles (two-pass)
     "profile_columns_approx",      # sketch profiling (documents ×N)
     "simsearch_topk_ivf_trained",  # Lloyd training + pruned top-k (embeddings ×N)
+    "simsearch_topk_pq",           # numpy ADC + two-phase top-k (r6 rewrite)
     "simsearch_topk_pq_reranked",  # ADC shortlist + exact re-rank
     "asof_join_salted",            # segmented carry-forward as-of join
     "pack_sequences",              # per-shard window cumsum packing
     "salted_skew_agg",             # two-stage salted aggregation (events ×N)
+    "pipeline_clean_corpus_v2",    # composed multi-stage pipeline (documents ×N)
     "streaming_tumbling_5min",     # full streaming machinery + state (events ×N)
     "streaming_sessionize",        # session-window state store (events ×N)
 ]
+
+#: streaming state-path probe: events-only replica at a deeper factor — the
+#: state store's key/watermark behavior is what a 100 TB stream stresses, and
+#: events is the only table those plans read
+STREAM_N = 100
+STREAM_QUERIES = ["streaming_tumbling_5min", "streaming_user_totals",
+                  "streaming_dedup_within_watermark"]
+
+#: alert-warehouse probe (alerta_prcr, the deepest legal-logic pipeline): the
+#: MPRJ fixture entity chain documento ← assunto/personagem ← vista ← andamento
+#: ← sub_andamento replicated with CONSISTENTLY shifted surrogate keys per
+#: replica (dims shared), so every per-document join fans out N× realistically.
+ALERT_SHIFT_COLS = {
+    "mcpr_documento": ("docu_dk",),
+    "mcpr_assunto_documento": ("asdo_docu_dk",),
+    "mcpr_personagem": ("pers_docu_dk",),
+    "mcpr_vista": ("vist_dk", "vist_docu_dk"),
+    "mcpr_andamento": ("pcao_dk", "pcao_vist_dk"),
+    "mcpr_sub_andamento": ("stao_dk", "stao_pcao_dk"),
+}
+_ALERT_OFF = 10_000_000
 
 
 def build_replica(n: int) -> str:
@@ -87,6 +112,76 @@ def build_replica(n: int) -> str:
               "orders", "lineitem"):
         os.symlink(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     return out
+
+
+def build_events_replica(n: int) -> str:
+    """Events at n×, every other table symlinked — the streaming plans read
+    only events, so a deep state-path probe needn't copy the rest."""
+    out = os.path.join(WORK, f"events{n}x")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT event_id + i * 100000000 AS event_id, ts, user_id,
+                     event_type, value, props
+              FROM read_parquet('{SRC}/events.parquet'), range({n}) t(i))
+        TO '{out}/events.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        os.symlink(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def build_alert_replica(n: int) -> str:
+    """MPRJ fixture warehouse with the document entity chain replicated n×
+    (ALERT_SHIFT_COLS keys shifted consistently; dims symlinked)."""
+    from alertas_spark.plans.alert_corpus import FIXTURE_DIR
+    from alertas_spark.testing.fixtures import ensure_fixtures
+
+    ensure_fixtures(FIXTURE_DIR)
+    out = os.path.join(WORK, f"mprj{n}x")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(os.path.join(out, "alertas"))
+    con = duckdb.connect()
+    for schema in os.listdir(FIXTURE_DIR):
+        sdir = os.path.join(FIXTURE_DIR, schema)
+        if not os.path.isdir(sdir):
+            continue
+        os.makedirs(os.path.join(out, schema), exist_ok=True)
+        for fname in os.listdir(sdir):
+            table = fname.removesuffix(".parquet")
+            src_f, dst_f = os.path.join(sdir, fname), os.path.join(out, schema, fname)
+            shift = ALERT_SHIFT_COLS.get(table)
+            if not shift:
+                os.symlink(src_f, dst_f)
+                continue
+            cols = [r[0] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{src_f}')").fetchall()]
+            sel = ", ".join(
+                f"{c} + i * {_ALERT_OFF} AS {c}" if c in shift else c for c in cols)
+            con.execute(f"""
+                COPY (SELECT {sel} FROM read_parquet('{src_f}'), range({n}) t(i))
+                TO '{dst_f}' (FORMAT PARQUET)""")
+    return out
+
+
+def timed_alert(spark, warehouse: str, sigla: str) -> tuple[float, int]:
+    """One cold run of an alert builder over ``warehouse`` (fresh context: the
+    cached base views and the in-builder tempo cache are rebuilt, the detail
+    sink rewritten — the full nightly cost of that alert)."""
+    from alertas_spark.framework.context import AlertContext
+    from alertas_spark.framework.engine import registry
+    from alertas_spark.testing.fixtures import AS_OF
+
+    spark.catalog.clearCache()
+    ctx = AlertContext(spark=spark, warehouse=warehouse, as_of=AS_OF)
+    t0 = time.time()
+    n = registry()[sigla].builder(ctx).count()
+    dt = round(time.time() - t0, 2)
+    spark.catalog.clearCache()
+    return dt, n
 
 
 def timed(spark, builder, sf_dir: str) -> tuple[float, int]:
@@ -125,6 +220,29 @@ def main() -> int:
         print(f"{name:34s} 1x={t1:6.2f}s  {n}x={tn:6.2f}s  time_ratio={tr:6.2f}  "
               f"rows {r1}->{rn} (x{rr})")
 
+    stream_rows, alert_rows = [], []
+    if not only:
+        deep = build_events_replica(STREAM_N)
+        for name in STREAM_QUERIES:
+            b = reg[name].builder
+            t1, r1 = min(timed(spark, b, SRC) for _ in range(2))
+            tn, rn = min(timed(spark, b, deep) for _ in range(2))
+            tr = round(tn / t1, 2) if t1 > 0 else float("inf")
+            rr = round(rn / r1, 2) if r1 > 0 else float("inf")
+            stream_rows.append((name, t1, tn, tr, r1, rn, rr))
+            print(f"{name:34s} 1x={t1:6.2f}s  {STREAM_N}x={tn:6.2f}s  "
+                  f"time_ratio={tr:6.2f}  rows {r1}->{rn} (x{rr})")
+
+        from alertas_spark.plans.alert_corpus import FIXTURE_DIR
+        alert_big = build_alert_replica(n)
+        t1, r1 = min(timed_alert(spark, FIXTURE_DIR, "PRCR") for _ in range(2))
+        tn, rn = min(timed_alert(spark, alert_big, "PRCR") for _ in range(2))
+        tr = round(tn / t1, 2) if t1 > 0 else float("inf")
+        rr = round(rn / r1, 2) if r1 > 0 else float("inf")
+        alert_rows.append(("alerta_prcr", t1, tn, tr, r1, rn, rr))
+        print(f"{'alerta_prcr':34s} 1x={t1:6.2f}s  {n}x={tn:6.2f}s  "
+              f"time_ratio={tr:6.2f}  rows {r1}->{rn} (x{rr})")
+
     if not only:
         with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
             f.write(
@@ -143,6 +261,25 @@ def main() -> int:
                 f"| query | 1x sec | {n}x sec | time ratio | 1x rows | {n}x rows "
                 "| rows ratio |\n|---|---|---|---|---|---|---|\n")
             for name, t1, tn, tr, r1, rn, rr in rows:
+                f.write(f"| {name} | {t1} | {tn} | {tr} | {r1} | {rn} | {rr} |\n")
+            f.write(
+                f"\n## Streaming state path ({STREAM_N}x events-only replica)\n\n"
+                "The stateful queries' cost is dominated by fixed micro-batch + "
+                "state-store machinery at 1x; the deep replica measures how the "
+                "state path itself grows with keys × rows.\n\n"
+                f"| query | 1x sec | {STREAM_N}x sec | time ratio | 1x rows | "
+                f"{STREAM_N}x rows | rows ratio |\n|---|---|---|---|---|---|---|\n")
+            for name, t1, tn, tr, r1, rn, rr in stream_rows:
+                f.write(f"| {name} | {t1} | {tn} | {tr} | {r1} | {rn} | {rr} |\n")
+            f.write(
+                f"\n## Alert warehouse ({n}x entity-chain replica)\n\n"
+                "MPRJ fixture documento ← assunto/personagem ← vista ← andamento "
+                "← sub_andamento replicated with consistently shifted surrogate "
+                "keys (dims shared); cold fresh-context runs including the "
+                "detail-table write — the nightly per-alert cost at n× caseload.\n\n"
+                f"| query | 1x sec | {n}x sec | time ratio | 1x rows | {n}x rows "
+                "| rows ratio |\n|---|---|---|---|---|---|---|\n")
+            for name, t1, tn, tr, r1, rn, rr in alert_rows:
                 f.write(f"| {name} | {t1} | {tn} | {tr} | {r1} | {rn} | {rr} |\n")
         print(f"wrote {os.path.join(ROOT, 'SCALING.md')}")
     return 0
