@@ -255,6 +255,13 @@ def alerta_prcr(ctx: AlertContext) -> DataFrame:
         .withColumn("elapsed",
                     F.datediff(ctx.as_of_col, F.col("data_prescricao")).cast("int"))
         .cache()  # reused by the detail write and the classification (prcr:167)
+        # Reuse verified (r6 plan audit): the classification plan reads this
+        # stage via 14 InMemoryTableScans; the ~214 "Scan parquet" lines in the
+        # formatted explain are the cache-POPULATION lineage reprinted under
+        # each InMemoryRelation occurrence — an explain-text artifact, not
+        # runtime re-reads.  Runtime = one population pass + cached reads, so
+        # no checkpoint() is needed (checkpointing would add a disk write
+        # without removing any executed scan).
     )
     _write_detail(ctx, tempo)
 

@@ -75,6 +75,53 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 #: yields feature batches matching the declared output schema.
 Decoder = "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]"
 
+#: Output schema for :func:`pil_decode_batch` — real image metadata.
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mode", StringType()),
+])
+
+
+def pil_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """WORKED EXAMPLE of a real codec behind the seam: PIL image decode.
+
+    Usage: ``decode_features(media, decoder=pil_decode_batch,
+    schema=IMAGE_FEATURES_SCHEMA)``.  The import lives *inside* the batch
+    function so it resolves on the executors (where decoding runs), and the
+    module stays importable in codec-less containers — this one has no PIL, so
+    the exercising test (tests/test_multimodal.py::test_pil_decode_real_codec)
+    self-skips; the declared queries keep using the deterministic stub.
+    Per-image failures surface as NULL dimensions rather than killing the batch:
+    at 100 TB a corrupt payload is data, not an infrastructure error."""
+    import io
+
+    from PIL import Image  # executor-side import: raises only where decoding runs
+
+    for pdf in batches:
+        widths: list = []
+        heights: list = []
+        modes: list = []
+        for buf in pdf["media"]:
+            try:
+                with Image.open(io.BytesIO(bytes(buf))) as img:
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    modes.append(img.mode)
+            except Exception:
+                widths.append(None)
+                heights.append(None)
+                modes.append(None)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": pdf["media"].map(len).astype("int32"),
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+            "mode": modes,
+        })
+
 
 def decode_features(media: DataFrame, decoder=None,
                     schema: StructType = FEATURES_SCHEMA) -> DataFrame:

@@ -118,3 +118,36 @@ def test_injected_resizer_replaces_the_stub(spark):
     row = out.filter("doc_id = 0").collect()[0]
     assert bytes(row["media"])[::-1].decode("utf-8").startswith("")  # round-trips
     assert row["orig_bytes"] == len(bytes(row["media"]))
+
+
+def test_pil_decode_real_codec(spark):
+    """Exercise the REAL-codec worked example (pil_decode_batch) end-to-end on a
+    generated PNG byte column.  Self-skips where PIL is absent (this container);
+    in a codec-equipped deployment it proves the seam carries a real decoder."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — skip-if-unavailable gate
+    import io
+
+    from PIL import Image
+
+    from alertas_spark.operators.multimodal import (IMAGE_FEATURES_SCHEMA,
+                                                    pil_decode_batch)
+
+    def png_bytes(w: int, h: int) -> bytes:
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (w % 256, h % 256, 0)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(32, 16), "image/png"),
+            (2, png_bytes(8, 8), "image/png"),
+            (3, b"not a png", "image/png")]  # corrupt payload → NULLs, not a crash
+    media = spark.createDataFrame(rows, "doc_id long, media binary, media_type string")
+
+    out = {r["doc_id"]: r for r in
+           decode_features(media, decoder=pil_decode_batch,
+                           schema=IMAGE_FEATURES_SCHEMA).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["mode"]) == (32, 16, "RGB")
+    assert (out[2]["width"], out[2]["height"]) == (8, 8)
+    assert out[3]["width"] is None and out[3]["mode"] is None
+    assert out[3]["n_bytes"] == len(b"not a png")

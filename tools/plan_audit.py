@@ -36,6 +36,11 @@ def audit_plan(plan: str) -> dict:
         "cartesian": len(re.findall(r"CartesianProduct", plan)),
         "exchange": len(re.findall(r"\(\d+\) Exchange", plan)),
         "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        # cache reuse: consumers of a .cache()'d stage read InMemoryTableScan at
+        # runtime; the parquet scans listed under its InMemoryRelation are the
+        # cache-POPULATION lineage (executed once), not per-consumer re-reads —
+        # so read `scans` alongside this column, not alone (alerta_prcr).
+        "imts": len(re.findall(r"InMemoryTableScan", plan)),
     }
 
 
@@ -45,7 +50,7 @@ def main() -> None:
 
     spark = get_spark("plan-audit")
     registry = load_all()
-    print(f"{'query':36} scans pushed bhj smj shj bnlj cart exch codegen")
+    print(f"{'query':36} scans pushed bhj smj shj bnlj cart exch codegen imts")
     for name, q in sorted(registry.items()):
         if ONLY and name not in ONLY:
             continue
@@ -64,7 +69,7 @@ def main() -> None:
             flags.append("no-broadcast")
         print(f"{name:36} {a['scans']:5} {a['pushed']:6} {a['bhj']:3} {a['smj']:3} "
               f"{a['shj']:3} {a['bnlj']:4} {a['cartesian']:4} {a['exchange']:4} "
-              f"{a['codegen']:7}  {' '.join(flags)}")
+              f"{a['codegen']:7} {a['imts']:4}  {' '.join(flags)}")
 
 
 if __name__ == "__main__":
