@@ -1,0 +1,324 @@
+"""Window-function and multi-dimensional aggregation operators (SURVEY §2.5 ext).
+
+The reference engine has no window functions (its greatest-n-per-group shapes are
+agg+join-back, re-expressed as windows in plans/joins.py); this module rounds out
+the idiomatic-Spark window surface an analytics user expects on top of it:
+
+* ROLLUP / CUBE / GROUPING SETS with ``grouping_id`` markers (one map-side
+  expand + a single hash-aggregate shuffle — Spark's Expand operator emits one
+  row per grouping set per input row, so the shuffle carries the pre-aggregated
+  partials of every set at once; no per-set rescans);
+* NTILE quartiles, LAG gaps, running totals, frame-bounded moving averages;
+* pivot (wide conditional aggregation);
+* an event funnel (sequential min-timestamp constraints per user).
+
+Scale notes: every per-entity window partitions by a high-cardinality key
+(c_custkey / user_id) — thousands of small sorted partitions, no single-task
+sort.  The two non-keyed windows are bounded by construction and documented at
+the definition: ``ntile`` partitions by market segment over customers (the
+reference dimension with ~5 segments; for an unbounded-cardinality ranking use
+the two-phase top-k in operators/topk.py instead), and the moving average runs
+over a *daily pre-aggregate* whose row count is calendar-bounded (~2.4k rows
+for 7 years at ANY scale factor — aggregate-then-window, never window-then-
+aggregate).
+
+Float determinism: window sums/averages accumulate in DECIMAL exactly like the
+grouped aggregates (functions/numeric.py) — a running total must not depend on
+how Spark merged the frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from alertas_spark.functions.numeric import ACC, dsum, sql_dsum
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE / GROUPING SETS
+# ---------------------------------------------------------------------------
+
+@declare(
+    "rollup_priority_status",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (priority → status → grand total) with grouping_id
+    markers.  Physical shape: Expand (3 sets) → one partial agg → one shuffle —
+    the multi-set answer costs a single pass over the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count("*").alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("sum_price"))
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "sum_price")
+    )
+
+
+@declare(
+    "cube_priority_segment",
+    oracle=f"""
+    SELECT o_orderpriority, c_mktsegment,
+           CAST(GROUPING(o_orderpriority, c_mktsegment) AS INTEGER) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE(o_orderpriority, c_mktsegment)
+    """,
+)
+def cube_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over a fact⋈dim join: all 4 grouping sets in one Expand+agg pass.
+    The join shuffles on the key and AQE picks broadcast when the dim fits;
+    the cube itself adds NO extra shuffle beyond the final aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .cube("o_orderpriority", "c_mktsegment")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count("*").alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("sum_price"))
+        .select("o_orderpriority", "c_mktsegment", "gid", "n_orders", "sum_price")
+    )
+
+
+@declare(
+    "grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two single-dimension marginals plus the
+    grand total, WITHOUT the cross product a CUBE would add (3 sets, not 4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets([["o_orderpriority"], ["o_orderstatus"], []],
+                            "o_orderpriority", "o_orderstatus")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count("*").alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("sum_price"))
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking / frame windows
+# ---------------------------------------------------------------------------
+
+@declare(
+    "ntile_customer_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(c_acctbal, 2) AS acctbal,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS INTEGER)
+               AS quartile
+    FROM customer
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) account-balance quartiles per market segment.  Total order
+    (balance, custkey) makes tile assignment deterministic.  Partition key is
+    the ~5-value segment dimension: bounded fan-in by construction, each
+    segment sorts in one task — for an unbounded key use two-phase top-k
+    (operators/topk.py) or range-partitioned approx quantiles
+    (operators/profiling.py) instead of a global NTILE."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@declare(
+    "lag_order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INTEGER) AS gap_days
+    FROM orders
+    """,
+)
+def lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days since the customer's previous order (LAG; NULL for the first).
+    Partitioned by customer — high-cardinality key, small sorted runs, the
+    scale-safe window shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+         .cast("int").alias("gap_days"),
+    )
+
+
+@declare(
+    "running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS running_spend,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS INTEGER)
+               AS nth_order
+    FROM orders
+    """,
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer in order-date order.  The frame sum
+    accumulates in DECIMAL: a running total must be identical however Spark
+    evaluates the frame (and identical to the sequential oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wr = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast(ACC)).over(w).cast("double"), 2)
+         .alias("running_spend"),
+        F.row_number().over(wr).cast("int").alias("nth_order"),
+    )
+
+
+@declare(
+    "moving_avg_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day, {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+           ROUND(CAST(SUM(CAST(revenue AS DECIMAL(29,6))) OVER (
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)
+                 / COUNT(*) OVER (
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS ma7
+    FROM daily
+    """,
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily revenue.  Aggregate-then-window:
+    the unpartitioned frame runs over the DAILY pre-aggregate, whose size is
+    bounded by the calendar (~2.4k rows for the 1995-2001 span at ANY scale
+    factor) — the fact-table pass is a plain distributed hash aggregate, and
+    only the tiny series is single-partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.col("o_orderdate").alias("day"))
+             .agg(dsum(F.col("o_totalprice")).alias("revenue")))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.round(F.sum(F.col("revenue").cast(ACC)).over(w).cast("double")
+                / F.count("*").over(w), 4).alias("ma7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+@declare(
+    "pivot_status_by_segment",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
+               AS price_f,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
+               AS price_o,
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
+               AS price_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status to columns per market segment.  The pivot values are
+    PINNED (['F','O','P']): with explicit values Spark skips the extra
+    distinct-collection job and pivots in the same single aggregate pass —
+    the only pivot shape that belongs in a 100 TB plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    piv = (joined.groupBy("c_mktsegment")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.count(F.lit(1)).alias("n"),  # COUNT(*) star is rejected in Pivot
+                dsum(F.col("o_totalprice")).alias("price")))
+    return piv.select(
+        "c_mktsegment",
+        F.col("F_n").alias("n_f"), F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.col("F_price").alias("price_f"), F.col("O_price").alias("price_o"),
+        F.col("P_price").alias("price_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel
+# ---------------------------------------------------------------------------
+
+@declare(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+               MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           COUNT(*) FILTER (WHERE t_click > t_view) AS n_view_click,
+           COUNT(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click)
+               AS n_view_click_purchase
+    FROM per_user
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose sequential funnel view → click → purchase: first-occurrence
+    timestamps per user must be strictly increasing step to step.  One hash
+    aggregate on user_id (high-cardinality, scale-safe) + a global roll-up of
+    three counts; NULL comparisons are unknown-falsy in both engines, so a
+    missing step drops the user from every later stage."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+         .alias("n_view_click"),
+        F.count(F.when((F.col("t_click") > F.col("t_view"))
+                       & (F.col("t_purchase") > F.col("t_click")), 1))
+         .alias("n_view_click_purchase"),
+    )

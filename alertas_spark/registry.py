@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     # range_bin loads before the §2 micro-modules so its (unique, first-time in r3)
     # driver row lands inside the 50-query window ahead of the redundant micros.
     "alertas_spark.plans.range_bin",
+    "alertas_spark.plans.windows",
     "alertas_spark.plans.joins",
     "alertas_spark.plans.aggregates",
     "alertas_spark.plans.relational",

@@ -28,6 +28,8 @@ QUERIES = [
     "simsearch_topk_pq_reranked",  # ADC shortlist + exact-cosine re-rank
     "simsearch_topk_bruteforce",   # two-phase top-k local shortlist (topk.py)
     "dedup_cluster_representative",  # CC labels + deterministic rep pick
+    "running_total_per_customer",    # decimal frame-sum running total
+    "moving_avg_daily_revenue",      # aggregate-then-window decimal MA
 ]
 
 
