@@ -154,6 +154,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "dedup_jaccard_prefix_filter",
+    oracle=_DUCK_SHINGLE_CTE + f"""
+    , sh AS (SELECT doc_id, unnest(shingles) AS s FROM shing),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM shing),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (AllPairs, Bayardo et al. WWW'07;
+    SSJoin, Chaudhuri et al. ICDE'06) — same output as the all-pairs verifier
+    :func:`dedup_ngram_jaccard`, sub-quadratic candidate generation, no doc cap.
+
+    Principle: order every doc's shingles by ONE global rarity order
+    (document-frequency asc, shingle asc as tiebreak).  J(A,B) ≥ t implies
+    |A∩B| ≥ ⌈t·|A|⌉, and two sets sharing ≥ α elements under a common total
+    order must collide within their first ``|·| − α + 1`` elements — so only
+    the rarest ``n − ⌈t·n⌉ + 1`` shingles per doc are exploded into the join.
+    Rarity-first ordering makes those prefix tokens the LEAST shared ones:
+    candidate volume tracks true near-dup pairs, not hot-shingle fan-out.
+    A length filter (t·|A| ≤ |B| ≤ |A|/t) prunes candidates before the verify
+    join; verification is one JVM-side ``array_intersect`` per surviving pair.
+
+    Scale shape: df-count agg (one shuffle) → per-doc window (high-cardinality
+    key) → prefix self-join (shuffle on shingle, prefix-bounded) → verify join
+    on doc ids.  Selectivity improves as t grows (prefix shrinks); at t=0.3
+    the prefix is ~0.7·n — still strictly cheaper than the full shingle join,
+    with output-bound candidate growth like the MinHash path."""
+    shing = (_with_shingles(spark, sf_dir)
+             .filter(F.size("shingles") > 0)
+             .withColumn("n", F.size("shingles")))
+    sh = shing.select("doc_id", "n", F.explode("shingles").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    # prefix length: n - ceil(t*n) + 1 rarest shingles under the global order
+    p_len = F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    w = W.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (sh.join(dfreq, "s")
+              .withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= p_len)
+              .select("doc_id", "n", "s"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # length filter: t·|A| ≤ |B| ≤ |A|/t is necessary for J ≥ t
+               & (F.col("b.n") >= F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("a.n")))
+               & (F.col("b.n") * F.lit(JACCARD_THRESHOLD) <= F.col("a.n")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shing.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+                      F.col("n").alias("n_a"))
+    sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+                      F.col("n").alias("n_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 #: affine permutation constants (fixed, engine-shared): mh_p = min((a_p·h + b_p) mod P)
 #: over shingle hashes h.  P = 2^31-1 keeps every product < 2^62 (no 64-bit overflow).
 _MH_PRIME = (1 << 31) - 1

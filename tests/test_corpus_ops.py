@@ -193,3 +193,15 @@ def test_pipeline_v2_is_exactly_gate_intersect_representatives(spark):
     reps = {r.rep_doc_id for r in dedup_cluster_representative(spark, SF).collect()}
     assert v2 == gate & reps
     assert v2  # the composition is non-degenerate on the fixture
+
+
+def test_prefix_filter_equals_all_pairs_verifier(spark):
+    """The prefix-filtered exact Jaccard join must produce EXACTLY the all-pairs
+    verifier's output — prefix filtering prunes candidates, never results (the
+    AllPairs correctness guarantee, operators/dedup.py)."""
+    from alertas_spark.operators.dedup import (dedup_jaccard_prefix_filter,
+                                               dedup_ngram_jaccard)
+
+    exact = sorted(tuple(r) for r in dedup_ngram_jaccard(spark, SF).collect())
+    pf = sorted(tuple(r) for r in dedup_jaccard_prefix_filter(spark, SF).collect())
+    assert pf == exact and len(pf) > 0
