@@ -43,6 +43,7 @@ QUERIES = [
     "dedup_cluster_representative",  # pairs + star contraction + window
     "dedup_components",            # large-star/small-star label propagation
     "dedup_embedding_cosine_blocked",  # LSH-bucketed cosine (embeddings ×N)
+    "dedup_jaccard_prefix_filter",  # AllPairs prefix-filtered exact join (r6)
     "source_quality_gate",         # scan-side text scoring + gate join
     "tfidf_top_terms",             # df join-back on term + window top-n
     "profile_columns",             # exact distinct + quantiles (two-pass)
@@ -54,6 +55,8 @@ QUERIES = [
     "pack_sequences",              # per-shard window cumsum packing
     "salted_skew_agg",             # two-stage salted aggregation (events ×N)
     "pipeline_clean_corpus_v2",    # composed multi-stage pipeline (documents ×N)
+    "running_total_per_customer",  # per-key frame window (orders ×N)
+    "cube_priority_segment",       # Expand multi-set aggregation (orders ×N)
     "streaming_tumbling_5min",     # full streaming machinery + state (events ×N)
     "streaming_sessionize",        # session-window state store (events ×N)
 ]
@@ -108,8 +111,16 @@ def build_replica(n: int) -> str:
                      label
               FROM read_parquet('{SRC}/embeddings.parquet'), range({n}) t(i))
         TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+    con.execute(f"""
+        COPY (SELECT o_orderkey + i * 100000000 AS o_orderkey, o_custkey,
+                     o_orderstatus, o_totalprice,
+                     o_orderdate + to_days(CAST(i AS INTEGER)) AS o_orderdate,
+                     o_orderpriority
+              FROM read_parquet('{SRC}/orders.parquet'), range({n}) t(i))
+        TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+    # orders keeps o_custkey: every customer's history grows n× (deeper window
+    # frames / bigger per-key groups), the realistic time-axis growth shape
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem"):
         os.symlink(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     return out
 
