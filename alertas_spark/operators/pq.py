@@ -657,3 +657,91 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("ac").cast("int").alias("n_match"),
              F.round(F.count("ac") / TOP_K, 6).alias("recall_at_k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (per-dimension affine)
+# ---------------------------------------------------------------------------
+
+DIM = M * SUBDIM  # full embedding width
+
+
+@declare(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+    dims AS (
+        SELECT i, MIN(x[i]) AS mn, (MAX(x[i]) - MIN(x[i])) / 255.0 AS sc
+        FROM ev, idx GROUP BY i
+    ),
+    stats AS (SELECT list(mn ORDER BY i) AS mins, list(sc ORDER BY i) AS scales
+              FROM dims),
+    coded AS (
+        SELECT vec_id, x, mins, scales,
+               list_transform(generate_series(1, {DIM}),
+                   i -> CASE WHEN scales[i] = 0 THEN 0
+                             ELSE CAST(round((x[i] - mins[i]) / scales[i])
+                                       AS INTEGER) END) AS codes
+        FROM ev, stats
+    )
+    SELECT vec_id,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           ROUND(list_reduce(list_transform(generate_series(1, {DIM}),
+                     i -> pow(x[i] - (mins[i] + codes[i] * scales[i]), 2)),
+                 (a, b) -> a + b) / {DIM}, 6) AS mse,
+           ROUND(list_max(list_transform(generate_series(1, {DIM}),
+                     i -> abs(x[i] - (mins[i] + codes[i] * scales[i])))), 6)
+               AS max_abs_err
+    FROM coded
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization: 4x embedding compression with
+    per-vector reconstruction-error accounting (the standard scalar-quantization
+    baseline PQ is compared against).
+
+    code_i = round((x_i - min_i) / scale_i), scale_i = (max_i - min_i)/255 —
+    corpus-wide per-dimension ranges, so codes are comparable across vectors.
+
+    Scale shape: pass 1 is ONE global aggregate (2·DIM min/max partials,
+    tree-merged); its single row broadcasts into pass 2, a pure scan-side
+    projection — zero shuffles, embarrassingly parallel.  The per-row O(DIM)
+    HOF folds are sequential left-to-right doubles, bit-equal to the oracle's
+    ``list_reduce``.  Output pins the exact codes via an md5 fingerprint
+    (64 int columns would bloat the compare) + mse / max-abs reconstruction
+    error; a production sink would store the codes as ``array<tinyint>``.
+    Constant dimensions (scale 0) code to 0 and reconstruct exactly."""
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("x")))
+    stats = v.agg(
+        F.array(*[F.min(F.element_at("x", i + 1)) for i in range(DIM)])
+         .alias("mins"),
+        F.array(*[((F.max(F.element_at("x", i + 1))
+                    - F.min(F.element_at("x", i + 1))) / F.lit(255.0))
+                  for i in range(DIM)]).alias("scales"),
+    )
+    codes = F.expr(f"""
+        transform(sequence(1, {DIM}),
+            i -> CASE WHEN element_at(scales, i) = 0.0D THEN 0
+                      ELSE cast(round((element_at(x, i) - element_at(mins, i))
+                                      / element_at(scales, i)) as int) END)
+    """)
+    recon_err = (f"element_at(x, i) - (element_at(mins, i) "
+                 f"+ element_at(codes, i) * element_at(scales, i))")
+    return (
+        v.crossJoin(F.broadcast(stats))
+        .withColumn("codes", codes)
+        .select(
+            "vec_id",
+            F.md5(F.array_join(F.transform("codes",
+                                           lambda c: c.cast("string")), ","))
+             .alias("codes_md5"),
+            F.round(F.expr(
+                f"aggregate(sequence(1, {DIM}), cast(0.0 as double), "
+                f"(acc, i) -> acc + pow({recon_err}, 2))") / DIM, 6).alias("mse"),
+            F.round(F.expr(
+                f"array_max(transform(sequence(1, {DIM}), "
+                f"i -> abs({recon_err})))"), 6).alias("max_abs_err"),
+        )
+    )

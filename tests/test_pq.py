@@ -89,3 +89,23 @@ def test_trained_codebook_reduces_quantization_error(spark):
     for r in rows:
         assert all(0 <= c < KSUB for c in (r.code_1, r.code_2, r.code_3, r.code_4))
         assert r.qerr >= 0.0
+
+
+def test_int8_quantization_error_is_bounded_by_half_a_step(spark):
+    """Affine round-to-nearest guarantees |x - recon| <= scale_i/2 per dim, so
+    every vector's max_abs_err is bounded by half the WIDEST dimension step."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.registry import load_all
+    from alertas_spark.sources.catalog import load_table
+
+    SF = "/root/testdata/sf0.001"
+    out = load_all()["embedding_quantize_int8"].builder(spark, SF)
+    v = load_table(spark, SF, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("x"))
+    from alertas_spark.operators.pq import DIM
+    widest = v.agg(F.max(F.expr(
+        "array_max(x)")) - F.min(F.expr("array_min(x)"))).collect()[0][0]
+    half_step = widest / 255.0 / 2.0
+    assert out.filter(F.col("max_abs_err") > half_step + 1e-9).count() == 0
+    assert out.count() > 0
