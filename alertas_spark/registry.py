@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     # driver row lands inside the 50-query window ahead of the redundant micros.
     "alertas_spark.plans.range_bin",
     "alertas_spark.plans.windows",
+    "alertas_spark.sources.quality",
     "alertas_spark.plans.joins",
     "alertas_spark.plans.aggregates",
     "alertas_spark.plans.relational",

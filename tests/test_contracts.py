@@ -90,3 +90,20 @@ def test_session_artifact_memoizes_and_clears(spark):
     memo.clear()
     c = memo.session_artifact(spark, ("t", "x"), build)
     assert len(calls) == 2 and c.count() == 3
+
+
+def test_dq_audit_fires_on_a_real_violation(spark):
+    """The freshness rule must fire on the fixture (dates span 1995-2001) and
+    the clean-constraint rules must report zero — the audit distinguishes
+    violated from satisfied rules, not just runs."""
+    from alertas_spark.registry import load_all
+
+    out = {r["rule"]: r["n_violations"] for r in
+           load_all()["dq_audit_orders"].builder(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"nonpositive_totalprice", "null_orderdate",
+                        "orderdate_before_1996", "bad_status",
+                        "fk_custkey_missing", "total_rows"}
+    assert out["orderdate_before_1996"] > 0
+    assert out["total_rows"] > 0
+    assert out["bad_status"] == 0 and out["null_orderdate"] == 0
