@@ -154,79 +154,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "dedup_jaccard_prefix_filter",
-    oracle=_DUCK_SHINGLE_CTE + f"""
-    , sh AS (SELECT doc_id, unnest(shingles) AS s FROM shing),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM shing),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
-    """,
-)
-def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard pairs via prefix filtering (AllPairs, Bayardo et al. WWW'07;
-    SSJoin, Chaudhuri et al. ICDE'06) — same output as the all-pairs verifier
-    :func:`dedup_ngram_jaccard`, sub-quadratic candidate generation, no doc cap.
-
-    Principle: order every doc's shingles by ONE global rarity order
-    (document-frequency asc, shingle asc as tiebreak).  J(A,B) ≥ t implies
-    |A∩B| ≥ ⌈t·|A|⌉, and two sets sharing ≥ α elements under a common total
-    order must collide within their first ``|·| − α + 1`` elements — so only
-    the rarest ``n − ⌈t·n⌉ + 1`` shingles per doc are exploded into the join.
-    Rarity-first ordering makes those prefix tokens the LEAST shared ones:
-    candidate volume tracks true near-dup pairs, not hot-shingle fan-out.
-    A length filter (t·|A| ≤ |B| ≤ |A|/t) prunes candidates before the verify
-    join; verification is one JVM-side ``array_intersect`` per surviving pair.
-
-    Scale shape: df-count agg (one shuffle) → per-doc window (high-cardinality
-    key) → prefix self-join (shuffle on shingle, prefix-bounded) → verify join
-    on doc ids.  Selectivity improves as t grows (prefix shrinks); at t=0.3
-    the prefix is ~0.7·n — still strictly cheaper than the full shingle join,
-    with output-bound candidate growth like the MinHash path."""
-    shing = (_with_shingles(spark, sf_dir)
-             .filter(F.size("shingles") > 0)
-             .withColumn("n", F.size("shingles")))
-    sh = shing.select("doc_id", "n", F.explode("shingles").alias("s"))
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    # prefix length: n - ceil(t*n) + 1 rarest shingles under the global order
-    p_len = F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
-    w = W.partitionBy("doc_id").orderBy("df", "s")
-    prefix = (sh.join(dfreq, "s")
-              .withColumn("rk", F.row_number().over(w))
-              .filter(F.col("rk") <= p_len)
-              .select("doc_id", "n", "s"))
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id"))
-               # length filter: t·|A| ≤ |B| ≤ |A|/t is necessary for J ≥ t
-               & (F.col("b.n") >= F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("a.n")))
-               & (F.col("b.n") * F.lit(JACCARD_THRESHOLD) <= F.col("a.n")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = shing.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
-                      F.col("n").alias("n_a"))
-    sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
-                      F.col("n").alias("n_b"))
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
-
-
 #: affine permutation constants (fixed, engine-shared): mh_p = min((a_p·h + b_p) mod P)
 #: over shingle hashes h.  P = 2^31-1 keeps every product < 2^62 (no 64-bit overflow).
 _MH_PRIME = (1 << 31) - 1
@@ -241,6 +168,104 @@ _SHINGLE_HASHES_SPARK = (f"transform(shingles, s -> "
 _SHINGLE_HASHES_DUCK = (f"list_transform(shingles, s -> "
                         f"CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)"
                         f" % {_MH_PRIME})")
+
+
+
+#: prefix filtering is the HIGH-threshold exact path: prefix length is
+#: n - ceil(t*n) + 1, so selectivity collapses as t drops (at t=0.3 the prefix
+#: is ~0.7n and the 10x scale probe showed candidate blowup).  0.7 keeps the
+#: probe's candidate volume output-bound; below it, use dedup_minhash_lsh.
+PF_THRESHOLD = 0.7
+
+
+@declare(
+    "dedup_jaccard_prefix_filter",
+    oracle=_DUCK_SHINGLE_CTE + f"""
+    , hashed AS (
+        SELECT doc_id, list_distinct({_SHINGLE_HASHES_DUCK}) AS hs FROM shing
+        WHERE len(shingles) > 0
+    ),
+    sh AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+    sizes AS (SELECT doc_id, len(hs) AS n FROM hashed),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= {PF_THRESHOLD}
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs at the HIGH threshold (t=0.7) via prefix filtering
+    (AllPairs, Bayardo et al. WWW'07; SSJoin, Chaudhuri et al. ICDE'06):
+    sub-quadratic candidate generation with exact results and no doc cap — the
+    scalable exact tier between the capped all-pairs verifier
+    (:func:`dedup_ngram_jaccard`, t=0.3) and approximate MinHash banding.
+
+    Principle: under ANY one global total order of tokens, J(A,B) >= t implies
+    |A∩B| >= ceil(t·|A|), and two sets sharing >= α elements must collide
+    within their first ``|·| − α + 1`` elements — so only the smallest
+    ``n − ceil(t·n) + 1`` (~0.3·n at t=0.7) hashed shingles per doc enter the
+    join.  The order here is plain hash-ascending: prefix extraction is then a
+    scan-side ``array_sort`` + ``slice`` with ZERO shuffles (the classic
+    rarity-first ordering shrinks candidates further but costs a global
+    df-count join + a full-corpus window sort — measured 3× the whole
+    operator's runtime on the 10× probe, a bad trade at t=0.7 where the
+    prefix is already short).  A symmetric length filter (min >= t·max)
+    prunes candidates before verification; verify is one ``array_intersect``
+    over the sorted int64 hash arrays per surviving pair.  Hashes live in the
+    MinHash path's 31-bit shingle-hash domain (`_SHINGLE_HASHES_*`); the
+    oracle hashes identically, so both engines agree bit-for-bit regardless
+    of collisions, and fixture-level agreement with the raw-string verifier
+    is pinned by tests/test_corpus_ops.py.
+
+    Threshold contract: prefix length n − ceil(t·n) + 1 means selectivity
+    COLLAPSES as t drops (t=0.3 ⇒ ~0.7·n prefixes ⇒ candidate blowup on the
+    10× probe).  t=0.7 is the supported regime; for lower thresholds the
+    banded MinHash path is strictly better.
+
+    Scale shape: scan-side shingle→hash→sort→prefix-slice (no shuffle) →
+    prefix self-join (shuffle on hash, prefix-bounded) → verify join on doc
+    ids.  Candidate growth is output-bound like the MinHash path
+    (scale probe, SCALING.md)."""
+    shing = (_with_shingles(spark, sf_dir)
+             .filter(F.size("shingles") > 0)
+             .withColumn("hs", F.expr(
+                 f"array_sort(array_distinct({_SHINGLE_HASHES_SPARK}))"))
+             .withColumn("n", F.size("hs")))
+    # prefix = the n - ceil(t*n) + 1 smallest hashes: a pure projection
+    prefix = shing.select(
+        "doc_id", "n",
+        F.explode(F.expr(
+            f"slice(hs, 1, cast(n - ceil({PF_THRESHOLD} * n) + 1 as int))"))
+         .alias("h"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # symmetric length filter: J >= t requires min(n) >= t·max(n)
+               & (F.least("a.n", "b.n")
+                  >= F.lit(PF_THRESHOLD) * F.greatest("a.n", "b.n")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shing.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"),
+                      F.col("n").alias("n_a"))
+    sb = shing.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"),
+                      F.col("n").alias("n_b"))
+    n_common = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= PF_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
 
 
 def _minhash_sig_spark() -> str:

@@ -197,11 +197,16 @@ def test_pipeline_v2_is_exactly_gate_intersect_representatives(spark):
 
 def test_prefix_filter_equals_all_pairs_verifier(spark):
     """The prefix-filtered exact Jaccard join must produce EXACTLY the all-pairs
-    verifier's output — prefix filtering prunes candidates, never results (the
-    AllPairs correctness guarantee, operators/dedup.py)."""
-    from alertas_spark.operators.dedup import (dedup_jaccard_prefix_filter,
+    verifier's output at its threshold — prefix filtering prunes candidates,
+    never results (the AllPairs correctness guarantee, operators/dedup.py).
+    The raw-string verifier filtered to t=0.7 must agree with the hashed
+    prefix-filter output pair-for-pair and value-for-value (also pins that
+    31-bit shingle hashing introduces no collision on the fixture)."""
+    from alertas_spark.operators.dedup import (PF_THRESHOLD,
+                                               dedup_jaccard_prefix_filter,
                                                dedup_ngram_jaccard)
 
-    exact = sorted(tuple(r) for r in dedup_ngram_jaccard(spark, SF).collect())
+    exact = sorted(tuple(r) for r in dedup_ngram_jaccard(spark, SF).collect()
+                   if r["jaccard"] >= PF_THRESHOLD)
     pf = sorted(tuple(r) for r in dedup_jaccard_prefix_filter(spark, SF).collect())
     assert pf == exact and len(pf) > 0

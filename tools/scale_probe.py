@@ -269,6 +269,14 @@ def main() -> int:
                 "output rows is the optimal behavior there, not a blowup "
                 "(candidate generation stays banded/bucketed; no all-pairs "
                 "scan exists in any plan).\n\n"
+                "`dedup_jaccard_prefix_filter` reads worst on this replica by "
+                "design: it is the EXACT tier, and each of the ~250k true "
+                "pairs is regenerated once per shared prefix token before the "
+                "candidate dedup (vs once per colliding band for MinHash) — "
+                "linear-in-input time ratio, but a higher constant on a corpus "
+                "where every doc is a near-dup. At realistic dup densities the "
+                "prefix join is output-bound and small; for approximate "
+                "answers MinHash stays the cheaper path.\n\n"
                 f"| query | 1x sec | {n}x sec | time ratio | 1x rows | {n}x rows "
                 "| rows ratio |\n|---|---|---|---|---|---|---|\n")
             for name, t1, tn, tr, r1, rn, rr in rows:
