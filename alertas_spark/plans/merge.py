@@ -1,0 +1,90 @@
+"""Batch MERGE (SCD1 upsert) semantics: snapshot ⟕⟖ updates → classified rows.
+
+The engine's streaming side ships a keyed-upsert sink (streaming/sinks.py);
+this is the BATCH half of the same contract, expressed declaratively: a full
+outer join of the current snapshot with an update batch, each output row
+classified as ``insert`` (new key), ``update`` (key in both, newer value
+wins), or ``carry`` (key untouched) — the row-level audit a MERGE INTO
+statement implies, without engine-specific DML.
+
+Scale shape: two grouped aggregates (map-side partial, one shuffle each,
+same key) + one full outer join that co-partitions on that key — at 100 TB
+the join reuses the aggregates' hash partitioning, so no extra exchange
+(verify with .explain: a single Exchange per side feeding SortMergeJoin).
+
+Fixture framing: orders before CUTOFF are the "snapshot", orders on/after are
+the "update batch", key = o_custkey, value = the customer's latest order
+(max_by on date with orderkey tiebreak) — deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+CUTOFF = "2000-01-01"
+
+
+def _latest(orders: DataFrame, cmp) -> DataFrame:
+    side = orders.filter(cmp)
+    key = F.struct("o_orderdate", "o_orderkey")  # total order: date, then key
+    return (side.groupBy("o_custkey")
+            .agg(F.max(key).alias("k"),
+                 F.max_by(F.col("o_totalprice"), key).alias("price"))
+            .select("o_custkey",
+                    F.col("k.o_orderkey").alias("okey"),
+                    F.round("price", 2).alias("price")))
+
+
+@declare(
+    "merge_upsert_customers",
+    oracle=f"""
+    WITH rs AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '{CUTOFF}'
+    ), snap AS (
+        SELECT o_custkey, o_orderkey AS okey, ROUND(o_totalprice, 2) AS price
+        FROM rs WHERE rn = 1
+    ), ru AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{CUTOFF}'
+    ), upd AS (
+        SELECT o_custkey, o_orderkey AS okey, ROUND(o_totalprice, 2) AS price
+        FROM ru WHERE rn = 1
+    )
+    SELECT COALESCE(s.o_custkey, u.o_custkey) AS custkey,
+           CASE WHEN s.o_custkey IS NULL THEN 'insert'
+                WHEN u.o_custkey IS NULL THEN 'carry'
+                ELSE 'update' END AS action,
+           COALESCE(u.okey, s.okey) AS latest_orderkey,
+           COALESCE(u.price, s.price) AS latest_price
+    FROM snap s FULL OUTER JOIN upd u ON s.o_custkey = u.o_custkey
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE classification: updates win over snapshot per key; every
+    surviving key labeled insert / update / carry."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit(CUTOFF).cast("timestamp")
+    snap = _latest(orders, F.col("o_orderdate") < cut).alias("s")
+    upd = _latest(orders, F.col("o_orderdate") >= cut).alias("u")
+    return (
+        snap.join(upd, F.col("s.o_custkey") == F.col("u.o_custkey"), "full_outer")
+        .select(
+            F.coalesce("s.o_custkey", "u.o_custkey").alias("custkey"),
+            F.when(F.col("s.o_custkey").isNull(), "insert")
+             .when(F.col("u.o_custkey").isNull(), "carry")
+             .otherwise("update").alias("action"),
+            F.coalesce("u.okey", "s.okey").alias("latest_orderkey"),
+            F.coalesce("u.price", "s.price").alias("latest_price"),
+        )
+    )

@@ -67,6 +67,7 @@ _QUERY_MODULES = (
     "alertas_spark.plans.range_bin",
     "alertas_spark.plans.windows",
     "alertas_spark.sources.quality",
+    "alertas_spark.plans.merge",
     "alertas_spark.plans.joins",
     "alertas_spark.plans.aggregates",
     "alertas_spark.plans.relational",
