@@ -322,3 +322,103 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("t_purchase") > F.col("t_click")), 1))
          .alias("n_view_click_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global ORDER BY + LIMIT (TakeOrderedAndProject) and SCD2 intervals (LEAD)
+# ---------------------------------------------------------------------------
+
+@declare(
+    "top_revenue_orders",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — global ORDER BY + LIMIT over an aggregated join.
+    Spark executes this as ``TakeOrderedAndProject``: per-partition heap top-k
+    partials merged on the driver — the BUILT-IN two-phase top-k, never a
+    global sort (check the plan: no Sort + Exchange pair under the limit).
+    Tie column (orderkey) makes the cut deterministic cross-engine."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@declare(
+    "scd2_priority_history",
+    oracle="""
+    WITH daily AS (
+        SELECT o_custkey, o_orderdate,
+               arg_max(o_orderpriority, o_orderkey) AS p
+        FROM orders GROUP BY 1, 2
+    ), seq AS (
+        SELECT o_custkey, p, o_orderdate,
+               LAG(p) OVER w AS prev_p, ROW_NUMBER() OVER w AS rn
+        FROM daily
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    ), changes AS (
+        SELECT o_custkey, p, o_orderdate
+        FROM seq WHERE rn = 1 OR p IS DISTINCT FROM prev_p
+    )
+    SELECT o_custkey AS custkey, p AS priority,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate),
+                    '%Y-%m-%d') AS valid_to
+    FROM changes
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build at DAILY grain: collapse each (customer, day) to its
+    end-of-day state (``max_by`` on the day's last order — same-day churn is
+    sub-grain noise, and keeping it would make the LEAD tie-nondeterministic),
+    change-detect on the daily series, then LEAD the next change date into a
+    [valid_from, valid_to) interval (open-ended current row → NULL valid_to).
+    The canonical slowly-changing-dimension construction: one aggregate + two
+    window passes, all partitioned by the high-cardinality entity key — no
+    self-join, scale-safe; dates within a partition are unique, so every
+    window order is total and the intervals chain gaplessly
+    (tests/test_plan_shapes.py pins chaining + strict positivity)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy("o_custkey", "o_orderdate")
+             .agg(F.max_by("o_orderpriority", "o_orderkey").alias("p")))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    seq = daily.select(
+        "o_custkey", "p", "o_orderdate",
+        F.lag("p").over(w).alias("prev_p"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = seq.filter((F.col("rn") == 1)
+                         | ~F.col("p").eqNullSafe(F.col("prev_p")))
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("p").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd")
+         .alias("valid_to"),
+    )

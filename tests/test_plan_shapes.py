@@ -221,3 +221,31 @@ def test_source_gate_broadcasts_the_per_source_table(spark):
     assert "BroadcastHashJoin" in plan
     for join_node in ("SortMergeJoin", "ShuffledHashJoin"):
         assert join_node not in plan
+
+
+def test_top_revenue_orders_is_take_ordered_not_global_sort(spark):
+    """Global ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heap top-k, driver merge) — never a full Sort over an Exchange."""
+    plan = _plan(_build(spark, "top_revenue_orders"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_intervals_tile_each_customer_timeline(spark):
+    """Consecutive SCD2 rows must chain: every non-final valid_to equals the
+    next row's valid_from, exactly one open interval (NULL valid_to) per
+    customer, and no zero-length intervals."""
+    from pyspark.sql import functions as F
+
+    df = _build(spark, "scd2_priority_history").cache()
+    try:
+        assert df.filter(F.col("valid_to").isNull()) \
+                 .groupBy("custkey").count().filter("count != 1").count() == 0
+        from pyspark.sql import Window
+        w = Window.partitionBy("custkey").orderBy("valid_from")
+        chained = df.withColumn("nxt", F.lead("valid_from").over(w))
+        assert chained.filter(
+            F.col("valid_to").isNotNull()
+            & ~F.col("valid_to").eqNullSafe(F.col("nxt"))).count() == 0
+        assert df.filter(F.col("valid_to") <= F.col("valid_from")).count() == 0
+    finally:
+        df.unpersist()

@@ -28,13 +28,13 @@ def test_order_is_deterministic_and_complete():
     from alertas_spark.registry import REGISTRY, driver_history, window_order
 
     names = _names()
-    assert len(names) == 118  # 105 carried from r5 + the 13 r6 queries
+    assert len(names) == 120  # 105 carried from r5 + the 15 r6 queries
     # never-driver-checked queries schedule ahead of every green row, so the
-    # 13 new r6 queries land inside the 50-slot window automatically
+    # 15 new r6 queries land inside the 50-slot window automatically
     hist = __import__("alertas_spark.registry", fromlist=["driver_history"]
                       ).driver_history()
     new = [n for n in names if n not in hist]
-    assert len(new) == 13 and names[:len(new)] == new
+    assert len(new) == 15 and names[:len(new)] == new
     assert len(set(names)) == len(names)
     assert sorted(names) == sorted(REGISTRY)
     # recomputing the schedule reproduces the load order exactly
