@@ -30,6 +30,8 @@ QUERIES = [
     "dedup_cluster_representative",  # CC labels + deterministic rep pick
     "running_total_per_customer",    # decimal frame-sum running total
     "moving_avg_daily_revenue",      # aggregate-then-window decimal MA
+    "scd2_priority_history",         # daily-grain change detection + LEAD
+    "merge_upsert_customers",        # max_by(struct) latest-row election
 ]
 
 
