@@ -53,8 +53,17 @@ _SHINGLES_DUCK = """
 """
 
 
-def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _with_shingles(spark: SparkSession, sf_dir: str,
+                   parallelism: int | None = None) -> DataFrame:
+    """``parallelism``: repartition the raw doc scan FIRST so the shingle /
+    hash projections above it run data-parallel.  The sf parquet is a single
+    file → a single input partition, which serializes all per-doc CPU (md5 +
+    conv per shingle) onto one core; at 100 TB the scan has thousands of
+    splits and the exchange is unnecessary, but the shape is harmless there
+    (one narrow round-robin-by-key exchange before heavy projection)."""
     docs = load_table(spark, sf_dir, "documents")
+    if parallelism:
+        docs = docs.repartition(parallelism, "doc_id")
     return (
         docs.withColumn("tok", F.split(F.lower(F.col("text")), r"\s+"))
         .withColumn("shingles", F.expr(_SHINGLES_SPARK))
@@ -171,6 +180,37 @@ _SHINGLE_HASHES_DUCK = (f"list_transform(shingles, s -> "
 
 
 
+def _hashed_shingle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, h)``: each doc's DISTINCT 31-bit shingle hashes, one row per
+    hash — the exploded-row equivalent of ``array_distinct`` over
+    ``_SHINGLE_HASHES_SPARK`` applied to ``_with_shingles``.
+
+    Why not the array pipeline: higher-order-function lambdas (``transform``
+    with md5/conv/concat_ws per element) run on Catalyst's INTERPRETED
+    expression path — measured ~50µs per shingle, 23s for 260k shingles at
+    sf0.1 — and the scan-side projection executes inside the single input
+    split of a one-file parquet table, so it cannot even parallelize.  Here
+    the trigram is built with codegen-only operators: ``posexplode`` the
+    token stream, ``lead(1)/lead(2)`` over the per-doc window (whose shuffle
+    also redistributes the rows across the cluster), ``concat_ws`` + ``md5``
+    + ``conv`` as top-level vectorized projections, then one distinct.  Same
+    hashes bit-for-bit (pinned vs the array pipeline by
+    tests/test_corpus_ops.py and the unchanged DuckDB oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        docs.select("doc_id", F.posexplode(
+            F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "w"))
+        .withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", (F.expr(
+            "cast(conv(substring(md5(concat_ws(' ', w, w1, w2)), 1, 15),"
+            " 16, 10) as bigint)") % F.lit(_MH_PRIME)).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+
+
 #: prefix filtering is the HIGH-threshold exact path: prefix length is
 #: n - ceil(t*n) + 1, so selectivity collapses as t drops (at t=0.3 the prefix
 #: is ~0.7n and the 10x scale probe showed candidate blowup).  0.7 keeps the
@@ -202,55 +242,82 @@ PF_THRESHOLD = 0.7
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard pairs at the HIGH threshold (t=0.7) via prefix filtering
-    (AllPairs, Bayardo et al. WWW'07; SSJoin, Chaudhuri et al. ICDE'06):
-    sub-quadratic candidate generation with exact results and no doc cap — the
+    (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08): sub-
+    quadratic candidate generation with exact results and no doc cap — the
     scalable exact tier between the capped all-pairs verifier
     (:func:`dedup_ngram_jaccard`, t=0.3) and approximate MinHash banding.
 
-    Principle: under ANY one global total order of tokens, J(A,B) >= t implies
-    |A∩B| >= ceil(t·|A|), and two sets sharing >= α elements must collide
-    within their first ``|·| − α + 1`` elements — so only the smallest
-    ``n − ceil(t·n) + 1`` (~0.3·n at t=0.7) hashed shingles per doc enter the
-    join.  The order here is plain hash-ascending: prefix extraction is then a
-    scan-side ``array_sort`` + ``slice`` with ZERO shuffles (the classic
-    rarity-first ordering shrinks candidates further but costs a global
-    df-count join + a full-corpus window sort — measured 3× the whole
-    operator's runtime on the 10× probe, a bad trade at t=0.7 where the
-    prefix is already short).  A symmetric length filter (min >= t·max)
-    prunes candidates before verification; verify is one ``array_intersect``
-    over the sorted int64 hash arrays per surviving pair.  Hashes live in the
+    Principle: under ANY one global total order of tokens, two sets with
+    J >= t share their FIRST common token inside both docs' first
+    ``n − ceil(t·n) + 1`` (~0.3·n at t=0.7) tokens, so only those prefix
+    tokens enter the self-join.  The order is RARITY-FIRST — ascending
+    document frequency, hash tiebreak (the classic AllPairs ordering): rare
+    tokens go into prefixes, so per-token join buckets stay near-empty.  The
+    r6 hash-ascending variant skipped the df pass but put COMMON tokens in
+    prefixes — measured 676× candidate overkill at sf0.1 (173 086 candidate
+    pairs for 256 true pairs) and a per-token-frequency-QUADRATIC join on the
+    10× probe (198 s).  The df pass is one window count over the exploded
+    tokens — linear, one shuffle — and collapses candidates to output-bound.
+
+    Candidates are pruned further by the symmetric length filter
+    (min(n) >= t·max(n)) and the PPJoin positional filter: a token at 0-based
+    prefix position p leaves at most ``n − p`` tokens that can still overlap,
+    and J >= t needs overlap >= t/(1+t)·(n_a+n_b), so
+    ``min(n_a − p_a, n_b − p_b)`` below that bound cannot be a true pair's
+    FIRST common token (candidate filters are conservative-weak by an epsilon
+    — extra candidates die in exact verification; missing one would be
+    wrong).  Verify is one ``array_intersect`` over the hash-sorted int64
+    arrays per deduped candidate pair; intersection size is order-independent
+    so verification keeps the cheap hash-sorted arrays.  Hashes live in the
     MinHash path's 31-bit shingle-hash domain (`_SHINGLE_HASHES_*`); the
     oracle hashes identically, so both engines agree bit-for-bit regardless
     of collisions, and fixture-level agreement with the raw-string verifier
     is pinned by tests/test_corpus_ops.py.
 
     Threshold contract: prefix length n − ceil(t·n) + 1 means selectivity
-    COLLAPSES as t drops (t=0.3 ⇒ ~0.7·n prefixes ⇒ candidate blowup on the
-    10× probe).  t=0.7 is the supported regime; for lower thresholds the
-    banded MinHash path is strictly better.
+    COLLAPSES as t drops (t=0.3 ⇒ ~0.7·n prefixes ⇒ candidate blowup).
+    t=0.7 is the supported regime; for lower thresholds the banded MinHash
+    path is strictly better.
 
-    Scale shape: scan-side shingle→hash→sort→prefix-slice (no shuffle) →
-    prefix self-join (shuffle on hash, prefix-bounded) → verify join on doc
-    ids.  Candidate growth is output-bound like the MinHash path
-    (scale probe, SCALING.md)."""
-    shing = (_with_shingles(spark, sf_dir)
-             .filter(F.size("shingles") > 0)
-             .withColumn("hs", F.expr(
-                 f"array_sort(array_distinct({_SHINGLE_HASHES_SPARK}))"))
-             .withColumn("n", F.size("hs")))
-    # prefix = the n - ceil(t*n) + 1 smallest hashes: a pure projection
-    prefix = shing.select(
-        "doc_id", "n",
-        F.explode(F.expr(
-            f"slice(hs, 1, cast(n - ceil({PF_THRESHOLD} * n) + 1 as int))"))
-         .alias("h"))
+    Scale shape: parallel scan-side shingle→hash→sort (repartitioned before
+    the heavy projection; the identical exchange subtree under the prefix and
+    both verify branches is computed once per execution via ReuseExchange,
+    no session-level cache) → df window (shuffle on hash) → per-doc prefix
+    re-agg (shuffle on doc_id) → prefix self-join (shuffle on hash, rare
+    tokens only) → pair dedup → verify join on doc ids.  All stages linear in
+    input + output; candidate growth is output-bound (scale probe,
+    SCALING.md)."""
+    t = PF_THRESHOLD
+    toks = _hashed_shingle_tokens(spark, sf_dir)
+    # rarity-first global order: (document frequency asc, hash asc) — df is a
+    # function of the token, so the order is one consistent total order
+    ranked = toks.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("h")))
+    docagg = (
+        ranked.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ord"))
+        .withColumn("n", F.size("ord"))
+        # verification arrays stay hash-sorted (intersection size is order-
+        # independent); only the PREFIX uses the rarity order
+        .withColumn("hs", F.array_sort(F.expr("transform(ord, s -> s.h)")))
+        .withColumn("pref", F.expr(
+            f"transform(slice(ord, 1, cast(n - ceil({t} * n) + 1 as int)),"
+            f" s -> s.h)")))
+    shing = docagg.select("doc_id", "hs", "n")
+    prefix = docagg.select("doc_id", "n",
+                           F.posexplode("pref").alias("p", "h"))
     a, b = prefix.alias("a"), prefix.alias("b")
+    # required overlap for J >= t (PPJoin): t/(1+t) · (n_a + n_b)
+    alpha = F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                # symmetric length filter: J >= t requires min(n) >= t·max(n)
                & (F.least("a.n", "b.n")
-                  >= F.lit(PF_THRESHOLD) * F.greatest("a.n", "b.n")))
+                  >= F.lit(t) * F.greatest("a.n", "b.n") - F.lit(1e-9))
+               # positional filter: remaining tokens must reach α
+               & (F.least(F.col("a.n") - F.col("a.p"),
+                          F.col("b.n") - F.col("b.p")) >= alpha))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

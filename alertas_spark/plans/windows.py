@@ -271,10 +271,16 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            .pivot("o_orderstatus", ["F", "O", "P"])
            .agg(F.count(F.lit(1)).alias("n"),  # COUNT(*) star is rejected in Pivot
                 dsum(F.col("o_totalprice")).alias("price")))
+    # A (segment, status) combination with zero rows pivots to NULL, but the
+    # oracle's COUNT(*) FILTER yields 0 — coalesce the count columns so the
+    # cross-engine semantics match on ANY fixture, not just ones where every
+    # segment has all three statuses.  The price sums stay NULL on both sides
+    # (SUM over no rows is NULL in Spark and DuckDB alike).
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
     return piv.select(
         "c_mktsegment",
-        F.col("F_n").alias("n_f"), F.col("O_n").alias("n_o"),
-        F.col("P_n").alias("n_p"),
+        zero("F_n").alias("n_f"), zero("O_n").alias("n_o"),
+        zero("P_n").alias("n_p"),
         F.col("F_price").alias("price_f"), F.col("O_price").alias("price_o"),
         F.col("P_price").alias("price_p"),
     )

@@ -117,8 +117,23 @@ def _artifact_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Queries renamed after a driver round recorded them under the old name.
+#: driver_history() folds the old row into the new name so history stays 1:1
+#: with the registry (r4 recorded `simsearch_recall_eval`, renamed in r5).
+_RENAMED_QUERIES = {
+    "simsearch_recall_eval": "simsearch_recall_dashboard",
+}
+
+
 def driver_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
-    """``name -> (last_checked_round, was_green)`` from CORRECTNESS_r*.json."""
+    """``name -> (last_checked_round, was_green)`` from CORRECTNESS_r*.json.
+
+    Renamed queries are folded onto their current registry name, and — when
+    reading the live artifacts (``root is None``) with the registry populated —
+    rows for names no longer in the registry are dropped, so callers see
+    history keyed 1:1 by current query names.  An explicit ``root`` (synthetic
+    test fixtures) skips the registry filter.
+    """
     import glob
     import json
     import re
@@ -137,6 +152,7 @@ def driver_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
+            name = _RENAMED_QUERIES.get(name, name)
             if isinstance(row, dict):
                 # hash_match is authoritative when present: right cardinality +
                 # wrong values must schedule as red, not count as green via
@@ -147,6 +163,8 @@ def driver_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
                 prev = hist.get(name)
                 if prev is None or rnd >= prev[0]:
                     hist[name] = (rnd, green)
+    if root is None and REGISTRY:
+        hist = {n: h for n, h in hist.items() if n in REGISTRY}
     return hist
 
 

@@ -210,3 +210,38 @@ def test_prefix_filter_equals_all_pairs_verifier(spark):
                    if r["jaccard"] >= PF_THRESHOLD)
     pf = sorted(tuple(r) for r in dedup_jaccard_prefix_filter(spark, SF).collect())
     assert pf == exact and len(pf) > 0
+
+
+def test_ranked_topk_invariant_under_adversarial_layouts(spark):
+    """Pin the phase-1-contains-top-k invariant of the two-phase top-k
+    (operators/topk.py) under adversarial layouts, not just the docstring
+    argument: one giant partition, more partitions than rows/k, ALL rows
+    crammed into one of several partitions (skew), a range layout that splits
+    score ties across partitions — and tiny Arrow batches so the running
+    per-batch shortlist concat path actually executes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.topk import ranked_topk
+
+    rows = [(i % 5, i, float((i * 37) % 11)) for i in range(400)]
+    base = spark.createDataFrame(rows, "k int, vid long, score double")
+    w = Window.partitionBy("k").orderBy(F.desc("score"), F.asc("vid"))
+    want = sorted(map(tuple, base.withColumn("rnk", F.row_number().over(w))
+                      .filter("rnk <= 6").collect()))
+    layouts = [
+        base.repartition(1),
+        base.repartition(97),
+        base.repartition(5, F.lit(0)),          # skew: every row in one of 5
+        base.repartitionByRange(7, "score"),    # duplicate scores split apart
+    ]
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "16")
+        for df in layouts:
+            got = sorted(map(tuple, ranked_topk(
+                df, "k", "score", "vid", 6, ascending=False).collect()))
+            assert got == want
+    finally:
+        spark.conf.set(key, prev)

@@ -109,3 +109,44 @@ def test_int8_quantization_error_is_bounded_by_half_a_step(spark):
     half_step = widest / 255.0 / 2.0
     assert out.filter(F.col("max_abs_err") > half_step + 1e-9).count() == 0
     assert out.count() > 0
+
+
+def _adversarial(spark, build):
+    """Run ``build()`` twice: default layout, then adversarial scan splits +
+    prime shuffle width + tiny Arrow batches (forces the numpy mapInPandas
+    shortlist through many small batches).  Results must be cell-identical."""
+    from alertas_spark.operators import memo
+
+    memo.clear()
+    base = sorted(map(tuple, build().collect()))
+    confs = {"spark.sql.files.maxPartitionBytes": str(64 * 1024),
+             "spark.sql.shuffle.partitions": "13",
+             "spark.sql.execution.arrow.maxRecordsPerBatch": "64"}
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        memo.clear()
+        alt = sorted(map(tuple, build().collect()))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return base, alt
+
+
+def test_pq_topk_invariant_under_adversarial_partitioning(spark):
+    """The PQ tier's inline per-partition ADC shortlist (pq.py _adc_topk) must
+    contain the global top-k for ANY input layout — pinned by re-running the
+    whole declared query under adversarial partitioning."""
+    from alertas_spark.operators.pq import simsearch_topk_pq
+
+    base, alt = _adversarial(spark, lambda: simsearch_topk_pq(spark, SF))
+    assert base == alt and len(base) > 0
+
+
+def test_bruteforce_topk_invariant_under_adversarial_partitioning(spark):
+    """Same pin for the brute-force tier's ranked_topk (operators/topk.py)."""
+    from alertas_spark.operators.simsearch import simsearch_topk_bruteforce
+
+    base, alt = _adversarial(spark, lambda: simsearch_topk_bruteforce(spark, SF))
+    assert base == alt and len(base) > 0

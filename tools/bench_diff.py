@@ -24,6 +24,12 @@ import sys
 
 NOISE_FLOOR_S = 1.0
 
+#: substring present in the bench ``protocol`` field from round 6 on — the
+#: round that introduced memo-clearing before every timed run.  Records
+#: WITHOUT it timed artifact-memoized queries warm, so their numbers for those
+#: queries are not comparable to a cold-protocol record.
+COLD_PROTOCOL_MARK = "cleared before every timed run"
+
 
 def _extract_queries(text: str) -> dict[str, float]:
     """Recover the ``"queries": {...}`` object from a possibly truncated line."""
@@ -50,17 +56,26 @@ def _extract_queries(text: str) -> dict[str, float]:
     raise ValueError("unbalanced queries object (truncated at the tail?)")
 
 
-def load_bench(path: str) -> dict[str, float]:
+def load_bench(path: str) -> tuple[dict[str, float], bool, set[str]]:
+    """``(queries, is_cold_protocol, memoized_names)``.
+
+    ``is_cold_protocol`` is detected from the protocol text (raw substring
+    search so truncated driver tails still classify); ``memoized_names`` are
+    the queries the record itself flagged as artifact-memoized (empty for
+    pre-r6 records, which did not track them — the NEW side's set is used to
+    classify those)."""
     with open(path) as fh:
         raw = fh.read()
+    cold = COLD_PROTOCOL_MARK in raw
     try:
         doc = json.loads(raw)
     except json.JSONDecodeError:
-        return _extract_queries(raw)
+        return _extract_queries(raw), cold, set()
     if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
-        return doc["queries"]
+        return (doc["queries"], cold,
+                set(doc.get("queries_warm_shared_artifacts") or ()))
     if isinstance(doc, dict) and "tail" in doc:  # driver wrapper
-        return _extract_queries(doc["tail"])
+        return _extract_queries(doc["tail"]), cold, set()
     raise ValueError(f"{path}: unrecognized bench format")
 
 
@@ -71,7 +86,13 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.5)
     args = ap.parse_args()
 
-    old, new = load_bench(args.old), load_bench(args.new)
+    old, old_cold, old_memo = load_bench(args.old)
+    new, new_cold, new_memo = load_bench(args.new)
+    # A memoized query timed under a warm protocol on ONE side only is not
+    # comparable: pre-r6 records let each query's training artifacts stay live
+    # from its first pass, r6+ clears them before every timed run.  Refuse to
+    # grade those pairs instead of reporting 5x "regressions".
+    incomparable = (old_memo | new_memo) if old_cold != new_cold else set()
     common = sorted(set(old) & set(new))
     failures: list[str] = []
 
@@ -82,6 +103,10 @@ def main() -> int:
             continue
         ratio = n / o
         flag = ""
+        if name in incomparable:
+            print(f"{name:40s} {o:8.2f} {n:8.2f} {'—':>7s}  "
+                  f"protocol-changed (memoized; warm-vs-cold, not comparable)")
+            continue
         if ratio > args.threshold:
             if max(o, n) < NOISE_FLOOR_S:
                 flag = "  (noise)"
@@ -98,10 +123,14 @@ def main() -> int:
     if only_new:
         print(f"added in new: {', '.join(only_new)}")
 
-    tot_o = sum(v for k, v in old.items() if k in common and v > 0)
-    tot_n = sum(v for k, v in new.items() if k in common and v > 0)
+    graded = [k for k in common if k not in incomparable]
+    tot_o = sum(v for k, v in old.items() if k in graded and v > 0)
+    tot_n = sum(v for k, v in new.items() if k in graded and v > 0)
     print(f"\ncommon-query total: {tot_o:.1f}s -> {tot_n:.1f}s "
-          f"({tot_n / tot_o:.2f}x) over {len(common)} queries")
+          f"({tot_n / tot_o:.2f}x) over {len(graded)} protocol-comparable "
+          f"queries" + (f" ({len(common) - len(graded)} memoized queries "
+                        "excluded: cold-protocol boundary)"
+                        if len(graded) != len(common) else ""))
 
     if failures:
         print(f"\n{len(failures)} regression(s) past {args.threshold}x:",
