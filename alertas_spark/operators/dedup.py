@@ -32,17 +32,8 @@ N_BANDS = 16
 ROWS_PER_BAND = 2
 JACCARD_THRESHOLD = 0.3
 
-#: SQL expression (Spark) building the distinct word-3-shingle array from ``text``.
-_SHINGLES_SPARK = """
-    array_distinct(
-        CASE WHEN size(tok) >= 3 THEN
-            transform(sequence(0, size(tok) - 3),
-                      i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))
-        ELSE array()
-        END)
-"""
-
-#: Same thing in DuckDB (1-based list indexing).
+#: Word-3-shingle array in DuckDB (1-based list indexing) — the oracle-side
+#: counterpart of ``_shingle_rows``.
 _SHINGLES_DUCK = """
     list_distinct(
         CASE WHEN len(tok) >= 3 THEN
@@ -51,24 +42,6 @@ _SHINGLES_DUCK = """
         ELSE []
         END)
 """
-
-
-def _with_shingles(spark: SparkSession, sf_dir: str,
-                   parallelism: int | None = None) -> DataFrame:
-    """``parallelism``: repartition the raw doc scan FIRST so the shingle /
-    hash projections above it run data-parallel.  The sf parquet is a single
-    file → a single input partition, which serializes all per-doc CPU (md5 +
-    conv per shingle) onto one core; at 100 TB the scan has thousands of
-    splits and the exchange is unnecessary, but the shape is harmless there
-    (one narrow round-robin-by-key exchange before heavy projection)."""
-    docs = load_table(spark, sf_dir, "documents")
-    if parallelism:
-        docs = docs.repartition(parallelism, "doc_id")
-    return (
-        docs.withColumn("tok", F.split(F.lower(F.col("text")), r"\s+"))
-        .withColumn("shingles", F.expr(_SHINGLES_SPARK))
-        .select("doc_id", "shingles")
-    )
 
 
 _DUCK_SHINGLE_CTE = f"""
@@ -143,9 +116,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_ngram_jaccard is the exact all-pairs verifier, capped at "
             f"{EXACT_PAIRS_MAX_DOCS} documents; use dedup_minhash_lsh for the "
             "banded sub-quadratic path at scale")
-    shing = _with_shingles(spark, sf_dir).cache()
-    sh = shing.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = shing.select("doc_id", F.size("shingles").alias("n"))
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -170,32 +142,28 @@ _MH_A = [(17 * (p + 1) ** 2 + 3 * (p + 1) + 1) % _MH_PRIME for p in range(N_PERM
 _MH_B = [(31 * (p + 1) ** 3 + 7) % _MH_PRIME for p in range(N_PERM)]
 
 
-#: shingle-hash array, computed ONCE per row (hoisted out of the per-perm lambda)
-_SHINGLE_HASHES_SPARK = (f"transform(shingles, s -> "
-                         f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
-                         f" % {_MH_PRIME})")
+#: oracle-side shingle hash (same 31-bit md5/conv domain as
+#: ``_hashed_shingle_tokens``)
 _SHINGLE_HASHES_DUCK = (f"list_transform(shingles, s -> "
                         f"CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)"
                         f" % {_MH_PRIME})")
 
 
 
-def _hashed_shingle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(doc_id, h)``: each doc's DISTINCT 31-bit shingle hashes, one row per
-    hash — the exploded-row equivalent of ``array_distinct`` over
-    ``_SHINGLE_HASHES_SPARK`` applied to ``_with_shingles``.
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, s)``: each doc's DISTINCT word-3-shingle strings, one row per
+    shingle.
 
     Why not the array pipeline: higher-order-function lambdas (``transform``
-    with md5/conv/concat_ws per element) run on Catalyst's INTERPRETED
-    expression path — measured ~50µs per shingle, 23s for 260k shingles at
-    sf0.1 — and the scan-side projection executes inside the single input
-    split of a one-file parquet table, so it cannot even parallelize.  Here
-    the trigram is built with codegen-only operators: ``posexplode`` the
-    token stream, ``lead(1)/lead(2)`` over the per-doc window (whose shuffle
-    also redistributes the rows across the cluster), ``concat_ws`` + ``md5``
-    + ``conv`` as top-level vectorized projections, then one distinct.  Same
-    hashes bit-for-bit (pinned vs the array pipeline by
-    tests/test_corpus_ops.py and the unchanged DuckDB oracle)."""
+    with concat_ws / md5 per element) run on Catalyst's INTERPRETED expression
+    path — measured ~50µs per shingle, 23s for 260k shingles at sf0.1 — and
+    the scan-side projection executes inside the single input split of a
+    one-file parquet table, so it cannot even parallelize.  Here the trigram
+    is built with codegen-only operators: ``posexplode`` the token stream,
+    ``lead(1)/lead(2)`` over the per-doc window (whose shuffle also
+    redistributes the rows across the cluster), ``concat_ws`` as a top-level
+    vectorized projection, then one distinct.  Same shingles (pinned by the
+    unchanged string-based DuckDB oracles)."""
     docs = load_table(spark, sf_dir, "documents")
     w = W.partitionBy("doc_id").orderBy("pos")
     return (
@@ -204,9 +172,21 @@ def _hashed_shingle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", F.lead("w", 1).over(w))
         .withColumn("w2", F.lead("w", 2).over(w))
         .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("s"))
+        .dropDuplicates(["doc_id", "s"])
+    )
+
+
+def _hashed_shingle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, h)``: each doc's DISTINCT 31-bit shingle hashes, one row per
+    hash — ``_shingle_rows`` pushed through the engine-shared md5/conv hash as
+    a top-level codegen projection (same domain as ``_SHINGLE_HASHES_DUCK``,
+    so oracles agree bit-for-bit)."""
+    return (
+        _shingle_rows(spark, sf_dir)
         .select("doc_id", (F.expr(
-            "cast(conv(substring(md5(concat_ws(' ', w, w1, w2)), 1, 15),"
-            " 16, 10) as bigint)") % F.lit(_MH_PRIME)).alias("h"))
+            "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
+            % F.lit(_MH_PRIME)).alias("h"))
         .dropDuplicates(["doc_id", "h"])
     )
 
@@ -335,17 +315,6 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _minhash_sig_spark() -> str:
-    """Spark SQL expr over the pre-hashed shingle ints ``hs``: 32 affine permutations
-    + array_min, UNROLLED so each permutation's (a, b) are scalar literals — indexing
-    a 32-element array literal inside the lambda rebuilds it per element.  Hash once,
-    permute cheaply: 1/32 of the md5-per-(perm,shingle) hashing."""
-    perms = ", ".join(
-        f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {_MH_PRIME}))"
-        for a, b in zip(_MH_A, _MH_B))
-    return f"array({perms})"
-
-
 _MINHASH_SIG_DUCK = "list_value(" + ", ".join(
     f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MH_PRIME}))"
     for a, b in zip(_MH_A, _MH_B)) + ")"
@@ -407,13 +376,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 32 affine min-hashes as plain codegen'd MIN aggregates over the exploded
+    # distinct shingle-hash rows — the array-lambda variant
+    # (array_min(transform(hs, ...)) × 32) runs interpreted per element and
+    # was the corpus's hidden hot spot once cold timings stopped hitting the
+    # subplan cache.  min over the same set, bit-identical signatures.
+    toks = _hashed_shingle_tokens(spark, sf_dir)
     sig = (
-        _with_shingles(spark, sf_dir)
-        .filter(F.size("shingles") > 0)
-        .withColumn("hs", F.expr(_SHINGLE_HASHES_SPARK))
-        .withColumn("mh", F.expr(_minhash_sig_spark()))
-        .drop("hs")
-        .cache()
+        toks.groupBy("doc_id")
+        .agg(*[F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME))
+               .alias(f"mh{p}")
+               for p, (a, b) in enumerate(zip(_MH_A, _MH_B))])
+        .select("doc_id",
+                F.array(*[f"mh{p}" for p in range(N_PERM)]).alias("mh"))
     )
     # band_hash = md5(mh[2b] || '|' || mh[2b+1])  (Spark arrays are 0-based)
     bands = sig.select(
@@ -438,9 +413,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 10x fixture scale the auto-chosen broadcast OOMed the driver
     # (tools/scale_probe.py).  Pin the scale-correct strategy: shuffle hash
     # join on the high-cardinality doc_id keys.
-    sa = sig.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sha")) \
+    strs = (_shingle_rows(spark, sf_dir).groupBy("doc_id")
+            .agg(F.collect_list("s").alias("shingles")))
+    sa = strs.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sha")) \
         .hint("shuffle_hash")
-    sb = sig.select(F.col("doc_id").alias("db"), F.col("shingles").alias("shb")) \
+    sb = strs.select(F.col("doc_id").alias("db"), F.col("shingles").alias("shb")) \
         .hint("shuffle_hash")
     verified = (
         cand.join(sa, F.col("doc_a") == F.col("da"))

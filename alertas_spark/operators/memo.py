@@ -45,9 +45,35 @@ def session_artifact(spark: SparkSession, key: tuple,
     return df
 
 
+_PERSISTED: list[DataFrame] = []
+
+
+def cached(df: DataFrame) -> DataFrame:
+    """``df.cache()`` with cold-protocol registration.
+
+    Operator-internal caches (a signature table read three times inside one
+    query) are legitimate plan structure, but Spark's CacheManager substitutes
+    a cached plan into ANY later query by canonicalized-subplan match — so an
+    untracked ``.cache()`` silently warms the next cold-timed run of the same
+    query AND of different queries sharing the subplan (measured: the prefix-
+    filter join timed 3.3s in the full-corpus bench but 18.6s standalone,
+    because the ngram verifier's cached shingle table fed its scan).  Routing
+    through here lets ``clear()`` unpersist everything an operator pinned, so
+    bench/probe cold timings stay cold."""
+    _PERSISTED.append(df.cache())
+    return df
+
+
 def clear() -> None:
-    """Drop all memoized artifacts (tests / plan audits that need cold builds)."""
+    """Drop all memoized artifacts AND unpersist tracked operator caches
+    (tests / bench / plan audits that need cold builds)."""
     _CACHE.clear()
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _PERSISTED.clear()
 
 
 def artifact_count() -> int:

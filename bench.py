@@ -54,6 +54,19 @@ def main() -> None:
     # artifact.  The corpus metric is the sum of per-query cold minima.
     from alertas_spark.operators import memo
 
+    # Queries whose pre-r7 bench numbers were contaminated by Spark's
+    # canonicalized-subplan cache: operator-internal .cache() calls (the ngram
+    # verifier's shingle table, the MinHash signature table) warmed the SECOND
+    # cold pass of the same query and ANY other query sharing the subplan.
+    # From r7 memo.clear() unpersists tracked operator caches, so these
+    # queries' timings are honestly cold and NOT comparable to r6-and-earlier
+    # records (tools/bench_diff.py excludes them across the boundary).
+    cache_cold_since_r7 = [
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_jaccard_prefix_filter",
+        "dedup_components", "dedup_cluster_representative",
+        "pipeline_clean_corpus", "pipeline_clean_corpus_v2",
+    ]
+
     timings: dict[str, float] = {}
     memoized: set[str] = set()
     for _pass in range(2):
@@ -131,6 +144,7 @@ def main() -> None:
     record = {
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "queries_warm_shared_artifacts": dict(sorted(warm.items())),
+        "cache_cold_since_r7": cache_cold_since_r7,
         "alert_batch_wall_clock": alert_batch,
         "metric": "declared_query_corpus_wall_clock",
         "value": total,
@@ -145,7 +159,10 @@ def main() -> None:
                      "disclosed separately and excluded from the headline; "
                      "streaming_* carry ~1-2s fixed micro-batch + state-store "
                      "machinery per run; fixture regeneration between rounds "
-                     "shifts absolute times"),
+                     "shifts absolute times; operator caches unpersisted "
+                     "before every timed run (r7) — cache_cold_since_r7 lists "
+                     "the queries whose earlier-round numbers were "
+                     "subplan-cache warm and are not comparable"),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as fh:

@@ -30,6 +30,12 @@ NOISE_FLOOR_S = 1.0
 #: queries are not comparable to a cold-protocol record.
 COLD_PROTOCOL_MARK = "cleared before every timed run"
 
+#: r7 protocol mark: operator-internal Spark caches unpersisted per timed run.
+#: Records carrying it list the affected queries in ``cache_cold_since_r7``;
+#: across a boundary where exactly one side has the mark, those queries'
+#: numbers are warm-vs-cold and not comparable.
+CACHE_COLD_MARK = "operator caches unpersisted"
+
 
 def _extract_queries(text: str) -> dict[str, float]:
     """Recover the ``"queries": {...}`` object from a possibly truncated line."""
@@ -56,26 +62,27 @@ def _extract_queries(text: str) -> dict[str, float]:
     raise ValueError("unbalanced queries object (truncated at the tail?)")
 
 
-def load_bench(path: str) -> tuple[dict[str, float], bool, set[str]]:
-    """``(queries, is_cold_protocol, memoized_names)``.
+def load_bench(path: str) -> tuple[dict[str, float], bool, bool, set[str], set[str]]:
+    """``(queries, is_cold, is_cache_cold, memoized, cache_sensitive)``.
 
-    ``is_cold_protocol`` is detected from the protocol text (raw substring
-    search so truncated driver tails still classify); ``memoized_names`` are
-    the queries the record itself flagged as artifact-memoized (empty for
-    pre-r6 records, which did not track them — the NEW side's set is used to
-    classify those)."""
+    Protocol marks are detected from the raw text (substring search so
+    truncated driver tails still classify); the name sets are what the record
+    itself flagged (empty for older records, which did not track them — the
+    NEW side's sets are used to classify those)."""
     with open(path) as fh:
         raw = fh.read()
     cold = COLD_PROTOCOL_MARK in raw
+    cache_cold = CACHE_COLD_MARK in raw
     try:
         doc = json.loads(raw)
     except json.JSONDecodeError:
-        return _extract_queries(raw), cold, set()
+        return _extract_queries(raw), cold, cache_cold, set(), set()
     if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
-        return (doc["queries"], cold,
-                set(doc.get("queries_warm_shared_artifacts") or ()))
+        return (doc["queries"], cold, cache_cold,
+                set(doc.get("queries_warm_shared_artifacts") or ()),
+                set(doc.get("cache_cold_since_r7") or ()))
     if isinstance(doc, dict) and "tail" in doc:  # driver wrapper
-        return _extract_queries(doc["tail"]), cold, set()
+        return _extract_queries(doc["tail"]), cold, cache_cold, set(), set()
     raise ValueError(f"{path}: unrecognized bench format")
 
 
@@ -86,13 +93,18 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.5)
     args = ap.parse_args()
 
-    old, old_cold, old_memo = load_bench(args.old)
-    new, new_cold, new_memo = load_bench(args.new)
-    # A memoized query timed under a warm protocol on ONE side only is not
-    # comparable: pre-r6 records let each query's training artifacts stay live
-    # from its first pass, r6+ clears them before every timed run.  Refuse to
-    # grade those pairs instead of reporting 5x "regressions".
-    incomparable = (old_memo | new_memo) if old_cold != new_cold else set()
+    old, old_cold, old_cc, old_memo, old_sens = load_bench(args.old)
+    new, new_cold, new_cc, new_memo, new_sens = load_bench(args.new)
+    # A query timed warm on ONE side only is not comparable — refuse to grade
+    # those pairs instead of reporting 5x "regressions".  Two boundaries:
+    # r5→r6 (trained-artifact memo cleared per run → memoized queries), and
+    # r6→r7 (operator Spark caches unpersisted per run → subplan-cache-
+    # sensitive queries).
+    incomparable: set[str] = set()
+    if old_cold != new_cold:
+        incomparable |= old_memo | new_memo
+    if old_cc != new_cc:
+        incomparable |= old_sens | new_sens
     common = sorted(set(old) & set(new))
     failures: list[str] = []
 
@@ -105,7 +117,7 @@ def main() -> int:
         flag = ""
         if name in incomparable:
             print(f"{name:40s} {o:8.2f} {n:8.2f} {'—':>7s}  "
-                  f"protocol-changed (memoized; warm-vs-cold, not comparable)")
+                  f"protocol-changed (warm-vs-cold, not comparable)")
             continue
         if ratio > args.threshold:
             if max(o, n) < NOISE_FLOOR_S:
@@ -128,8 +140,8 @@ def main() -> int:
     tot_n = sum(v for k, v in new.items() if k in graded and v > 0)
     print(f"\ncommon-query total: {tot_o:.1f}s -> {tot_n:.1f}s "
           f"({tot_n / tot_o:.2f}x) over {len(graded)} protocol-comparable "
-          f"queries" + (f" ({len(common) - len(graded)} memoized queries "
-                        "excluded: cold-protocol boundary)"
+          f"queries" + (f" ({len(common) - len(graded)} queries excluded: "
+                        "cold-protocol boundary)"
                         if len(graded) != len(common) else ""))
 
     if failures:
