@@ -438,6 +438,99 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 relevance scoring
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@declare(
+    "bm25_top_terms",
+    oracle=f"""
+    WITH tokd AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+        FROM documents
+    ), terms AS (
+        SELECT doc_id, unnest(tok) AS term FROM tokd
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(CAST(dl AS DECIMAL(29,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avgdl
+        FROM dl
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * tf.tf * ({BM25_K1} + 1.0)
+                     / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                        + {BM25_B} * dl.dl / s.avgdl)), 6) AS bm25
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+    ), ranked AS (
+        SELECT doc_id, term, bm25,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY bm25 DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, bm25, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_N}
+    """,
+)
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_N} BM25 terms per document (Robertson/Spärck Jones; the
+    default ranking function of every production search stack, k1={BM25_K1}
+    b={BM25_B}) — TF-IDF's join-back pattern plus the document-length
+    normalization that makes term frequency saturate.
+
+    Corpus statistics: df per term, dl per doc, and a 1-row (n_docs, avgdl)
+    global aggregate riding in via the crossJoin-broadcast idiom (J7); avgdl
+    uses decimal accumulation so the normalization denominator is
+    partition-order independent and oracle-exact.  The df↔tf join stays an
+    equi join on ``term`` (vocabulary-sized — never broadcast by hint; AQE
+    decides at runtime)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.withColumn("tok", F.regexp_extract_all(F.lower(F.col("text")),
+                                                    F.lit("[a-z0-9]+"), 0))
+        .select("doc_id", F.explode("tok").alias("term"))
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum(F.col("dl").cast("decimal(29,6)")).cast("double")
+                / F.count("*"), 6).alias("avgdl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0)
+    norm = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+                                     + BM25_B * F.col("dl") / F.col("avgdl")))
+    scored = (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25",
+                    F.round(idf * F.col("tf") * (BM25_K1 + 1.0) / norm, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "bm25", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary heavy hitters — corpus-global token frequencies
 # ---------------------------------------------------------------------------
 

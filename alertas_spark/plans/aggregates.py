@@ -215,3 +215,37 @@ def global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_discount"), 2).alias("min_disc"),
         F.round(F.max("l_discount"), 2).alias("max_disc"),
     )
+
+
+@declare(
+    "order_value_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (p50/p90/p99) of order value per market
+    segment — ``percentile()``, Spark's exact linear-interpolation aggregate
+    (the same continuous-quantile definition as the oracle's
+    ``quantile_cont``), not ``approx_percentile``.
+
+    Scale note: exact percentiles buffer each group's values, so this is the
+    small-group-count shape (5 segments); for high-cardinality groups or
+    full-table profiles the sketch path (``profile_columns_approx``,
+    operators/profiling.py) is the 100 TB default — the two queries pin both
+    tiers."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    pct = F.percentile(F.col("o_totalprice"), F.lit([0.5, 0.9, 0.99]))
+    return (j.groupBy("c_mktsegment")
+            .agg(pct.alias("ps"))
+            .select("c_mktsegment",
+                    F.round(F.col("ps")[0], 4).alias("p50"),
+                    F.round(F.col("ps")[1], 4).alias("p90"),
+                    F.round(F.col("ps")[2], 4).alias("p99")))

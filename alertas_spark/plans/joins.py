@@ -322,3 +322,39 @@ def disjunctive_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(events, pairs.event_a == events.event_id)
         .groupBy("user_id").agg(F.count("*").alias("n_pairs"))
     )
+
+
+@declare(
+    "full_outer_daily_status_revenue",
+    oracle=f"""
+    WITH f AS (
+        SELECT o_orderdate AS day, {sql_dsum('o_totalprice')} AS rev_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderdate
+    ), o AS (
+        SELECT o_orderdate AS day, {sql_dsum('o_totalprice')} AS rev_o
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderdate
+    )
+    SELECT strftime(COALESCE(f.day, o.day), '%Y-%m-%d') AS day, rev_f, rev_o
+    FROM f FULL OUTER JOIN o ON f.day = o.day
+    """,
+)
+def full_outer_daily_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse daily series (finalized vs open revenue):
+    days where only one side traded keep the other side NULL — the one join
+    type the rest of the corpus never exercises.  Both inputs are daily
+    pre-aggregates, so the full-outer is calendar-bounded and co-partitioned
+    on the join key (a sort-merge join with no broadcast side, matching how a
+    full outer MUST execute at any scale — neither side can be streamed)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def side(status: str, out: str) -> DataFrame:
+        return (orders.filter(F.col("o_orderstatus") == status)
+                .groupBy(F.col("o_orderdate").alias(f"day_{out}"))
+                .agg(dsum(F.col("o_totalprice")).alias(f"rev_{out}")))
+
+    f, o = side("F", "f"), side("O", "o")
+    return (
+        f.join(o, f.day_f == o.day_o, "full_outer")
+        .select(F.date_format(F.coalesce("day_f", "day_o"), "yyyy-MM-dd")
+                 .alias("day"), "rev_f", "rev_o")
+    )

@@ -65,3 +65,43 @@ def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
     return asia.unionByName(rich).distinct()
+
+
+@declare(
+    "customer_cohort_set_ops",
+    oracle="""
+    WITH c95 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+    ), c96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_custkey, 'retained' AS cohort FROM (
+        SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+    UNION ALL
+    SELECT o_custkey, 'churned' AS cohort FROM (
+        SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+    """,
+)
+def customer_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over yearly purchase cohorts: customers active in
+    both 1995 and 1996 (retained) and in 1995 only (churned), labeled in one
+    result.  Both set operators compile to the same plan family as the anti /
+    semi joins (J9/J12) — a distinct aggregate feeding a hash join on the full
+    row — so they inherit the scale story of the join they desugar to; the
+    year filters are pushed to the parquet scan."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return (orders.filter((F.col("o_orderdate") >= f"{y}-01-01")
+                              & (F.col("o_orderdate") < f"{y + 1}-01-01"))
+                .select("o_custkey").distinct())
+
+    c95, c96 = year(1995), year(1996)
+    return (
+        c95.intersect(c96).withColumn("cohort", F.lit("retained"))
+        .unionByName(c95.subtract(c96).withColumn("cohort", F.lit("churned")))
+    )

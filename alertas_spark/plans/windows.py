@@ -428,3 +428,28 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd")
          .alias("valid_to"),
     )
+
+
+@declare(
+    "acctbal_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST per market segment over account balance — the
+    two distribution window functions the ranking queries (ntile/row_number)
+    don't cover.  The customer tiebreak makes the order total, so both
+    engines agree bit-for-bit; one sort+exchange on the segment serves both
+    functions."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -68,6 +68,8 @@ _QUERY_MODULES = (
     "alertas_spark.plans.windows",
     "alertas_spark.sources.quality",
     "alertas_spark.plans.merge",
+    "alertas_spark.plans.subqueries",
+    "alertas_spark.plans.timeseries",
     "alertas_spark.plans.joins",
     "alertas_spark.plans.aggregates",
     "alertas_spark.plans.relational",

@@ -57,6 +57,12 @@ QUERIES = [
     "pipeline_clean_corpus_v2",    # composed multi-stage pipeline (documents ×N)
     "running_total_per_customer",  # per-key frame window (orders ×N)
     "cube_priority_segment",       # Expand multi-set aggregation (orders ×N)
+    "merge_upsert_customers",      # co-partitioned full-outer MERGE (orders ×N)
+    "scd2_priority_history",       # daily-grain change detection + LEAD (orders ×N)
+    "dq_audit_orders",             # conditional-agg rules + FK left-anti (orders ×N)
+    "embedding_quantize_int8",     # global min/max + scan projection (embeddings ×N)
+    "bm25_top_terms",              # df/dl join-back + top-n (documents ×N)
+    "daily_revenue_gap_filled",    # date spine × dim left join (orders ×N)
     "streaming_tumbling_5min",     # full streaming machinery + state (events ×N)
     "streaming_sessionize",        # session-window state store (events ×N)
 ]
