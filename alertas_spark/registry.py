@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.sampling",
     "alertas_spark.operators.packing",
     "alertas_spark.operators.pipeline",
+    "alertas_spark.operators.graph",
     # range_bin loads before the §2 micro-modules so its (unique, first-time in r3)
     # driver row lands inside the 50-query window ahead of the redundant micros.
     "alertas_spark.plans.range_bin",

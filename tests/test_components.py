@@ -86,3 +86,21 @@ def test_cluster_representative_invariants(spark):
         best = min(members, key=lambda d: (-chars[d], d))
         assert r["rep_doc_id"] == best
         assert r["rep_n_chars"] == chars[best]
+
+
+def test_pagerank_mass_conservation_and_support(spark):
+    """PageRank sanity the oracle can't see: every node keeps a rank, total
+    mass stays ~1 (the graph has no dangling nodes by construction — both
+    directions of every trade edge exist), and ranks are positive."""
+    from alertas_spark.operators.graph import pagerank_trade_graph
+
+    SF = "/root/testdata/sf0.001"
+    rows = pagerank_trade_graph(spark, SF).collect()
+    assert len(rows) > 0
+    total = sum(r.rank for r in rows)
+    # quantization to 12 decimals loses at most n*5e-13 of mass per round
+    assert abs(total - 1.0) < 1e-6, total
+    assert all(r.rank > 0 for r in rows)
+    # bipartite: both customer and supplier nodes present
+    kinds = {r.node[0] for r in rows}
+    assert kinds == {"c", "s"}

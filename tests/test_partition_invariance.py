@@ -32,6 +32,8 @@ QUERIES = [
     "moving_avg_daily_revenue",      # aggregate-then-window decimal MA
     "scd2_priority_history",         # daily-grain change detection + LEAD
     "merge_upsert_customers",        # max_by(struct) latest-row election
+    "pagerank_trade_graph",          # decimal contribs + quantized state
+    "small_quantity_order_revenue",  # decimal-avg correlated threshold
 ]
 
 

@@ -288,14 +288,13 @@ def main() -> int:
                 "output rows is the optimal behavior there, not a blowup "
                 "(candidate generation stays banded/bucketed; no all-pairs "
                 "scan exists in any plan).\n\n"
-                "`dedup_jaccard_prefix_filter` reads worst on this replica by "
-                "design: it is the EXACT tier, and each of the ~250k true "
-                "pairs is regenerated once per shared prefix token before the "
-                "candidate dedup (vs once per colliding band for MinHash) — "
-                "linear-in-input time ratio, but a higher constant on a corpus "
-                "where every doc is a near-dup. At realistic dup densities the "
-                "prefix join is output-bound and small; for approximate "
-                "answers MinHash stays the cheaper path.\n\n"
+                "`dedup_jaccard_prefix_filter` is the EXACT tier: rarity-first "
+                "(document-frequency-ascending) prefixes plus the PPJoin "
+                "positional filter keep its candidate set output-bound even "
+                "on this all-cliques replica (r6's hash-ascending variant put "
+                "common tokens in prefixes — 676x candidate overkill and a "
+                "per-token-frequency-quadratic join, 199s at 10x; the r7 "
+                "rewrite measures ~6s).\n\n"
                 f"| query | 1x sec | {n}x sec | time ratio | 1x rows | {n}x rows "
                 "| rows ratio |\n|---|---|---|---|---|---|---|\n")
             for name, t1, tn, tr, r1, rn, rr in rows:
