@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from alertas_spark.operators import memo
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -39,11 +40,10 @@ def _oracle() -> str:
     it{k} AS (
         SELECT e.dst AS node,
                ROUND({1 - PR_DAMPING} / (SELECT n FROM nn) + {PR_DAMPING} *
-                     CAST(SUM(CAST(p.r * e.w / o.wout AS {_PR_ACC}))
+                     CAST(SUM(CAST(p.r * e.wn AS {_PR_ACC}))
                           AS DOUBLE), {_PR_SCALE}) AS r
         FROM {prev} p
-        JOIN edges e ON p.node = e.src
-        JOIN outw o ON o.src = p.node
+        JOIN edges_n e ON p.node = e.src
         GROUP BY e.dst
     )""")
     return f"""
@@ -59,6 +59,10 @@ def _oracle() -> str:
         SELECT DISTINCT src AS node FROM edges
     ), nn AS (SELECT COUNT(*) AS n FROM nodes),
     outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+    edges_n AS (
+        SELECT e.src, e.dst, e.w / o.wout AS wn
+        FROM edges e JOIN outw o ON e.src = o.src
+    ),
     it0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), {_PR_SCALE}) AS r
             FROM nodes),
     {','.join(its)}
@@ -93,21 +97,33 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
     edges = (pair.select(c.alias("src"), s.alias("dst"), "w")
              .unionByName(pair.select(s.alias("src"), c.alias("dst"), "w")))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count("*").alias("n"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    ranks = (nodes.crossJoin(F.broadcast(nn))
-             .select("node", F.round(1.0 / F.col("n"), _PR_SCALE).alias("r")))
+    # The loop's invariants are built ONCE and pinned through the tracked
+    # operator cache (memo.cached: materialized on first use, unpersisted by
+    # the cold-protocol clear): the normalized edge table is cached
+    # HASH-PARTITIONED ON src, and InMemoryRelation preserves that output
+    # partitioning — so each iteration's rank⋈edge join shuffles only the
+    # node-count-sized rank side, never the edges.
+    edges_n = memo.cached(
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("wout")).alias("wn"))
+        .repartition("src"))
+    nodes = memo.cached(edges_n.select(F.col("src").alias("node")).distinct())
+    # node count: a 1-row driver scalar (the sanctioned S15-class pull —
+    # same contract as alerts/sanitation.py).  Pulling N to the driver folds
+    # (1-d)/N into a constant, deleting a broadcast-join of the full graph
+    # lineage from EVERY iteration; the division itself stays an in-engine
+    # expression so rounding matches the oracle bit-for-bit.
+    n = nodes.count()
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(n), _PR_SCALE).alias("r"))
     for _ in range(PR_ITERS):
-        contrib = (ranks.join(edges, ranks.node == edges.src)
-                   .join(outw, "src")
-                   .select("dst", (F.col("r") * F.col("w") / F.col("wout"))
-                           .alias("contrib")))
+        contrib = (ranks.join(edges_n, ranks.node == edges_n.src)
+                   .select("dst", (F.col("r") * F.col("wn")).alias("contrib")))
         ranks = (contrib.groupBy(F.col("dst").alias("node"))
-                 .agg(F.sum(F.col("contrib").cast(_PR_ACC.lower()))
-                      .cast("double").alias("acc"))
-                 .crossJoin(F.broadcast(nn))
-                 .select("node", F.round(
-                     F.lit(1 - PR_DAMPING) / F.col("n")
-                     + PR_DAMPING * F.col("acc"), _PR_SCALE).alias("r")))
+                 .agg(F.round(
+                     F.lit(1 - PR_DAMPING) / F.lit(n)
+                     + PR_DAMPING * F.sum(F.col("contrib")
+                                          .cast(_PR_ACC.lower()))
+                     .cast("double"), _PR_SCALE).alias("r")))
     return ranks.select("node", F.col("r").alias("rank"))

@@ -249,3 +249,48 @@ def test_scd2_intervals_tile_each_customer_timeline(spark):
         assert df.filter(F.col("valid_to") <= F.col("valid_from")).count() == 0
     finally:
         df.unpersist()
+
+
+def test_exists_decorrelates_to_semi_join_with_pushed_year_filter(spark):
+    plan = _plan(_build(spark, "exists_late_shipment_orders"))
+    # the correlated EXISTS must become ONE semi join (no re-executed subquery,
+    # no extra aggregate), and the year filter must reach the orders scan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), " in plan
+
+
+def test_trailing_frame_is_range_not_rows(spark):
+    plan = _plan(_build(spark, "trailing_revenue_range_frame"))
+    assert "RangeFrame" in plan, \
+        "trailing frame must be a value-RANGE frame, not ROWS"
+    assert "RowFrame" not in plan.split("Window")[1].split("Sort")[0]
+
+
+def test_gap_fill_spine_joins_are_broadcast(spark):
+    plan = _plan(_build(spark, "daily_revenue_gap_filled"))
+    # spine (calendar-bounded) x priorities (5) must come from broadcast of the
+    # 1-row bounds and the tiny dim — never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_waiting_suppliers_is_one_group_stats_pass(spark):
+    plan = _plan(_build(spark, "waiting_suppliers"))
+    # the EXISTS + NOT EXISTS pair must NOT appear as two extra self-joins of
+    # lineitem: exactly 2 lineitem scans (pairs + late branches) and no
+    # cartesian / nested-loop fallback
+    # lineitem x2 (pairs + late), orders x2, supplier x1 — never more
+    assert plan.count("FileScan parquet") <= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_stay_equi_joins(spark):
+    plan = _plan(_build(spark, "pagerank_trade_graph"))
+    assert "CartesianProduct" not in plan
+    # per-iteration rank~edge joins are equi joins; only the 1-row N rides in
+    # via broadcast nested loop
+    import re
+    bnlj = re.findall(r"BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) <= 6  # one per iteration + init, each against a 1-row agg
