@@ -294,3 +294,39 @@ def test_pagerank_iterations_stay_equi_joins(spark):
     import re
     bnlj = re.findall(r"BroadcastNestedLoopJoin", plan)
     assert len(bnlj) <= 6  # one per iteration + init, each against a 1-row agg
+
+
+def test_runtime_bloom_filter_engages_for_selective_shuffle_joins(spark):
+    """The 100 TB fact⋈filtered-dim path: when the dim side is too big to
+    broadcast, Spark should inject a runtime bloom filter that semi-reduces
+    the fact scan BEFORE the shuffle.  Locally every dim broadcasts (so the
+    rule never fires in the default plans); this pins that the engine config
+    leaves the rule available and firing once broadcast is off — the knob a
+    cluster deployment relies on."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF, "orders")
+        cust = (load_table(spark, SF, "customer")
+                .filter(F.col("c_mktsegment") == "BUILDING"))
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
