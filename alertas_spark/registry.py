@@ -71,6 +71,8 @@ _QUERY_MODULES = (
     "alertas_spark.plans.merge",
     "alertas_spark.plans.subqueries",
     "alertas_spark.plans.timeseries",
+    "alertas_spark.functions.udafs",
+    "alertas_spark.plans.semistructured",
     "alertas_spark.plans.joins",
     "alertas_spark.plans.aggregates",
     "alertas_spark.plans.relational",

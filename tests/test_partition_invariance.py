@@ -33,6 +33,7 @@ QUERIES = [
     "scd2_priority_history",         # daily-grain change detection + LEAD
     "merge_upsert_customers",        # max_by(struct) latest-row election
     "pagerank_trade_graph",          # decimal contribs + quantized state
+    "trimmed_mean_order_value",      # UDAF: in-group sort + decimal-6 sum
     "small_quantity_order_revenue",  # decimal-avg correlated threshold
 ]
 
