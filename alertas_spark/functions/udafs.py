@@ -33,19 +33,26 @@ TRIM_Q = 0.1
 _SIX = Decimal("0.000001")
 
 
-@pandas_udf("double")
-def _trimmed_mean(v: pd.Series) -> float:  # pragma: no cover - runs on executor
-    x = sorted(v.dropna().tolist())
-    if not x:
-        return None
-    # floor(n·q) via the same double multiply both engines evaluate
-    k = int(math.floor(len(x) * TRIM_Q))
-    kept = x[k:len(x) - k] if k else x
-    # exact decimal-6 accumulation (HALF_UP quantize == the engines'
-    # double→DECIMAL(29,6) cast), then ONE conversion back to double
-    total = sum(Decimal(val).quantize(_SIX, rounding=ROUND_HALF_UP)
-                for val in kept)
-    return float(total) / len(kept)
+def _make_trimmed_mean():
+    """Build the UDF lazily: ``pandas_udf`` needs an active SparkSession, and
+    registry import must work without one (the driver imports ``queries()``
+    before handing us a session)."""
+
+    @pandas_udf("double")
+    def _trimmed_mean(v: pd.Series) -> float:  # pragma: no cover - executor
+        x = sorted(v.dropna().tolist())
+        if not x:
+            return None
+        # floor(n·q) via the same double multiply both engines evaluate
+        k = int(math.floor(len(x) * TRIM_Q))
+        kept = x[k:len(x) - k] if k else x
+        # exact decimal-6 accumulation (HALF_UP quantize == the engines'
+        # double→DECIMAL(29,6) cast), then ONE conversion back to double
+        total = sum(Decimal(val).quantize(_SIX, rounding=ROUND_HALF_UP)
+                    for val in kept)
+        return float(total) / len(kept)
+
+    return _trimmed_mean
 
 
 @declare(
@@ -87,5 +94,5 @@ def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (j.groupBy("c_mktsegment")
-            .agg(F.round(_trimmed_mean(F.col("o_totalprice")), 6)
+            .agg(F.round(_make_trimmed_mean()(F.col("o_totalprice")), 6)
                  .alias("trimmed_mean")))
