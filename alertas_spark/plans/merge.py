@@ -88,3 +88,53 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("u.price", "s.price").alias("latest_price"),
         )
     )
+
+
+@declare(
+    "ivm_incremental_revenue",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS DOUBLE), 2)
+               AS revenue
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def ivm_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-customer revenue aggregate is
+    maintained as *mergeable partials* — the pre-CUTOFF "materialized
+    snapshot" and the post-CUTOFF "delta batch" are aggregated separately and
+    combined by ADDING partials (full outer join on the key, coalesce + add),
+    never by rescanning history.  The oracle intentionally computes the FULL
+    aggregate over all orders: equality proves the IVM identity
+    ``agg(all) = merge(agg(old), agg(delta))`` holds exactly.
+
+    Why it holds bit-for-bit: counts are integers and the revenue partials
+    stay UNROUNDED DECIMAL(29,6) until after the merge — decimal addition is
+    associative and commutative, so splitting the data at any cutoff (or any
+    partitioning) cannot change the final sum; the single ROUND happens once
+    at the end, exactly where the oracle rounds.  This is the nightly shape
+    at 100 TB: the delta aggregate scans one day, the merge co-partitions on
+    the key, and history is never re-read."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(cmp) -> DataFrame:
+        return (orders.filter(cmp).groupBy("o_custkey")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("o_totalprice").cast("decimal(29,6)"))
+                      .alias("rev")))
+
+    old = partial(F.col("o_orderdate") < CUTOFF)
+    delta = partial(F.col("o_orderdate") >= CUTOFF)
+    o, d = old.alias("o"), delta.alias("d")
+    merged = o.join(d, F.col("o.o_custkey") == F.col("d.o_custkey"),
+                    "full_outer")
+    zero_n = F.lit(0).cast("bigint")
+    zero_r = F.lit(0).cast("decimal(29,6)")
+    return merged.select(
+        F.coalesce("o.o_custkey", "d.o_custkey").alias("o_custkey"),
+        (F.coalesce("o.n", zero_n) + F.coalesce("d.n", zero_n))
+            .alias("n_orders"),
+        F.round((F.coalesce("o.rev", zero_r) + F.coalesce("d.rev", zero_r))
+                .cast("double"), 2).alias("revenue"),
+    )

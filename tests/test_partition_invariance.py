@@ -35,6 +35,7 @@ QUERIES = [
     "pagerank_trade_graph",          # decimal contribs + quantized state
     "trimmed_mean_order_value",      # UDAF: in-group sort + decimal-6 sum
     "small_quantity_order_revenue",  # decimal-avg correlated threshold
+    "ivm_incremental_revenue",       # unrounded-decimal partial merge
 ]
 
 
