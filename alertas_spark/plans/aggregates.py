@@ -249,3 +249,37 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("ps")[0], 4).alias("p50"),
                     F.round(F.col("ps")[1], 4).alias("p90"),
                     F.round(F.col("ps")[2], 4).alias("p99")))
+
+
+@declare(
+    "price_histogram_width_bucket",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM orders)
+    -- DuckDB has no width_bucket; this is Spark's exact evaluation order:
+    -- floor((v - lo) / ((hi - lo) / n)) + 1, v < lo -> 0, v >= hi -> n + 1
+    SELECT o_orderstatus,
+           CAST(CASE WHEN o_totalprice < lo THEN 0
+                     WHEN o_totalprice >= hi THEN 11
+                     ELSE FLOOR((o_totalprice - lo) / ((hi - lo) / 10)) + 1
+                END AS INTEGER) AS bucket,
+           COUNT(*) AS n
+    FROM orders, b
+    GROUP BY 1, 2
+    """,
+)
+def price_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 10-bucket histogram of order value per status via
+    ``width_bucket`` against the observed global [min, max] — the one-pass
+    histogram shape (bounds from a 1-row aggregate riding in via the
+    broadcast-crossJoin idiom J7, bucketing + count in a single distributed
+    aggregate; both engines share the same width_bucket edge semantics,
+    including hi landing in the overflow bucket n+1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(F.min("o_totalprice").alias("lo"),
+                        F.max("o_totalprice").alias("hi"))
+    return (orders.crossJoin(F.broadcast(bounds))
+            .groupBy("o_orderstatus",
+                     F.width_bucket("o_totalprice", "lo", "hi", F.lit(10))
+                      .cast("int").alias("bucket"))
+            .agg(F.count("*").alias("n")))

@@ -13,7 +13,7 @@ tiny row per rule — the shape a scheduler gates a 100 TB load on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alertas_spark.registry import declare
@@ -74,3 +74,21 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.lit("fk_custkey_missing").alias("rule"),
                F.count(F.lit(1)).alias("n_violations")))
     return intra.unionByName(fk)
+
+
+def write_with_audit(df: DataFrame, path: str,
+                     metrics: dict[str, Column]) -> dict:
+    """Write ``df`` as parquet while collecting audit metrics IN THE SAME
+    PASS via ``df.observe`` — the production DQ shape for sinks: a nightly
+    publish at 100 TB cannot afford a second full scan just to count
+    violations, and a separately-computed audit can silently diverge from
+    what was actually written (the write and the audit must see the same
+    rows).  ``metrics`` maps output name → aggregate Column (count_if-style
+    conditional counters compose freely).  Returns the observed metric dict
+    after the write completes."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+       .write.mode("overwrite").parquet(path))
+    return obs.get

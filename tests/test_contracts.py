@@ -107,3 +107,27 @@ def test_dq_audit_fires_on_a_real_violation(spark):
     assert out["orderdate_before_1996"] > 0
     assert out["total_rows"] > 0
     assert out["bad_status"] == 0 and out["null_orderdate"] == 0
+
+
+def test_write_with_audit_single_pass_metrics(spark, tmp_path):
+    """df.observe-based sink audit: the written rows and the audit counters
+    come from ONE scan, and the counters match independent aggregation."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.sources.catalog import load_table
+    from alertas_spark.sources.quality import write_with_audit
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    out = str(tmp_path / "audited")
+    m = write_with_audit(orders, out, {
+        "rows": F.count(F.lit(1)),
+        "null_price": F.count_if(F.col("o_totalprice").isNull()),
+        "negative_price": F.count_if(F.col("o_totalprice") < 0),
+    })
+    want = orders.agg(
+        F.count(F.lit(1)), F.count_if(F.col("o_totalprice").isNull()),
+        F.count_if(F.col("o_totalprice") < 0)).collect()[0]
+    assert (m["rows"], m["null_price"], m["negative_price"]) == tuple(want)
+    # the sink holds exactly the audited rows
+    assert spark.read.parquet(out).count() == m["rows"]
