@@ -24,8 +24,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (BinaryType, BooleanType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
@@ -304,3 +304,106 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("media").cast("int").alias("resized_bytes"),
         F.md5("media").alias("resized_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec end-to-end (pure-stdlib PNG): runs in THIS container
+# ---------------------------------------------------------------------------
+
+_PNG_W = 16  # fixed raster width for the text→image payload
+
+_PNG_MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media", BinaryType()),
+    StructField("text", StringType()),   # carried for the roundtrip check
+])
+
+_PNG_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mode", StringType()),
+    StructField("n_source_bytes", IntegerType()),
+    StructField("roundtrip_ok", BooleanType()),
+])
+
+
+def _png_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Render each doc's bytes into a 16-wide greyscale raster and encode a
+    REAL PNG (operators/png_codec.py, Sub-filtered scanlines so the decoder's
+    non-trivial filter path executes)."""
+    import numpy as np
+
+    from alertas_spark.operators.png_codec import encode_png
+
+    for pdf in batches:
+        bufs = []
+        for txt in pdf["text"]:
+            data = txt.encode("utf-8")
+            h = max(1, -(-len(data) // _PNG_W))
+            arr = np.zeros(h * _PNG_W, dtype=np.uint8)
+            arr[:len(data)] = np.frombuffer(data, dtype=np.uint8)
+            bufs.append(encode_png(arr.reshape(h, _PNG_W), filter_type=1))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": bufs,
+                            "text": pdf["text"]})
+
+
+def _png_decode_verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode the PNG payload with the pure-stdlib codec and verify the pixel
+    roundtrip against the carried source bytes."""
+    import numpy as np
+
+    from alertas_spark.operators.png_codec import decode_png
+
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in
+                                 ("doc_id", "width", "height", "mode",
+                                  "n_source_bytes", "roundtrip_ok")}
+        for doc_id, buf, txt in zip(pdf["doc_id"], pdf["media"], pdf["text"]):
+            data = txt.encode("utf-8")
+            px = decode_png(bytes(buf))
+            flat = px.reshape(-1)
+            ok = (px.shape[1] == _PNG_W and px.shape[2] == 1
+                  and np.array_equal(flat[:len(data)],
+                                     np.frombuffer(data, dtype=np.uint8))
+                  and not flat[len(data):].any())
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(px.shape[1])
+            rows["height"].append(px.shape[0])
+            rows["mode"].append("L")
+            rows["n_source_bytes"].append(len(data))
+            rows["roundtrip_ok"].append(bool(ok))
+        yield pd.DataFrame(rows)
+
+
+@declare(
+    "multimodal_png_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_PNG_W} AS INTEGER) AS width,
+           CAST(greatest(1, ceil(strlen(text) / {_PNG_W}.0)) AS INTEGER)
+               AS height,
+           'L' AS mode,
+           CAST(strlen(text) AS INTEGER) AS n_source_bytes,
+           true AS roundtrip_ok
+    FROM documents
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end, executable in this container: each doc's
+    bytes are rastered and encoded as an actual PNG (pure zlib+numpy codec,
+    operators/png_codec.py) in one mapInPandas stage, then a SECOND stage
+    decodes the binary payload — chunk parse, CRC check, inflate, Sub-filter
+    reconstruction — and verifies the pixels bit-for-bit against the source.
+
+    The oracle recomputes the expected geometry from the text length and
+    demands ``roundtrip_ok`` on every row, so a codec bug (filter math, CRC,
+    stride) fails the cross-engine hash, not just a unit test.  This closes
+    the "real codec never executes in CI" gap: the PIL seam example remains
+    for full-format production decoding, but the engine-side contract is now
+    proven with a genuine binary format in-container.  Both stages are
+    partition-preserving (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(_png_encode_batch, schema=_PNG_MEDIA_SCHEMA)
+    return media.mapInPandas(_png_decode_verify_batch,
+                             schema=_PNG_FEATURES_SCHEMA)

@@ -1,0 +1,192 @@
+"""Pure-stdlib PNG codec (zlib + numpy) — a REAL image codec that executes in
+codec-less containers.
+
+The multimodal seam (operators/multimodal.py) ships a PIL worked example that
+cannot run here (no PIL is installable); this module closes that gap with an
+actual PNG implementation: chunk parsing, zlib inflate, and all five scanline
+filters (None/Sub/Up/Average/Paeth, PNG spec §9), supporting 8-bit greyscale /
+RGB / RGBA, plus a minimal encoder used to build test payloads and the
+in-engine roundtrip query.  ``png_decode_batch`` plugs into the same
+``decode_features`` seam as the PIL example and runs end-to-end in CI
+(tests/test_multimodal.py) and in the declared query
+``multimodal_png_roundtrip``.
+
+Performance note: the per-row unfilter loop is Python — fine for
+feature-extraction over small images and for proving format correctness; a
+production deployment swaps in a C-backed decoder through the SAME seam.  The
+engine-side guarantees (binary column, Arrow batches, partition-preserving
+mapInPandas, corrupt payload → NULL row not job failure) are identical either
+way.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → channel count (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+_MODE = {0: "L", 2: "RGB", 6: "RGBA"}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal 8-bit PNG encoder: greyscale ``(H, W)`` / ``(H, W, 1|3|4)``
+    uint8 arrays, one IDAT, the SAME ``filter_type`` (0-4) applied to every
+    scanline — letting tests drive each decoder filter path deliberately."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    bpp = c
+    raw = bytearray()
+    prior = np.zeros(w * c, dtype=np.int16)
+    for y in range(h):
+        line = a[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]]) \
+            if w * c > bpp else np.zeros_like(line)
+        up = prior
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]]) \
+            if w * c > bpp else np.zeros_like(prior)
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = line - left
+        elif filter_type == 2:
+            filt = line - up
+        elif filter_type == 3:
+            filt = line - (left + up) // 2
+        elif filter_type == 4:
+            filt = line - _paeth(left, up, upleft)
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    return np.where((pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, up, upleft))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced greyscale/RGB/RGBA PNG to a ``(H, W, C)``
+    uint8 array.  Raises ``ValueError`` on anything malformed — callers at the
+    batch seam map that to a NULL row (corrupt payload is data, not an
+    infrastructure error)."""
+    if buf[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    h = color = None
+    while pos + 8 <= len(buf):
+        (length,), tag = struct.unpack(">I", buf[pos:pos + 4]), buf[pos + 4:pos + 8]
+        payload = buf[pos + 8:pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated chunk")
+        crc = struct.unpack(">I", buf[pos + 8 + length:pos + 12 + length])[0]
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError("bad CRC")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            if depth != 8 or color not in _CHANNELS or interlace:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    c = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad pixel payload size")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        row = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        ftype, filt = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int16)
+        if ftype == 0:
+            line = filt
+        elif ftype == 2:
+            line = (filt + prior) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent filters are inherently sequential along x
+            line = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                left = line[x - c] if x >= c else 0
+                up = prior[x]
+                if ftype == 1:
+                    line[x] = (filt[x] + left) % 256
+                elif ftype == 3:
+                    line[x] = (filt[x] + (left + up) // 2) % 256
+                else:
+                    upleft = prior[x - c] if x >= c else 0
+                    p = left + up - upleft
+                    pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if pa <= pb and pa <= pc_ else \
+                        up if pb <= pc_ else upleft
+                    line[x] = (filt[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter byte {ftype}")
+        out[y] = line.astype(np.uint8)
+        prior = line
+    return out.reshape(h, w, c)
+
+
+def png_mode(buf: bytes) -> str:
+    """Mode string ('L'/'RGB'/'RGBA') from the IHDR without full decode."""
+    if buf[:8] != _SIG or buf[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    _, _, _, color = struct.unpack(">IIBB", buf[16:26])
+    return _MODE[color]
+
+
+def png_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL codec behind the multimodal seam, runnable in THIS container:
+    ``decode_features(media, decoder=png_decode_batch,
+    schema=multimodal.IMAGE_FEATURES_SCHEMA)``.  Same contract as the PIL
+    worked example: per-image failure → NULL dimensions, never a batch
+    failure."""
+    for pdf in batches:
+        widths: list = []
+        heights: list = []
+        modes: list = []
+        for buf in pdf["media"]:
+            try:
+                px = decode_png(bytes(buf))
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+                modes.append(_MODE[{1: 0, 3: 2, 4: 6}[px.shape[2]]])
+            except Exception:
+                widths.append(None)
+                heights.append(None)
+                modes.append(None)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": pdf["media"].map(len).astype("int32"),
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+            "mode": modes,
+        })

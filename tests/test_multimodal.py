@@ -151,3 +151,63 @@ def test_pil_decode_real_codec(spark):
     assert (out[2]["width"], out[2]["height"]) == (8, 8)
     assert out[3]["width"] is None and out[3]["mode"] is None
     assert out[3]["n_bytes"] == len(b"not a png")
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-stdlib PNG codec: encode/decode roundtrip across every scanline
+    filter type (None/Sub/Up/Average/Paeth) and channel count."""
+    import numpy as np
+
+    from alertas_spark.operators.png_codec import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (5, 3), (16, 16), (7, 11, 3), (9, 4, 4)]:
+        for ft in range(5):
+            a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+            got = decode_png(encode_png(a, filter_type=ft))
+            want = a[:, :, None] if a.ndim == 2 else a
+            assert np.array_equal(got, want), (shape, ft)
+
+
+def test_png_decode_rejects_malformed_payloads():
+    import struct
+    import numpy as np
+    import pytest
+
+    from alertas_spark.operators.png_codec import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # flip one IDAT byte -> CRC failure
+    bad = bytearray(good)
+    idat = good.index(b"IDAT")
+    bad[idat + 6] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # declared-but-missing pixels
+    with pytest.raises(ValueError):
+        decode_png(good[:40])
+
+
+def test_png_decode_batch_through_the_seam(spark):
+    """The REAL codec through the SAME decode_features seam as the PIL
+    example: valid PNG payloads decode, a corrupt row yields NULLs without
+    failing the batch."""
+    import numpy as np
+
+    from alertas_spark.operators.multimodal import (IMAGE_FEATURES_SCHEMA,
+                                                    decode_features)
+    from alertas_spark.operators.png_codec import encode_png, png_decode_batch
+
+    rows = [(1, bytearray(encode_png(np.arange(48, dtype=np.uint8)
+                                     .reshape(4, 4, 3), filter_type=4)), "image/png"),
+            (2, bytearray(b"corrupt bytes"), "image/png"),
+            (3, bytearray(encode_png(np.zeros((2, 8), np.uint8))), "image/png")]
+    media = spark.createDataFrame(rows, "doc_id long, media binary, media_type string")
+    got = {r.doc_id: r for r in decode_features(
+        media, decoder=png_decode_batch,
+        schema=IMAGE_FEATURES_SCHEMA).collect()}
+    assert (got[1].width, got[1].height, got[1].mode) == (4, 4, "RGB")
+    assert (got[3].width, got[3].height, got[3].mode) == (8, 2, "L")
+    assert got[2].width is None and got[2].mode is None
