@@ -131,15 +131,20 @@ def decode_png(buf: bytes) -> np.ndarray:
             line = filt
         elif ftype == 2:
             line = (filt + prior) % 256
-        elif ftype in (1, 3, 4):
+        elif ftype == 1:
+            # Sub is a per-lane prefix sum: recon[x] = Σ filt[x], x ≡ lane
+            # (mod bpp) — vectorized (int64 guards the pre-mod cumsum), since
+            # Sub is the filter the engine's own encoder emits (the declared
+            # roundtrip query decodes it for every scanline of the corpus)
+            line = (filt.astype(np.int64).reshape(w, c)
+                    .cumsum(axis=0) % 256).reshape(-1).astype(np.int16)
+        elif ftype in (3, 4):
             # left-dependent filters are inherently sequential along x
             line = np.zeros(stride, dtype=np.int16)
             for x in range(stride):
                 left = line[x - c] if x >= c else 0
                 up = prior[x]
-                if ftype == 1:
-                    line[x] = (filt[x] + left) % 256
-                elif ftype == 3:
+                if ftype == 3:
                     line[x] = (filt[x] + (left + up) // 2) % 256
                 else:
                     upleft = prior[x - c] if x >= c else 0

@@ -128,10 +128,17 @@ def main() -> None:
                 os.symlink(os.path.join(fixture_dir, schema),
                            os.path.join(wh, schema))
             os.makedirs(os.path.join(wh, "alertas"))
-            ctx = AlertContext(spark=spark, warehouse=wh, as_of=AS_OF)
-            t0 = time.time()
-            engine.run_all(ctx, quiet=True)
-            alert_batch = round(time.time() - t0, 3)
+            # min of 2 full passes, same machine-noise guard as the per-query
+            # loop: single samples of this ~20s e2e batch swung 16.6→32.7s on
+            # unchanged code; each pass rebuilds the cached base views and
+            # rewrites every sink (cold), so the min is protocol-clean
+            for _pass in range(2):
+                spark.catalog.clearCache()
+                ctx = AlertContext(spark=spark, warehouse=wh, as_of=AS_OF)
+                t0 = time.time()
+                engine.run_all(ctx, quiet=True)
+                t = round(time.time() - t0, 3)
+                alert_batch = t if alert_batch < 0 else min(alert_batch, t)
         finally:
             spark.catalog.clearCache()
             shutil.rmtree(wh, ignore_errors=True)
@@ -145,7 +152,7 @@ def main() -> None:
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "queries_warm_shared_artifacts": dict(sorted(warm.items())),
         "cache_cold_since_r7": cache_cold_since_r7,
-        "alert_batch_wall_clock": alert_batch,
+        "alert_batch_wall_clock": alert_batch,  # min of 2 cold passes
         "metric": "declared_query_corpus_wall_clock",
         "value": total,
         "unit": "sec",
