@@ -361,7 +361,19 @@ def _png_decode_verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
                                   "n_source_bytes", "roundtrip_ok")}
         for doc_id, buf, txt in zip(pdf["doc_id"], pdf["media"], pdf["text"]):
             data = txt.encode("utf-8")
-            px = decode_png(bytes(buf))
+            try:
+                px = decode_png(bytes(buf))
+            except ValueError:
+                # corrupt payload is data, not an infrastructure error: one
+                # bad row must NULL out, not kill the Spark task (same
+                # per-image contract as png_decode_batch)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["mode"].append(None)
+                rows["n_source_bytes"].append(len(data))
+                rows["roundtrip_ok"].append(False)
+                continue
             flat = px.reshape(-1)
             ok = (px.shape[1] == _PNG_W and px.shape[2] == 1
                   and np.array_equal(flat[:len(data)],

@@ -99,9 +99,12 @@ def decode_png(buf: bytes) -> np.ndarray:
     h = color = None
     while pos + 8 <= len(buf):
         (length,), tag = struct.unpack(">I", buf[pos:pos + 4]), buf[pos + 4:pos + 8]
-        payload = buf[pos + 8:pos + 8 + length]
-        if len(payload) != length:
+        if pos + 12 + length > len(buf):
+            # covers both a short payload AND a buffer cut inside the 4 CRC
+            # bytes — without this, struct.unpack below raises struct.error,
+            # escaping the ValueError contract callers filter on
             raise ValueError("truncated chunk")
+        payload = buf[pos + 8:pos + 8 + length]
         crc = struct.unpack(">I", buf[pos + 8 + length:pos + 12 + length])[0]
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError("bad CRC")

@@ -256,12 +256,15 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
                FROM orders)
-    -- DuckDB has no width_bucket; this is Spark's exact evaluation order:
-    -- floor((v - lo) / ((hi - lo) / n)) + 1, v < lo -> 0, v >= hi -> n + 1
+    -- DuckDB has no width_bucket; this is Spark's exact evaluation order
+    -- (catalyst WidthBucket: multiply THEN divide — (n * (v - lo)) / (hi - lo)
+    -- + 1, NOT (v - lo) / ((hi - lo) / n): the two float associations can
+    -- disagree on values sitting exactly on a bucket edge);
+    -- v < lo -> 0, v >= hi -> n + 1
     SELECT o_orderstatus,
            CAST(CASE WHEN o_totalprice < lo THEN 0
                      WHEN o_totalprice >= hi THEN 11
-                     ELSE FLOOR((o_totalprice - lo) / ((hi - lo) / 10)) + 1
+                     ELSE FLOOR(10 * (o_totalprice - lo) / (hi - lo)) + 1
                 END AS INTEGER) AS bucket,
            COUNT(*) AS n
     FROM orders, b

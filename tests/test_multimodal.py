@@ -211,3 +211,39 @@ def test_png_decode_batch_through_the_seam(spark):
     assert (got[1].width, got[1].height, got[1].mode) == (4, 4, "RGB")
     assert (got[3].width, got[3].height, got[3].mode) == (8, 2, "L")
     assert got[2].width is None and got[2].mode is None
+
+
+def test_png_decode_truncated_inside_crc_raises_valueerror():
+    """A buffer cut inside a chunk's 4 CRC bytes must still be ValueError
+    (the seam contract), not struct.error escaping the filter."""
+    import numpy as np
+    import pytest
+
+    from alertas_spark.operators.png_codec import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 4), np.uint8))
+    # cut two bytes into the IHDR chunk's CRC: 8 (sig) + 8 (len+tag) + 13 + 2
+    for cut in (8 + 8 + 13 + 2, len(good) - 2):
+        with pytest.raises(ValueError):
+            decode_png(good[:cut])
+    # cutting BEFORE a chunk header starts (dropping IEND wholesale) is
+    # tolerated: all pixel data is already in hand — lenient like libpng
+    assert decode_png(good[:len(good) - 12]).shape == (4, 4, 1)
+
+
+def test_png_verify_batch_nulls_corrupt_payload():
+    """_png_decode_verify_batch maps a corrupt media payload to a NULL row
+    with roundtrip_ok=False instead of killing the task."""
+    import pandas as pd
+
+    from alertas_spark.operators.multimodal import (_png_decode_verify_batch,
+                                                    _png_encode_batch)
+
+    src = pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", "x"]})
+    enc = next(_png_encode_batch(iter([src])))
+    enc.loc[1, "media"] = b"corrupt png bytes"
+    out = next(_png_decode_verify_batch(iter([enc])))
+    good, bad = out[out.doc_id == 1].iloc[0], out[out.doc_id == 2].iloc[0]
+    assert bool(good.roundtrip_ok) and good.width == 16
+    assert not bool(bad.roundtrip_ok)
+    assert pd.isna(bad.width) and bad["mode"] is None
