@@ -65,10 +65,20 @@ QUERIES = [
     "daily_revenue_gap_filled",    # date spine × dim left join (orders ×N)
     "trimmed_mean_order_value",    # grouped-agg pandas UDAF, 10× Arrow groups
     "json_props_typed_extract",    # typed JSON parse + agg (events ×N)
-    "pagerank_trade_graph",        # 5 join+agg rounds over the edge table
+    "waiting_suppliers",           # Q21 group-stats decorrelation (lineitem ×N)
+    "full_outer_daily_status_revenue",  # full-outer of daily aggs (orders ×N)
+    "customer_cohort_set_ops",     # INTERSECT/EXCEPT cohorts (orders ×N)
     "streaming_tumbling_5min",     # full streaming machinery + state (events ×N)
     "streaming_sessionize",        # session-window state store (events ×N)
 ]
+
+#: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
+#: replica cannot deliver (it keeps custkey/suppkey FK-valid against shared
+#: dims, so replicated order-lineitem pairs mostly repeat existing
+#: customer–supplier edges).  This replica shifts o_custkey and l_suppkey per
+#: replica as well — N disjoint copies of the trade graph: edges and nodes
+#: both exactly N×, the honest input growth for an iterative graph algorithm.
+GRAPH_QUERIES = ["pagerank_trade_graph"]
 
 #: streaming state-path probe: events-only replica at a deeper factor — the
 #: state store's key/watermark behavior is what a 100 TB stream stresses, and
@@ -129,7 +139,47 @@ def build_replica(n: int) -> str:
         TO '{out}/orders.parquet' (FORMAT PARQUET)""")
     # orders keeps o_custkey: every customer's history grows n× (deeper window
     # frames / bigger per-key groups), the realistic time-axis growth shape
-    for t in ("region", "nation", "customer", "supplier", "part", "lineitem"):
+    con.execute(f"""
+        COPY (SELECT l_orderkey + i * 100000000 AS l_orderkey, l_partkey,
+                     l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                     l_discount, l_tax, l_returnflag, l_linestatus,
+                     l_shipdate + to_days(CAST(i AS INTEGER)) AS l_shipdate
+              FROM read_parquet('{SRC}/lineitem.parquet'), range({n}) t(i))
+        TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+    # lineitem's orderkey shift MATCHES orders' (and l_shipdate shifts with
+    # o_orderdate), so order⋈lineitem fan-out genuinely grows n× — the r7
+    # replica symlinked lineitem, leaving replicated orders childless and any
+    # order-line query's probe reading fixed overhead; suppkey/partkey stay
+    # unshifted so dim FKs remain valid against the shared dims
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        os.symlink(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def build_graph_replica(n: int) -> str:
+    """orders+lineitem with consistently shifted orderkeys AND per-replica
+    custkey/suppkey shifts — n disjoint copies of the customer↔supplier trade
+    graph (see GRAPH_QUERIES note)."""
+    out = os.path.join(WORK, f"graph{n}x")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT o_orderkey + i * 100000000 AS o_orderkey,
+                     o_custkey + i * 10000000 AS o_custkey,
+                     o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+              FROM read_parquet('{SRC}/orders.parquet'), range({n}) t(i))
+        TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT l_orderkey + i * 100000000 AS l_orderkey, l_partkey,
+                     l_suppkey + i * 10000000 AS l_suppkey, l_linenumber,
+                     l_quantity, l_extendedprice, l_discount, l_tax,
+                     l_returnflag, l_linestatus, l_shipdate
+              FROM read_parquet('{SRC}/lineitem.parquet'), range({n}) t(i))
+        TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
         os.symlink(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     return out
 
@@ -253,8 +303,19 @@ def main() -> int:
         print(f"{name:34s} 1x={t1:6.2f}s  {n}x={tn:6.2f}s  time_ratio={tr:6.2f}  "
               f"rows {r1}->{rn} (x{rr})")
 
-    stream_rows, alert_rows = [], []
+    stream_rows, alert_rows, graph_rows = [], [], []
     if not only:
+        graph_big = build_graph_replica(n)
+        for name in GRAPH_QUERIES:
+            b = reg[name].builder
+            t1, r1 = min(timed(spark, b, SRC) for _ in range(2))
+            tn, rn = min(timed(spark, b, graph_big) for _ in range(2))
+            tr = round(tn / t1, 2) if t1 > 0 else float("inf")
+            rr = round(rn / r1, 2) if r1 > 0 else float("inf")
+            graph_rows.append((name, t1, tn, tr, r1, rn, rr))
+            print(f"{name:34s} 1x={t1:6.2f}s  {n}x={tn:6.2f}s  "
+                  f"time_ratio={tr:6.2f}  rows {r1}->{rn} (x{rr})")
+
         deep = build_events_replica(STREAM_N)
         for name in STREAM_QUERIES:
             b = reg[name].builder
@@ -298,16 +359,28 @@ def main() -> int:
                 "common tokens in prefixes — 676x candidate overkill and a "
                 "per-token-frequency-quadratic join, 199s at 10x; the r7 "
                 "rewrite measures ~6s).\n\n"
-                "`pagerank_trade_graph` rows stay 1x by replica construction: "
-                "replicated orders carry shifted orderkeys that do not match "
-                "the symlinked lineitem, so the trade-graph edge volume cannot "
-                "grow on this replica — its flat ratio reads the fixed-"
-                "overhead floor, not data scaling; the scale argument for the "
-                "loop is the per-round join+agg shape (2 shuffles over a "
-                "static edge table).\n\n"
+                "Since r8 lineitem is replicated with orderkeys shifted "
+                "consistently with orders (and l_shipdate moving with "
+                "o_orderdate), so order-line join fan-out genuinely grows "
+                f"{n}x; suppkey/partkey stay FK-valid against the shared "
+                "dims.  `pagerank_trade_graph` is probed separately on a "
+                "dedicated trade-graph replica (below) where custkey/suppkey "
+                "also shift per replica, growing the EDGE SET itself "
+                f"{n}x.\n\n"
                 f"| query | 1x sec | {n}x sec | time ratio | 1x rows | {n}x rows "
                 "| rows ratio |\n|---|---|---|---|---|---|---|\n")
             for name, t1, tn, tr, r1, rn, rr in rows:
+                f.write(f"| {name} | {t1} | {tn} | {tr} | {r1} | {rn} | {rr} |\n")
+            f.write(
+                f"\n## Trade graph ({n}x disjoint-subgraph replica)\n\n"
+                "orders+lineitem with consistently shifted orderkeys AND "
+                "per-replica custkey/suppkey shifts — the customer↔supplier "
+                f"edge set and node set both grow exactly {n}x (n disjoint "
+                "subgraphs), the honest input growth for fixed-point graph "
+                "iteration (the r7 probe could not grow edges at all).\n\n"
+                f"| query | 1x sec | {n}x sec | time ratio | 1x rows | {n}x rows "
+                "| rows ratio |\n|---|---|---|---|---|---|---|\n")
+            for name, t1, tn, tr, r1, rn, rr in graph_rows:
                 f.write(f"| {name} | {t1} | {tn} | {tr} | {r1} | {rn} | {rr} |\n")
             f.write(
                 f"\n## Streaming state path ({STREAM_N}x events-only replica)\n\n"
