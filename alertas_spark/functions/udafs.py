@@ -96,3 +96,59 @@ def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("c_mktsegment")
             .agg(F.round(_make_trimmed_mean()(F.col("o_totalprice")), 6)
                  .alias("trimmed_mean")))
+
+
+def builtin_trimmed_mean(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """The documented SCALE formulation of the trimmed mean, in pure
+    built-ins: ROW_NUMBER + per-group COUNT windows rank each value, the
+    trim filter drops ``floor(n·q)`` rows per tail, and the kept values
+    aggregate through the decimal contract (exact, order-independent).
+
+    Two shuffles (one window sort, one hash agg), zero Python — unlike the
+    grouped-agg pandas UDF above, nothing materializes a whole group in one
+    Arrow batch, so this is the shape for high-cardinality keys (per-customer,
+    per-document, ...).  Ties at the trim boundary keep the same VALUE
+    multiset whichever tied row ROW_NUMBER discards, so no tiebreak column is
+    needed for determinism."""
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy(*keys).orderBy(value)
+    w_all = Window.partitionBy(*keys)
+    ranked = df.select(*keys, value,
+                       F.row_number().over(w_rank).alias("rn"),
+                       F.count("*").over(w_all).alias("n"))
+    k = F.floor(F.col("n") * F.lit(TRIM_Q))
+    kept = ranked.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return (kept.groupBy(*keys)
+            .agg(F.round(F.sum(F.col(value).cast("decimal(29,6)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("trimmed_mean")))
+
+
+@declare(
+    "trimmed_mean_order_value_builtin",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice) AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+    )
+    SELECT o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS trimmed_mean
+    FROM r
+    WHERE rn > FLOOR(n * {TRIM_Q}) AND rn <= n - FLOOR(n * {TRIM_Q})
+    GROUP BY o_custkey
+    """,
+)
+def trimmed_mean_order_value_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean order value PER CUSTOMER — the high-cardinality tier
+    of the same aggregate as ``trimmed_mean_order_value`` (5 bounded segments
+    → pandas UDAF; ~one group per customer → this pure built-in window
+    formulation; tests pin the two hash-equal on the segment grouping)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return builtin_trimmed_mean(
+        orders.select("o_custkey", "o_totalprice"),
+        ["o_custkey"], "o_totalprice")

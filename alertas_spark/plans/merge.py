@@ -138,3 +138,75 @@ def ivm_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.coalesce("o.rev", zero_r) + F.coalesce("d.rev", zero_r))
                 .cast("double"), 2).alias("revenue"),
     )
+
+
+#: the retraction fixture: pre-CUTOFF orders matching this predicate are
+#: "cancelled" by the nightly delta (delete events); everything post-CUTOFF
+#: arrives as insert events
+_RETRACT = "o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'"
+
+
+@declare(
+    "ivm_incremental_revenue_retract",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS DOUBLE), 2)
+               AS revenue
+    FROM orders
+    WHERE NOT (o_orderdate < TIMESTAMP '{CUTOFF}' AND {_RETRACT})
+    GROUP BY o_custkey
+    """,
+)
+def ivm_incremental_revenue_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with a RETRACTION-bearing delta: the
+    nightly batch carries inserts (post-CUTOFF orders) AND deletes
+    (pre-CUTOFF orders matching the cancellation predicate), and the
+    maintained aggregate merges snapshot + insert partials **minus** delete
+    partials — a delete retracts as a NEGATIVE (count, sum) pair, an update
+    is delete(old)+insert(new).  Groups whose merged count reaches zero are
+    dropped (a group must not survive as a (0, 0.00) tombstone).  The oracle
+    re-aggregates the full post-delete state from scratch, so equality proves
+    ``agg(base ∖ deleted ∪ inserted) = agg(snapshot) + agg(ins) − agg(del)``
+    exactly — counts are integers, revenue partials stay unrounded
+    DECIMAL(29,6) through the merge (associative/commutative), one final
+    ROUND.
+
+    **Why SUM/COUNT retract and MIN/MAX do not**: sum and count are abelian-
+    group aggregates — every element has an inverse (−x), so a delete folds
+    in as a negative partial without touching history.  MIN/MAX are only
+    semilattice ops (no inverse): deleting the current minimum says nothing
+    about the runner-up, which the partial threw away — maintaining MIN/MAX
+    under deletes requires re-aggregating the affected groups from base (or
+    keeping a per-group heap/histogram of all values, which IS the base).
+    tests/test_contracts.py::test_min_is_not_retractable_without_base pins
+    this with a concrete counterexample."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate") < CUTOFF
+    cancelled = F.expr(_RETRACT)
+
+    def partial(cmp, sign: int) -> DataFrame:
+        return (orders.filter(cmp).groupBy("o_custkey")
+                .agg((F.count("*") * sign).alias("n"),
+                     (F.sum(F.col("o_totalprice").cast("decimal(29,6)"))
+                      * sign).alias("rev")))
+
+    snap = partial(cut, +1)                       # the materialized snapshot
+    ins = partial(~cut, +1)                       # delta: inserts
+    dele = partial(cut & cancelled, -1)           # delta: deletes (negative)
+    delta = (ins.unionByName(dele).groupBy("o_custkey")
+             .agg(F.sum("n").alias("n"), F.sum("rev").alias("rev")))
+    s, d = snap.alias("s"), delta.alias("d")
+    zero_n = F.lit(0).cast("bigint")
+    zero_r = F.lit(0).cast("decimal(29,6)")
+    merged = (s.join(d, F.col("s.o_custkey") == F.col("d.o_custkey"),
+                     "full_outer")
+              .select(F.coalesce("s.o_custkey", "d.o_custkey")
+                       .alias("o_custkey"),
+                      (F.coalesce("s.n", zero_n) + F.coalesce("d.n", zero_n))
+                       .alias("n_orders"),
+                      (F.coalesce("s.rev", zero_r)
+                       + F.coalesce("d.rev", zero_r)).alias("rev")))
+    return (merged.filter(F.col("n_orders") > 0)   # drop fully-retracted keys
+            .select("o_custkey", "n_orders",
+                    F.round(F.col("rev").cast("double"), 2).alias("revenue")))

@@ -131,3 +131,28 @@ def test_write_with_audit_single_pass_metrics(spark, tmp_path):
     assert (m["rows"], m["null_price"], m["negative_price"]) == tuple(want)
     # the sink holds exactly the audited rows
     assert spark.read.parquet(out).count() == m["rows"]
+
+
+def test_min_is_not_retractable_without_base(spark):
+    """Pins the IVM retractability boundary (plans/merge.py,
+    ivm_incremental_revenue_retract docstring): SUM/COUNT fold a delete in as
+    a negative partial, but a MIN partial cannot absorb the deletion of its
+    own minimum — the runner-up was discarded at aggregation time, so the
+    maintained value and a from-base re-aggregation provably diverge."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("g", 1.0), ("g", 5.0), ("g", 9.0)], "k string, v double")
+    deleted_v = 1.0  # delete the row holding the group minimum
+
+    # SUM retracts exactly: partial + (-v) == re-aggregated truth
+    part_sum = base.groupBy("k").agg(F.sum("v").alias("s")).collect()[0].s
+    truth = base.filter(F.col("v") != deleted_v)
+    assert part_sum - deleted_v == truth.agg(F.sum("v")).collect()[0][0]
+
+    # MIN does not: the snapshot partial only knows min=1.0; after deleting
+    # that row the true min is 5.0, unrecoverable from the partial alone
+    part_min = base.groupBy("k").agg(F.min("v").alias("m")).collect()[0].m
+    true_min = truth.agg(F.min("v")).collect()[0][0]
+    assert part_min == deleted_v and true_min == 5.0
+    assert part_min != true_min  # re-aggregation from base is REQUIRED

@@ -34,6 +34,8 @@ QUERIES = [
     "merge_upsert_customers",        # max_by(struct) latest-row election
     "pagerank_trade_graph",          # decimal contribs + quantized state
     "trimmed_mean_order_value",      # UDAF: in-group sort + decimal-6 sum
+    "trimmed_mean_order_value_builtin",  # window-rank trim + decimal agg
+    "ivm_incremental_revenue_retract",   # negative-partial retraction merge
     "small_quantity_order_revenue",  # decimal-avg correlated threshold
     "ivm_incremental_revenue",       # unrounded-decimal partial merge
 ]
