@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_embeddings
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -659,8 +660,9 @@ _COS_DUCK = """
                 (x, y) -> x + y) / (a.nrm * b.nrm)
 """
 
-_EMB_DUCK_CTE = """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+_EMB_DUCK_CTE = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+               WHERE {EMB_VALID_SQL}),
     n AS (SELECT vec_id, emb, label,
                  sqrt(list_reduce(list_transform(emb, x -> x * x), (x, y) -> x + y))
                      AS nrm
@@ -697,7 +699,7 @@ def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
     from alertas_spark.operators.simsearch import _bucket_expr
 
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("block", F.expr(_bucket_expr(one_based=False)))
     )
@@ -749,7 +751,7 @@ def _emb_pairs_broadcast_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     # Bounded driver pull (≙ S15 scalar-pull pattern, made size-safe): LIMIT rides
     # into the scan, so even against a 100 TB table the driver materializes at most
@@ -804,7 +806,8 @@ def _blocked_duck_cte() -> str:
     from alertas_spark.operators.simsearch import _bucket_expr
 
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE {EMB_VALID_SQL}),
     n AS (SELECT vec_id, emb, {_bucket_expr(one_based=True)} AS block,
                  sqrt(list_reduce(list_transform(emb, x -> x * x), (x, y) -> x + y))
                      AS nrm

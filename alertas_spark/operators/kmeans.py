@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_embeddings
 from alertas_spark.operators.memo import session_artifact
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
@@ -68,7 +69,7 @@ def _duck_update(assign_cte: str, out_name: str) -> str:
 
 
 _DUCK_ORACLE = f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE {EMB_VALID_SQL}),
     c0 AS (SELECT vec_id AS cid, emb AS cvec FROM v WHERE vec_id < {K}),
     {_duck_assign('c0', 'a1')},
     {_duck_update('a1', 'c1')},
@@ -110,7 +111,7 @@ def _update(assigned: DataFrame) -> DataFrame:
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train an IVF coarse quantizer with {ITERS} deterministic Lloyd iterations and
     return the final cluster assignment (+ L2² distance) per vector."""
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = valid_embeddings(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     centroids = v.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
@@ -128,7 +129,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DUCK_TOPK_TRAINED = f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE {EMB_VALID_SQL}),
     c0 AS (SELECT vec_id AS cid, emb AS cvec FROM v WHERE vec_id < {K}),
     {_duck_assign('c0', 'a1')},
     {_duck_update('a1', 'c1')},
@@ -166,7 +167,7 @@ def simsearch_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertas_spark.operators.simsearch import N_QUERIES, TOP_K, _dot, _norm2
 
     def train() -> DataFrame:
-        v = load_table(spark, sf_dir, "embeddings").select(
+        v = valid_embeddings(load_table(spark, sf_dir, "embeddings")).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         centroids = v.filter(F.col("vec_id") < K).select(
             F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))

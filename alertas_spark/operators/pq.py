@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from alertas_spark.operators.memo import session_artifact
+from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_embeddings
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -68,7 +69,8 @@ _SUBDIST = (
 )
 
 #: L2-normalized embeddings (fold order matches Spark's `_normalized`)
-_DUCK_V = """v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings),
+_DUCK_V = f"""v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings
+        WHERE {EMB_VALID_SQL}),
     v AS (SELECT vec_id,
                  list_transform(e0, x -> x / sqrt(list_reduce(
                      list_transform(e0, y -> y * y), (a, b) -> a + b))) AS emb
@@ -118,7 +120,7 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in cosine (‖a−b‖² = 2−2·cos for unit vectors) and the compressed
     ranking targets the same similarity as the brute-force cosine path."""
     return (
-        load_table(spark, sf_dir, "embeddings")
+        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e0"))
         .withColumn("nrm", F.sqrt(F.expr(
             "aggregate(transform(e0, x -> x * x), cast(0.0 as double), "
@@ -264,7 +266,7 @@ def _adc_topk(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
     # cost once scoring went vectorized — `_seq_subdist(mat, 0.0)` is the same
     # fold op-for-op (x−0.0 ≡ x bit-wise), sqrt and the per-element divide are
     # single-rounded in both engines, so normalized values stay bit-equal.
-    v = (load_table(spark, sf_dir, "embeddings")
+    v = (valid_embeddings(load_table(spark, sf_dir, "embeddings"))
          .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
 
     def gen(batches):
@@ -395,7 +397,7 @@ def _rerank_from_adc(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataFr
         .filter(F.col("rnk") <= SHORTLIST)
         .select("query_id", "vec_id")
     )
-    vraw = (load_table(spark, sf_dir, "embeddings")
+    vraw = (valid_embeddings(load_table(spark, sf_dir, "embeddings"))
             .select("vec_id", F.col("embedding").cast("array<double>").alias("e0")))
     q = (_normalized(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")))
@@ -669,7 +671,8 @@ DIM = M * SUBDIM  # full embedding width
 @declare(
     "embedding_quantize_int8",
     oracle=f"""
-    WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+                WHERE {EMB_VALID_SQL}),
     idx AS (SELECT unnest(generate_series(1, {DIM})) AS i),
     dims AS (
         SELECT i, MIN(x[i]) AS mn, (MAX(x[i]) - MIN(x[i])) / 255.0 AS sc
@@ -712,7 +715,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (64 int columns would bloat the compare) + mse / max-abs reconstruction
     error; a production sink would store the codes as ``array<tinyint>``.
     Constant dimensions (scale 0) code to 0 and reconstruct exactly."""
-    v = (load_table(spark, sf_dir, "embeddings")
+    v = (valid_embeddings(load_table(spark, sf_dir, "embeddings"))
          .select("vec_id", F.col("embedding").cast("array<double>").alias("x")))
     stats = v.agg(
         F.array(*[F.min(F.element_at("x", i + 1)) for i in range(DIM)])

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from alertas_spark.functions.numeric import finite, sql_finite
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -155,15 +156,20 @@ WINSOR_HI = 0.99
 @declare(
     "winsorize_values",
     oracle=f"""
-    WITH bounds AS (
-        SELECT quantile_cont(value, {WINSOR_LO}) AS lo,
-               quantile_cont(value, {WINSOR_HI}) AS hi
-        FROM events
+    WITH f AS (
+        SELECT event_id, {sql_finite('value')} AS v FROM events
+    ), bounds AS (
+        SELECT quantile_cont(v, {WINSOR_LO}) AS lo,
+               quantile_cont(v, {WINSOR_HI}) AS hi
+        FROM f
     )
     SELECT event_id,
-           ROUND(LEAST(GREATEST(value, lo), hi), 6) AS value_clipped,
-           CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS clipped
-    FROM events, bounds
+           CASE WHEN v IS NOT NULL
+                THEN ROUND(LEAST(GREATEST(v, lo), hi), 6) END AS value_clipped,
+           CASE WHEN v IS NOT NULL
+                THEN CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END
+           END AS clipped
+    FROM f, bounds
     """,
 )
 def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,18 +179,24 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     J7 scalar-broadcast idiom — no driver round-trip, no second shuffle).  At
     100 TB swap the exact percentile for approx_percentile; the plan shape is
     unchanged."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", finite(F.col("value")))  # non-finite input -> NULL out, both passes
     bounds = (
-        ev.agg(F.expr(f"percentile(value, array({WINSOR_LO}, {WINSOR_HI}))")
+        ev.agg(F.expr(f"percentile(v, array({WINSOR_LO}, {WINSOR_HI}))")
                .alias("b"))
         .select(F.col("b")[0].alias("lo"), F.col("b")[1].alias("hi")))
     return (
         ev.crossJoin(F.broadcast(bounds))
         .select(
             "event_id",
-            F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6)
+            # when() guard: Spark's least/greatest SKIP nulls (NULL v would
+            # silently clip to lo) instead of propagating like SQL comparison
+            F.when(F.col("v").isNotNull(),
+                   F.round(F.least(F.greatest(F.col("v"), F.col("lo")),
+                                   F.col("hi")), 6))
             .alias("value_clipped"),
-            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            F.when(F.col("v").isNull(), None)
+            .when((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), 1)
             .otherwise(0).alias("clipped"),
         )
     )
@@ -193,15 +205,20 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "winsorize_approx",
     oracle=f"""
-    WITH bounds AS (
-        SELECT quantile_disc(value, {WINSOR_LO}) AS lo,
-               quantile_disc(value, {WINSOR_HI}) AS hi
-        FROM events
+    WITH f AS (
+        SELECT event_id, {sql_finite('value')} AS v FROM events
+    ), bounds AS (
+        SELECT quantile_disc(v, {WINSOR_LO}) AS lo,
+               quantile_disc(v, {WINSOR_HI}) AS hi
+        FROM f
     )
     SELECT event_id,
-           ROUND(LEAST(GREATEST(value, lo), hi), 6) AS value_clipped,
-           CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS clipped
-    FROM events, bounds
+           CASE WHEN v IS NOT NULL
+                THEN ROUND(LEAST(GREATEST(v, lo), hi), 6) END AS value_clipped,
+           CASE WHEN v IS NOT NULL
+                THEN CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END
+           END AS clipped
+    FROM f, bounds
     """,
 )
 def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,18 +228,24 @@ def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-row aggregate → crossJoin-broadcast → scan-side clip); only the
     aggregation buffer changes, which is what makes this the 100 TB path.
     Exact (== ``quantile_disc``) while n ≤ APPROX_ACC."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", finite(F.col("value")))
     bounds = (
-        ev.agg(F.expr(f"approx_percentile(value, array({WINSOR_LO}, {WINSOR_HI}),"
+        ev.agg(F.expr(f"approx_percentile(v, array({WINSOR_LO}, {WINSOR_HI}),"
                       f" {APPROX_ACC})").alias("b"))
         .select(F.col("b")[0].alias("lo"), F.col("b")[1].alias("hi")))
     return (
         ev.crossJoin(F.broadcast(bounds))
         .select(
             "event_id",
-            F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6)
+            # when() guard: Spark's least/greatest SKIP nulls (NULL v would
+            # silently clip to lo) instead of propagating like SQL comparison
+            F.when(F.col("v").isNotNull(),
+                   F.round(F.least(F.greatest(F.col("v"), F.col("lo")),
+                                   F.col("hi")), 6))
             .alias("value_clipped"),
-            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            F.when(F.col("v").isNull(), None)
+            .when((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")), 1)
             .otherwise(0).alias("clipped"),
         )
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_embeddings
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -43,7 +44,7 @@ def _duck_topk_sql(same_label: bool) -> str:
     label_cond = "AND q.label = c.label" if same_label else ""
     dot = _DUCK_DOT.format(a="q.emb", b="c.emb")
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings WHERE {EMB_VALID_SQL}),
     q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id, emb, label,
                  sqrt({_DUCK_NORM2.format(a="emb")}) AS nrm FROM v),
@@ -83,7 +84,7 @@ def _topk_shape(scored: DataFrame) -> DataFrame:
 
 def _spark_topk(spark: SparkSession, sf_dir: str, same_label: bool) -> DataFrame:
     v = (
-        load_table(spark, sf_dir, "embeddings")
+        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
         .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
     )
@@ -159,7 +160,7 @@ def _bucket_expr(one_based: bool) -> str:
 def _duck_topk_assigned_sql() -> str:
     dot = _DUCK_DOT.format(a="q.emb", b="c.emb")
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE {EMB_VALID_SQL}),
     b AS (SELECT vec_id, emb, {_bucket_expr(one_based=True)} AS bucket FROM v),
     q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id, emb, bucket,
@@ -207,7 +208,7 @@ _WEAK_PLANE = """
 def _duck_topk_multiprobe_sql() -> str:
     dot = _DUCK_DOT.format(a="q.emb", b="c.emb")
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE {EMB_VALID_SQL}),
     d AS (SELECT vec_id, emb, {_dots_select(one_based=True)} FROM v),
     b AS (SELECT vec_id, emb, {_BUCKET_FROM_DOTS} AS bucket,
                  {_WEAK_PLANE} AS weak FROM d),
@@ -241,7 +242,7 @@ def simsearch_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (broadcast) query side only, so the candidate table still shuffles once on
     its single bucket key."""
     v = (
-        load_table(spark, sf_dir, "embeddings")
+        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .selectExpr("vec_id", "emb", *[f"({d}) AS d{p}" for p, d
                                        in enumerate(_plane_dot_exprs(one_based=False))])
@@ -274,7 +275,7 @@ def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``simsearch_topk_ivf``.  Assignment is a shuffle-free projection; the search
     shuffles only on the bucket key with the query set broadcast."""
     v = (
-        load_table(spark, sf_dir, "embeddings")
+        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("bucket", F.expr(_bucket_expr(one_based=False)))
         .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
