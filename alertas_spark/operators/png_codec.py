@@ -142,20 +142,27 @@ def decode_png(buf: bytes) -> np.ndarray:
             line = (filt.astype(np.int64).reshape(w, c)
                     .cumsum(axis=0) % 256).reshape(-1).astype(np.int16)
         elif ftype in (3, 4):
-            # left-dependent filters are inherently sequential along x
-            line = np.zeros(stride, dtype=np.int16)
+            # Average/Paeth recurrences depend on the reconstructed LEFT byte
+            # through a floor-div / 3-way branch — no prefix-sum closed form
+            # exists, so the scan stays sequential along x.  It runs on plain
+            # Python ints (lists), not per-element numpy indexing: numpy
+            # scalar access dominates a tight loop (~10x slower than list
+            # ops); the conversion in/out is two vectorized calls.
+            fl, pl = filt.tolist(), prior.tolist()
+            ln: list[int] = [0] * stride
             for x in range(stride):
-                left = line[x - c] if x >= c else 0
-                up = prior[x]
+                left = ln[x - c] if x >= c else 0
+                up = pl[x]
                 if ftype == 3:
-                    line[x] = (filt[x] + (left + up) // 2) % 256
+                    ln[x] = (fl[x] + (left + up) // 2) % 256
                 else:
-                    upleft = prior[x - c] if x >= c else 0
+                    upleft = pl[x - c] if x >= c else 0
                     p = left + up - upleft
                     pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - upleft)
                     pred = left if pa <= pb and pa <= pc_ else \
                         up if pb <= pc_ else upleft
-                    line[x] = (filt[x] + pred) % 256
+                    ln[x] = (fl[x] + pred) % 256
+            line = np.asarray(ln, dtype=np.int16)
         else:
             raise ValueError(f"bad filter byte {ftype}")
         out[y] = line.astype(np.uint8)
