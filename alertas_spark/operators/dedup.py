@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_embeddings
+from alertas_spark.operators.embgate import EMB_VALID_SQL, np_valid_mask
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -699,7 +699,7 @@ def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
     from alertas_spark.operators.simsearch import _bucket_expr
 
     emb = (
-        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("block", F.expr(_bucket_expr(one_based=False)))
     )
@@ -717,10 +717,15 @@ def _emb_pairs(spark: SparkSession, sf_dir: str, blocked: bool) -> DataFrame:
                 f"embedding block holds {len(pdf)} rows (> {BLOCK_MAX_ROWS}); "
                 "the hyperplane partitioner is too coarse for this duplicate "
                 "structure — raise the hyperplane count for finer blocks")
+        pdf = pdf[pdf["emb"].notna()]            # embgate: NULL vectors out
         if len(pdf) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         m = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+        keep = np_valid_mask(m)                  # embgate, inside the batch
+        ids, m = ids[keep], m[keep]
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
         m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m_n @ m_n.T
         ri, ci = np.where(sims >= COS_THRESHOLD)
@@ -751,7 +756,7 @@ def _emb_pairs_broadcast_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = valid_embeddings(load_table(spark, sf_dir, "embeddings")).select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     # Bounded driver pull (≙ S15 scalar-pull pattern, made size-safe): LIMIT rides
     # into the scan, so even against a 100 TB table the driver materializes at most
@@ -762,15 +767,25 @@ def _emb_pairs_broadcast_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_embedding_cosine is the exact O(n²) verification path and caps at "
             f"{EXACT_PAIRS_MAX_ROWS} rows; use dedup_embedding_cosine_blocked (or an "
             f"explicit sample) at this scale.")
+    rows = [r for r in rows if r.emb is not None]    # embgate: NULLs out
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in rows])
+    keep = np_valid_mask(mat)                        # embgate, driver side
+    ids, mat = ids[keep], mat[keep]
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat_n))
 
     def gen(batches):
         all_ids, m = bc.value
         for pdf in batches:
+            pdf = pdf[pdf["emb"].notna()]            # embgate: NULLs out
+            if not len(pdf):
+                continue
             v = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+            kp = np_valid_mask(v)                    # embgate, inside the batch
+            pdf, v = pdf[kp], v[kp]
+            if not len(pdf):
+                continue
             v_n = v / np.linalg.norm(v, axis=1, keepdims=True)
             sims = v_n @ m.T
             my_ids = pdf["vec_id"].to_numpy()

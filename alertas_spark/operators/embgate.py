@@ -35,8 +35,29 @@ def valid_vec(col: Column) -> Column:
 
 
 def valid_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """Filter ``df`` to rows whose vector passes the gate."""
+    """Filter ``df`` to rows whose vector passes the gate.
+
+    Costs one interpreted HOF fold per row — fine for training/stats passes.
+    On hot scan paths prefer :func:`valid_nrm` over a norm column the plan
+    already computes, or :func:`np_valid_mask` inside an existing numpy
+    stage: same contract, zero extra passes."""
     return df.filter(valid_vec(F.col(col)))
+
+
+def valid_nrm(nrm: Column) -> Column:
+    """The gate expressed over an ALREADY-computed L2 norm (or norm²) column —
+    sqrt preserves NaN/Inf/0, so ``isfinite(nrm) AND nrm > 0`` is exactly
+    :func:`valid_vec` without a second fold.  NULL vectors yield NULL norms
+    and fail the ``> 0`` filter."""
+    return ~F.isnan(nrm) & (nrm != float("inf")) & (nrm > 0)
+
+
+def np_valid_mask(mat):
+    """Row mask of the same gate for numpy stages (float64 matrix in)."""
+    import numpy as np
+
+    n2 = (mat * mat).sum(axis=1)
+    return np.isfinite(n2) & (n2 > 0)
 
 
 #: DuckDB mirror of :func:`valid_vec` (CASE keeps list_reduce off empty lists,

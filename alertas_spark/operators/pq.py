@@ -50,7 +50,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from alertas_spark.operators.memo import session_artifact
-from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_embeddings
+from alertas_spark.operators.embgate import (EMB_VALID_SQL, np_valid_mask,
+                                             valid_embeddings, valid_nrm)
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -120,11 +121,12 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in cosine (‖a−b‖² = 2−2·cos for unit vectors) and the compressed
     ranking targets the same similarity as the brute-force cosine path."""
     return (
-        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e0"))
         .withColumn("nrm", F.sqrt(F.expr(
             "aggregate(transform(e0, x -> x * x), cast(0.0 as double), "
             "(acc, v) -> acc + v)")))
+        .filter(valid_nrm(F.col("nrm")))  # embgate, free off the existing fold
         .select("vec_id", F.expr("transform(e0, x -> x / nrm)").alias("emb"))
     )
 
@@ -266,17 +268,23 @@ def _adc_topk(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
     # cost once scoring went vectorized — `_seq_subdist(mat, 0.0)` is the same
     # fold op-for-op (x−0.0 ≡ x bit-wise), sqrt and the per-element divide are
     # single-rounded in both engines, so normalized values stay bit-equal.
-    v = (valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+    v = (load_table(spark, sf_dir, "embeddings")
          .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
 
     def gen(batches):
         qids, lut, cb = bc.value
         best: pd.DataFrame | None = None
         for pdf in batches:
+            pdf = pdf[pdf["emb"].notna()]           # embgate: NULL vectors out
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             if not len(ids):
                 continue
             raw = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+            keep = np_valid_mask(raw)               # embgate, inside the scan
+            if not keep.all():
+                raw, ids = raw[keep], ids[keep]
+                if not len(ids):
+                    continue
             mat = raw / np.sqrt(_seq_subdist(raw, 0.0))[:, None]
             acc = None  # (nq, n) ADC distances, accumulated in subspace order
             for m in range(M):

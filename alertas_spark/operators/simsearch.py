@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_embeddings
+from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_nrm
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -84,9 +84,10 @@ def _topk_shape(scored: DataFrame) -> DataFrame:
 
 def _spark_topk(spark: SparkSession, sf_dir: str, same_label: bool) -> DataFrame:
     v = (
-        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
         .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+        .filter(valid_nrm(F.col("nrm")))  # embgate, free off the existing fold
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
@@ -242,13 +243,14 @@ def simsearch_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (broadcast) query side only, so the candidate table still shuffles once on
     its single bucket key."""
     v = (
-        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .selectExpr("vec_id", "emb", *[f"({d}) AS d{p}" for p, d
                                        in enumerate(_plane_dot_exprs(one_based=False))])
         .withColumn("bucket", F.expr(_BUCKET_FROM_DOTS))
         .withColumn("weak", F.expr(_WEAK_PLANE))
         .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+        .filter(valid_nrm(F.col("nrm")))  # embgate, free off the existing fold
     )
     q = (
         v.filter(F.col("vec_id") < N_QUERIES)
@@ -275,10 +277,11 @@ def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``simsearch_topk_ivf``.  Assignment is a shuffle-free projection; the search
     shuffles only on the bucket key with the query set broadcast."""
     v = (
-        valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("bucket", F.expr(_bucket_expr(one_based=False)))
         .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+        .filter(valid_nrm(F.col("nrm")))  # embgate, free off the existing fold
     )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
