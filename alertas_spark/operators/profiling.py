@@ -84,15 +84,22 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate-percentile profiling — the 100 TB path, as tested code
 # ---------------------------------------------------------------------------
 
-#: Greenwald-Khanna accuracy for the approx variants.  The sketch picks the exact
-#: discrete element while the rank-error budget n/accuracy stays well under one
-#: rank (observed: n·eps = 0.6 already flips a neighbor on a 600k-distinct
-#: column; 0.06 is exact), so at oracle scales the result is bit-identical to
-#: DuckDB's ``quantile_disc``; past that it degrades gracefully to ±1/accuracy
-#: relative rank with memory bounded by the sketch instead of the exact path's
-#: full per-partition sort buffers.  At true 100 TB tune this down (1e4-1e5) to
-#: trade rank error for aggregation-buffer memory — the plan shape is unchanged.
-APPROX_ACC = 10_000_000
+#: Greenwald-Khanna accuracy for the approx variants.  The sketch picks the
+#: exact discrete element while the rank-error budget n/accuracy stays well
+#: under one rank (n·eps ≈ 0.06 at the sf0.01 oracle gate — bit-identical to
+#: DuckDB's ``quantile_disc`` there and in every pinned fixture); past that it
+#: degrades gracefully to ±1/accuracy relative rank (observed: n·eps = 0.6 on
+#: a 600k-row sf0.1 column can flip to a neighboring discrete value — the
+#: oracle compare is pinned at sf0.01, where the margin holds).
+#:
+#: The accuracy IS the memory/CPU knob, and it must stay bounded for the
+#: sketch to be a sketch: the r7 setting of 1e7 made the sketch effectively
+#: buffer-everything — exact at any fixture, but the 10× scale probe measured
+#: 19.8× time for 10× rows (33.9 s vs 14.8 s at 1e6, 7.3 s at 1e5 on the same
+#: 6M-row replica).  1e6 keeps every correctness gate exact AND scales
+#: sublinearly; at true 100 TB tune further down (1e4-1e5) — the plan shape
+#: is unchanged.
+APPROX_ACC = 1_000_000
 
 
 def _duck_profile_approx(col: str) -> str:

@@ -110,3 +110,31 @@ def test_salted_join_equals_plain_join(spark, rows, dim):
     want = sorted((r["k"], r["v"], r["name"])
                   for r in big.join(small, "k").collect())
     assert got == want
+
+
+def test_approx_profile_rank_error_is_bounded_at_sf01(spark):
+    """profile_columns_approx is APPROXIMATE by contract past the oracle-gate
+    scale: with accuracy=1e6, a 600k-row column budgets n*eps = 0.6 rank of
+    error, so a percentile may land on a neighboring discrete value (observed
+    for p95 at sf0.1) but NEVER further.  This pins the bound: every sketch
+    percentile equals the exact discrete quantile at a rank within +-1."""
+    import duckdb
+
+    from alertas_spark.operators.profiling import _COLS
+    from alertas_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.1"
+    got = {r.column_name: r for r in
+           load_all()["profile_columns_approx"].builder(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    for c in _COLS:
+        n = con.execute(f"SELECT COUNT({c}) FROM lineitem").fetchone()[0]
+        for q, field in ((0.5, "p50"), (0.95, "p95")):
+            rank = int(q * n)  # quantile_disc's lower-rank convention, ~scale
+            lo, hi = max(1, rank - 1), min(n, rank + 2)
+            neighbors = [round(v[0], 6) for v in con.execute(
+                f"SELECT {c} FROM (SELECT {c}, ROW_NUMBER() OVER (ORDER BY {c})"
+                f" AS r FROM lineitem) WHERE r BETWEEN {lo} AND {hi}"
+            ).fetchall()]
+            assert getattr(got[c], field) in neighbors, (c, field, neighbors)
