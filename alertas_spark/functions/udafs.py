@@ -40,7 +40,11 @@ def _make_trimmed_mean():
 
     @pandas_udf("double")
     def _trimmed_mean(v: pd.Series) -> float:  # pragma: no cover - executor
-        x = sorted(v.dropna().tolist())
+        # finite-only domain (matches functions/numeric.finite and the
+        # builtin tier): a NaN order value is a data error, not an order
+        # statistic — Decimal(nan) would raise here, and NaN sorts
+        # engine-divergently in the rank formulation
+        x = sorted(val for val in v.dropna().tolist() if math.isfinite(val))
         if not x:
             return None
         # floor(n·q) via the same double multiply both engines evaluate
@@ -61,6 +65,7 @@ def _make_trimmed_mean():
     WITH j AS (
         SELECT c_mktsegment, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE isfinite(o_totalprice)
     ), r AS (
         SELECT c_mktsegment, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
@@ -112,6 +117,9 @@ def builtin_trimmed_mean(df: DataFrame, keys: list[str], value: str) -> DataFram
     needed for determinism."""
     from pyspark.sql.window import Window
 
+    from alertas_spark.functions.numeric import finite
+
+    df = df.filter(finite(F.col(value)).isNotNull())  # finite-only domain
     w_rank = Window.partitionBy(*keys).orderBy(value)
     w_all = Window.partitionBy(*keys)
     ranked = df.select(*keys, value,
@@ -133,7 +141,7 @@ def builtin_trimmed_mean(df: DataFrame, keys: list[str], value: str) -> DataFram
                ROW_NUMBER() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice) AS rn,
                COUNT(*) OVER (PARTITION BY o_custkey) AS n
-        FROM orders
+        FROM orders WHERE isfinite(o_totalprice)
     )
     SELECT o_custkey,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS DOUBLE)

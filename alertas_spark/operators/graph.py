@@ -50,6 +50,7 @@ def _oracle() -> str:
     WITH pair AS (
         SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
         GROUP BY 1, 2
     ), edges AS (
         SELECT 'c' || c AS src, 's' || s AS dst, w FROM pair
@@ -91,7 +92,13 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 rounds."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # an edge needs BOTH endpoints: a NULL custkey/suppkey row would build a
+    # NULL node that every equi-join silently drops — but only AFTER it has
+    # been counted into N, shifting (1-d)/N for the whole graph (caught by
+    # the adversarial fixture sweep)
     pair = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .filter(F.col("o_custkey").isNotNull()
+                    & F.col("l_suppkey").isNotNull())
             .groupBy("o_custkey", "l_suppkey").agg(F.count("*").alias("w")))
     c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
     s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))

@@ -23,16 +23,18 @@ _COLS = ("l_quantity", "l_extendedprice", "l_discount")
 
 
 def _duck_profile(col: str) -> str:
+    f = f"(CASE WHEN isfinite({col}) THEN {col} END)"
     return f"""
     SELECT '{col}' AS column_name,
-           COUNT({col}) AS n,
+           COUNT({f}) AS n,
            COUNT(*) - COUNT({col}) AS n_null,
-           COUNT(DISTINCT {col}) AS n_distinct,
-           ROUND(MIN({col}), 6) AS min_v,
-           ROUND(MAX({col}), 6) AS max_v,
-           ROUND(quantile_cont({col}, 0.5), 6) AS p50,
-           ROUND(quantile_cont({col}, 0.95), 6) AS p95,
-           ROUND(stddev_samp({col}), 6) AS sd
+           COUNT({col}) - COUNT({f}) AS n_nonfinite,
+           COUNT(DISTINCT {f}) AS n_distinct,
+           ROUND(MIN({f}), 6) AS min_v,
+           ROUND(MAX({f}), 6) AS max_v,
+           ROUND(quantile_cont({f}, 0.5), 6) AS p50,
+           ROUND(quantile_cont({f}, 0.95), 6) AS p95,
+           ROUND(stddev_samp({f}), 6) AS sd
     FROM lineitem
     """
 
@@ -46,29 +48,39 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric column profile of lineitem: count/nulls/distinct/min/max/p50/p95/sd,
     one row per column."""
     li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
+    # Stats are computed over FINITE values, with non-finite occurrences
+    # surfaced as their own counter: NaN/Inf ordering inside min/max/quantile/
+    # stddev is engine-divergent, and a profile that silently folds data
+    # errors into its statistics is lying about both — a DQ tool should
+    # COUNT them (adversarial-sweep-pinned).
     # Two single-row aggregates over the scan, then explode per-column structs:
     # the plain stats in one pass, the distinct counts in a second — mixing N
     # countDistincts with percentile buffers in one aggregate makes Catalyst EXPAND
     # the input N+1× underneath the sort buffers (measured 60% slower).
     aggs = []
     for c in _COLS:
+        fc = finite(F.col(c))
         aggs += [
-            F.count(c).alias(f"{c}__n"),
+            F.count(fc).alias(f"{c}__n"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
-            F.round(F.min(c), 6).alias(f"{c}__min_v"),
-            F.round(F.max(c), 6).alias(f"{c}__max_v"),
+            (F.count(c) - F.count(fc)).alias(f"{c}__n_nonfinite"),
+            F.round(F.min(fc), 6).alias(f"{c}__min_v"),
+            F.round(F.max(fc), 6).alias(f"{c}__max_v"),
             # One percentile buffer per column serves both quantiles — two
             # scalar percentile() calls each sort their own copy of the column.
-            F.expr(f"percentile({c}, array(0.5, 0.95))").alias(f"{c}__pcts"),
-            F.round(F.stddev_samp(c), 6).alias(f"{c}__sd"),
+            F.percentile(fc, F.lit([0.5, 0.95])).alias(f"{c}__pcts"),
+            F.round(F.stddev_samp(fc), 6).alias(f"{c}__sd"),
         ]
-    distincts = li.agg(*[F.countDistinct(c).alias(f"{c}__n_distinct") for c in _COLS])
+    distincts = li.agg(*[
+        F.count_distinct(finite(F.col(c))).alias(f"{c}__n_distinct")
+        for c in _COLS])
     wide = li.agg(*aggs).crossJoin(distincts)
     structs = F.array(*[
         F.struct(
             F.lit(c).alias("column_name"),
             F.col(f"{c}__n").alias("n"),
             F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_nonfinite").alias("n_nonfinite"),
             F.col(f"{c}__n_distinct").alias("n_distinct"),
             F.col(f"{c}__min_v").alias("min_v"),
             F.col(f"{c}__max_v").alias("max_v"),
@@ -103,14 +115,15 @@ APPROX_ACC = 1_000_000
 
 
 def _duck_profile_approx(col: str) -> str:
+    f = f"(CASE WHEN isfinite({col}) THEN {col} END)"
     return f"""
     SELECT '{col}' AS column_name,
-           COUNT({col}) AS n,
-           ROUND(MIN({col}), 6) AS min_v,
-           ROUND(MAX({col}), 6) AS max_v,
-           ROUND(quantile_disc({col}, 0.5), 6) AS p50,
-           ROUND(quantile_disc({col}, 0.95), 6) AS p95,
-           ROUND(stddev_samp({col}), 6) AS sd
+           COUNT({f}) AS n,
+           ROUND(MIN({f}), 6) AS min_v,
+           ROUND(MAX({f}), 6) AS max_v,
+           ROUND(quantile_disc({f}, 0.5), 6) AS p50,
+           ROUND(quantile_disc({f}, 0.95), 6) AS p95,
+           ROUND(stddev_samp({f}), 6) AS sd
     FROM lineitem
     """
 
@@ -128,14 +141,16 @@ def profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
     aggs = []
     for c in _COLS:
+        fc = finite(F.col(c))
         aggs += [
-            F.count(c).alias(f"{c}__n"),
-            F.round(F.min(c), 6).alias(f"{c}__min_v"),
-            F.round(F.max(c), 6).alias(f"{c}__max_v"),
+            F.count(fc).alias(f"{c}__n"),
+            F.round(F.min(fc), 6).alias(f"{c}__min_v"),
+            F.round(F.max(fc), 6).alias(f"{c}__max_v"),
             # One sketch per column for both quantiles, not one per quantile.
-            F.expr(f"approx_percentile({c}, array(0.5, 0.95), {APPROX_ACC})")
-            .alias(f"{c}__pcts"),
-            F.round(F.stddev_samp(c), 6).alias(f"{c}__sd"),
+            F.expr(f"approx_percentile(CASE WHEN NOT isnan({c}) AND "
+                   f"abs({c}) != double('inf') THEN {c} END, "
+                   f"array(0.5, 0.95), {APPROX_ACC})").alias(f"{c}__pcts"),
+            F.round(F.stddev_samp(fc), 6).alias(f"{c}__sd"),
         ]
     wide = li.agg(*aggs)
     structs = F.array(*[

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alertas_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from alertas_spark.functions.numeric import finite
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -221,10 +222,12 @@ def global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_value_percentiles",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
-    FROM orders JOIN customer ON o_custkey = c_custkey
+           ROUND(quantile_cont(v, 0.5), 4) AS p50,
+           ROUND(quantile_cont(v, 0.9), 4) AS p90,
+           ROUND(quantile_cont(v, 0.99), 4) AS p99
+    FROM (SELECT c_mktsegment,
+                 CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey)
     GROUP BY c_mktsegment
     """,
 )
@@ -242,7 +245,10 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey)
-    pct = F.percentile(F.col("o_totalprice"), F.lit([0.5, 0.9, 0.99]))
+    # finite gate: Spark's percentile and DuckDB's quantile_cont disagree on
+    # where NaN sorts in the interpolation — an order statistic is only
+    # defined over finite values (NULLs are skipped identically by both)
+    pct = F.percentile(finite(F.col("o_totalprice")), F.lit([0.5, 0.9, 0.99]))
     return (j.groupBy("c_mktsegment")
             .agg(pct.alias("ps"))
             .select("c_mktsegment",
@@ -254,8 +260,12 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "price_histogram_width_bucket",
     oracle="""
-    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
-               FROM orders)
+    WITH f AS (SELECT o_orderstatus,
+                      CASE WHEN isfinite(o_totalprice) THEN o_totalprice END
+                          AS o_totalprice
+               FROM orders),
+    b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM f)
     -- DuckDB has no width_bucket; this is Spark's exact evaluation order
     -- (catalyst WidthBucket: multiply THEN divide — (n * (v - lo)) / (hi - lo)
     -- + 1, NOT (v - lo) / ((hi - lo) / n): the two float associations can
@@ -267,7 +277,7 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE FLOOR(10 * (o_totalprice - lo) / (hi - lo)) + 1
                 END AS INTEGER) AS bucket,
            COUNT(*) AS n
-    FROM orders, b
+    FROM f, b
     GROUP BY 1, 2
     """,
 )
@@ -278,7 +288,11 @@ def price_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-crossJoin idiom J7, bucketing + count in a single distributed
     aggregate; both engines share the same width_bucket edge semantics,
     including hi landing in the overflow bucket n+1)."""
-    orders = load_table(spark, sf_dir, "orders")
+    # finite gate on the measured value: a NaN totalprice would poison the
+    # MAX bound (Spark sorts NaN greatest) and bucket every row into garbage;
+    # the NaN row itself gets a NULL bucket on both engines
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", finite(F.col("o_totalprice")))
     bounds = orders.agg(F.min("o_totalprice").alias("lo"),
                         F.max("o_totalprice").alias("hi"))
     return (orders.crossJoin(F.broadcast(bounds))

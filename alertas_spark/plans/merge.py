@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from alertas_spark.functions.numeric import finite, sql_finite
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -95,7 +96,9 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice)
+                                     THEN o_totalprice END)
+                               AS DECIMAL(29,6))) AS DOUBLE), 2)
                AS revenue
     FROM orders GROUP BY o_custkey
     """,
@@ -121,10 +124,15 @@ def ivm_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial(cmp) -> DataFrame:
         return (orders.filter(cmp).groupBy("o_custkey")
                 .agg(F.count("*").alias("n"),
-                     F.sum(F.col("o_totalprice").cast("decimal(29,6)"))
-                      .alias("rev")))
+                     F.sum(finite(F.col("o_totalprice"))
+                           .cast("decimal(29,6)")).alias("rev")))
 
-    old = partial(F.col("o_orderdate") < CUTOFF)
+    # the split must be EXHAUSTIVE: a NULL order date satisfies neither
+    # comparison, and a row that lands in no batch silently vanishes from the
+    # maintained view (caught by the adversarial fixture sweep) — unknown-date
+    # rows belong to the historical snapshot (they cannot be "new")
+    old = partial((F.col("o_orderdate") < CUTOFF)
+                  | F.col("o_orderdate").isNull())
     delta = partial(F.col("o_orderdate") >= CUTOFF)
     o, d = old.alias("o"), delta.alias("d")
     merged = o.join(d, F.col("o.o_custkey") == F.col("d.o_custkey"),
@@ -151,10 +159,13 @@ _RETRACT = "o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'"
     oracle=f"""
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice)
+                                     THEN o_totalprice END)
+                               AS DECIMAL(29,6))) AS DOUBLE), 2)
                AS revenue
     FROM orders
-    WHERE NOT (o_orderdate < TIMESTAMP '{CUTOFF}' AND {_RETRACT})
+    WHERE NOT COALESCE(o_orderdate < TIMESTAMP '{CUTOFF}'
+                       AND {_RETRACT}, FALSE)
     GROUP BY o_custkey
     """,
 )
@@ -183,16 +194,17 @@ def ivm_incremental_revenue_retract(spark: SparkSession, sf_dir: str) -> DataFra
     this with a concrete counterexample."""
     orders = load_table(spark, sf_dir, "orders")
     cut = F.col("o_orderdate") < CUTOFF
+    snap_side = cut | F.col("o_orderdate").isNull()  # exhaustive split (above)
     cancelled = F.expr(_RETRACT)
 
     def partial(cmp, sign: int) -> DataFrame:
         return (orders.filter(cmp).groupBy("o_custkey")
                 .agg((F.count("*") * sign).alias("n"),
-                     (F.sum(F.col("o_totalprice").cast("decimal(29,6)"))
-                      * sign).alias("rev")))
+                     (F.sum(finite(F.col("o_totalprice"))
+                            .cast("decimal(29,6)")) * sign).alias("rev")))
 
-    snap = partial(cut, +1)                       # the materialized snapshot
-    ins = partial(~cut, +1)                       # delta: inserts
+    snap = partial(snap_side, +1)                 # the materialized snapshot
+    ins = partial(F.col("o_orderdate") >= CUTOFF, +1)   # delta: inserts
     dele = partial(cut & cancelled, -1)           # delta: deletes (negative)
     delta = (ins.unionByName(dele).groupBy("o_custkey")
              .agg(F.sum("n").alias("n"), F.sum("rev").alias("rev")))

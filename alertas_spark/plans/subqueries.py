@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alertas_spark.functions.numeric import davg, sql_davg
+from alertas_spark.functions.numeric import davg, sql_davg, finite, sql_finite
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -95,7 +95,9 @@ def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataF
         SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(29,6))) AS DOUBLE)
+    SELECT ROUND(CAST(SUM(CAST((CASE WHEN isfinite(l_extendedprice)
+                                     THEN l_extendedprice END)
+                               AS DECIMAL(29,6))) AS DOUBLE)
                  / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN lim USING (l_partkey)
     WHERE l_quantity < 0.2 * avg_qty
@@ -113,7 +115,8 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(lim, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(29,6)"))
+        .agg(F.round(F.sum(finite(F.col("l_extendedprice"))
+                           .cast("decimal(29,6)"))
                      .cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 

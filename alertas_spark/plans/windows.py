@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from alertas_spark.functions.numeric import ACC, dsum, sql_dsum
+from alertas_spark.functions.numeric import ACC, dsum, finite, sql_dsum, sql_finite
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -128,7 +128,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_mktsegment,
            ROUND(c_acctbal, 2) AS acctbal,
            CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
-                               ORDER BY c_acctbal, c_custkey) AS INTEGER)
+                               ORDER BY c_acctbal NULLS LAST, c_custkey) AS INTEGER)
                AS quartile
     FROM customer
     """,
@@ -141,7 +141,11 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/topk.py) or range-partitioned approx quantiles
     (operators/profiling.py) instead of a global NTILE."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # asc_nulls_last: Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST —
+    # the one window-ordering convention the engines disagree on; every
+    # ordering over a nullable column in this module pins NULLS LAST
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey")
     return cust.select(
         "c_custkey", "c_mktsegment",
         F.round("c_acctbal", 2).alias("acctbal"),
@@ -155,7 +159,8 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(date_diff('day',
                 LAG(o_orderdate) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate, o_orderkey),
+                                       ORDER BY o_orderdate NULLS LAST,
+                                                o_orderkey),
                 o_orderdate) AS INTEGER) AS gap_days
     FROM orders
     """,
@@ -165,7 +170,8 @@ def lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partitioned by customer — high-cardinality key, small sorted runs, the
     scale-safe window shape."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey")
     return orders.select(
         "o_custkey", "o_orderkey",
         F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
@@ -177,12 +183,14 @@ def lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROUND(CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(29,6))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS DOUBLE), 2) AS running_spend,
            CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey) AS INTEGER)
+                                   ORDER BY o_orderdate NULLS LAST,
+                                            o_orderkey) AS INTEGER)
                AS nth_order
     FROM orders
     """,
@@ -192,12 +200,13 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates in DECIMAL: a running total must be identical however Spark
     evaluates the frame (and identical to the sequential oracle)."""
     orders = load_table(spark, sf_dir, "orders")
-    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wr = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey")
+    w = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_custkey", "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast(ACC)).over(w).cast("double"), 2)
+        F.round(F.sum(finite(F.col("o_totalprice")).cast(ACC))
+                .over(w).cast("double"), 2)
          .alias("running_spend"),
         F.row_number().over(wr).cast("int").alias("nth_order"),
     )
@@ -212,10 +221,12 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
            ROUND(CAST(SUM(CAST(revenue AS DECIMAL(29,6))) OVER (
-                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 ORDER BY day NULLS LAST
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
                  AS DOUBLE)
                  / COUNT(*) OVER (
-                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 ORDER BY day NULLS LAST
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
                  4) AS ma7
     FROM daily
     """,
@@ -229,7 +240,8 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = (orders.groupBy(F.col("o_orderdate").alias("day"))
              .agg(dsum(F.col("o_totalprice")).alias("revenue")))
-    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(
+        -6, Window.currentRow)
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "revenue",
@@ -386,7 +398,8 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, p, o_orderdate,
                LAG(p) OVER w AS prev_p, ROW_NUMBER() OVER w AS rn
         FROM daily
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS LAST)
     ), changes AS (
         SELECT o_custkey, p, o_orderdate
         FROM seq WHERE rn = 1 OR p IS DISTINCT FROM prev_p
@@ -394,7 +407,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey AS custkey, p AS priority,
            strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
            strftime(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
-                                            ORDER BY o_orderdate),
+                                            ORDER BY o_orderdate NULLS LAST),
                     '%Y-%m-%d') AS valid_to
     FROM changes
     """,
@@ -413,7 +426,8 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = (orders.groupBy("o_custkey", "o_orderdate")
              .agg(F.max_by("o_orderpriority", "o_orderkey").alias("p")))
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"))
     seq = daily.select(
         "o_custkey", "p", "o_orderdate",
         F.lag("p").over(w).alias("prev_p"),
@@ -437,7 +451,8 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(PERCENT_RANK() OVER w, 6) AS pr,
            ROUND(CUME_DIST() OVER w, 6) AS cd
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS LAST, c_custkey)
     """,
 )
 def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,7 +462,8 @@ def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree bit-for-bit; one sort+exchange on the segment serves both
     functions."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey")
     return cust.select(
         "c_custkey", "c_mktsegment",
         F.round(F.percent_rank().over(w), 6).alias("pr"),

@@ -45,7 +45,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                               os.path.basename(os.path.normpath(sf_dir)))
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
+    # lexists + retarget: a stale run can leave a DANGLING symlink here (its
+    # tmp fixture dir is gone), which os.path.exists reports as absent while
+    # os.symlink still collides; same-basename fixtures may also need the
+    # link repointed at a new target
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(path):
+        os.remove(link)
+    if not os.path.lexists(link):
         os.symlink(path, link)
     # events.ts encoding varies by testdata round (nanos-as-long / NTZ micros /
     # plain timestamp) — same dtype dispatch as the batch loader.

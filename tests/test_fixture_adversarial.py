@@ -172,3 +172,134 @@ def test_query_matches_oracle_on_adversarial_fixture(spark, adv_dir, name):
     problems = [p for p in compare(name, sdf, odf)
                 if not p.startswith("dtype note")]
     assert problems == [], problems
+
+
+# ---------------------------------------------------------------------------
+# Part 2: the relational tables (orders / lineitem / customer) — the other
+# ~60 oracle-bearing queries' inputs, same driver-regeneration risk class.
+# ---------------------------------------------------------------------------
+
+_TS0 = 1_600_000_000_000_000  # 2020-09-13 in µs — outside the fixture range
+
+_ADV_ORDERS = [
+    # (orderkey, custkey, status, totalprice, orderdate_us, priority)
+    (20_000_000, 1, "F", 123.45, None, "1-URGENT"),          # NULL orderdate
+    (20_000_001, 1, "O", None, _TS0, "2-HIGH"),              # NULL totalprice
+    (20_000_002, 2, "F", float("nan"), _TS0, "3-MEDIUM"),    # NaN totalprice
+    (20_000_003, None, "O", 50.0, _TS0, "5-LOW"),            # NULL custkey
+    (20_000_004, 99_999_999, "F", 60.0, _TS0, "5-LOW"),      # orphan custkey
+    (20_000_005, 3, None, 70.0, _TS0, None),                 # NULL status/priority
+    (20_000_006, 3, "P", -10.0, _TS0, "4-NOT SPECIFIED"),    # negative price
+    (20_000_007, 4, "F", 80.0, 0, "1-URGENT"),               # epoch 1970 date
+    (20_000_008, 4, "O", 90.0, 4_070_908_800_000_000, "2-HIGH"),  # year 2099
+]
+
+_ADV_LINEITEM = [
+    # (orderkey, partkey, suppkey, linenumber, qty, extprice, disc, tax,
+    #  returnflag, linestatus, shipdate_us)
+    (20_000_000, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", None),   # NULL shipdate
+    (20_000_001, 1, 1, 1, None, 100.0, 0.05, 0.02, "A", "F", _TS0),  # NULL qty
+    (20_000_002, 2, 2, 1, 5.0, float("nan"), 0.05, 0.02, "R", "F", _TS0),  # NaN price
+    (20_000_002, 2, 2, 2, 5.0, 100.0, None, 0.02, "R", "F", _TS0),   # NULL discount
+    (20_000_003, 3, 3, 1, -4.0, 100.0, 1.5, 0.02, "N", "O", _TS0),   # neg qty, disc>1
+    (99_999_990, 3, 3, 1, 5.0, 100.0, 0.05, 0.02, None, None, _TS0), # orphan + NULL flags
+]
+
+_ADV_CUSTOMER = [
+    # (custkey, name, nationkey, acctbal, mktsegment)
+    (30_000_000, "adv null segment", 1, 100.0, None),        # NULL segment
+    (30_000_001, None, 1, None, "BUILDING"),                 # NULL name/acctbal
+    (30_000_002, "adv nan acctbal", 2, float("nan"), "AUTOMOBILE"),  # NaN acctbal
+    (30_000_003, "adv orphan nation", None, -999.99, "MACHINERY"),   # NULL nation
+]
+
+
+@pytest.fixture(scope="module")
+def adv_rel_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("adversarial_rel_fixture"))
+    for t in TABLES:
+        if t not in ("orders", "lineitem", "customer"):
+            os.symlink(os.path.join(SF, f"{t}.parquet"),
+                       os.path.join(out, f"{t}.parquet"))
+
+    base = pq.read_table(os.path.join(SF, "orders.parquet"))
+    add = pa.table({
+        "o_orderkey": pa.array([r[0] for r in _ADV_ORDERS], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in _ADV_ORDERS], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in _ADV_ORDERS], pa.string()),
+        "o_totalprice": pa.array([r[3] for r in _ADV_ORDERS], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in _ADV_ORDERS], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in _ADV_ORDERS], pa.string()),
+    })
+    pq.write_table(pa.concat_tables([base, add.cast(base.schema)]),
+                   os.path.join(out, "orders.parquet"))
+
+    base = pq.read_table(os.path.join(SF, "lineitem.parquet"))
+    add = pa.table({
+        "l_orderkey": pa.array([r[0] for r in _ADV_LINEITEM], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in _ADV_LINEITEM], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in _ADV_LINEITEM], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in _ADV_LINEITEM], pa.int32()),
+        "l_quantity": pa.array([r[4] for r in _ADV_LINEITEM], pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in _ADV_LINEITEM], pa.float64()),
+        "l_discount": pa.array([r[6] for r in _ADV_LINEITEM], pa.float64()),
+        "l_tax": pa.array([r[7] for r in _ADV_LINEITEM], pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in _ADV_LINEITEM], pa.string()),
+        "l_linestatus": pa.array([r[9] for r in _ADV_LINEITEM], pa.string()),
+        "l_shipdate": pa.array([r[10] for r in _ADV_LINEITEM], pa.timestamp("us")),
+    })
+    pq.write_table(pa.concat_tables([base, add.cast(base.schema)]),
+                   os.path.join(out, "lineitem.parquet"))
+
+    base = pq.read_table(os.path.join(SF, "customer.parquet"))
+    add = pa.table({
+        "c_custkey": pa.array([r[0] for r in _ADV_CUSTOMER], pa.int64()),
+        "c_name": pa.array([r[1] for r in _ADV_CUSTOMER], pa.string()),
+        "c_nationkey": pa.array([r[2] for r in _ADV_CUSTOMER], pa.int32()),
+        "c_acctbal": pa.array([r[3] for r in _ADV_CUSTOMER], pa.float64()),
+        "c_mktsegment": pa.array([r[4] for r in _ADV_CUSTOMER], pa.string()),
+    })
+    pq.write_table(pa.concat_tables([base, add.cast(base.schema)]),
+                   os.path.join(out, "customer.parquet"))
+    return str(out)
+
+
+def _affected_rel() -> list[str]:
+    from alertas_spark.registry import load_all
+
+    names = []
+    for name, q in load_all().items():
+        if q.oracle is None:
+            continue
+        try:
+            mod = inspect.getmodule(q.builder)
+            if mod.__name__.startswith("alertas_spark.alerts"):
+                continue  # MPRJ fixture queries don't read the TPC-H tables
+            mod_src = inspect.getsource(mod)
+        except Exception:
+            continue
+        if any(f'"{t}"' in mod_src for t in ("orders", "lineitem", "customer")):
+            names.append(name)
+    return sorted(names)
+
+
+@pytest.mark.parametrize("name", _affected_rel())
+def test_query_matches_oracle_on_adversarial_rel_fixture(spark, adv_rel_dir, name):
+    from alertas_spark.operators import memo
+    from alertas_spark.registry import load_all
+    from tools.verify_local import compare
+
+    memo.clear()
+    q = load_all()[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{adv_rel_dir}/{t}.parquet'")
+    sdf = q.builder(spark, adv_rel_dir).toPandas()
+    odf = con.execute(q.oracle).df()
+    problems = [p for p in compare(name, sdf, odf)
+                if not p.startswith("dtype note")]
+    assert problems == [], problems
