@@ -31,8 +31,8 @@ from alertas_spark.sources.catalog import load_table
     # identical output (hash-equal by construction)
     late=True,
     oracle="""
-    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-    views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+    views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view' AND ts IS NOT NULL)
     SELECT c.event_id AS click_id, c.user_id,
            CAST(c.ts AS VARCHAR) AS click_ts,
            (SELECT MAX(v.event_id) FROM views v
@@ -49,8 +49,11 @@ from alertas_spark.sources.catalog import load_table
 def asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click gets the user's latest view at-or-before it (NULL when
     none yet).  Union + per-key ordered carry-forward — one shuffle, no row explosion."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts",
-                                                    "event_type")
+    # timed-events domain: an as-of position is undefined for a NULL ts
+    # (and NULL ordering diverges between engines) — pinned on both sides
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull())
+          .select("event_id", "user_id", "ts", "event_type"))
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts",
         F.col("event_id").alias("v_event_id"),
@@ -98,8 +101,8 @@ ASOF_BIN_SECONDS = 6 * 3600
 @declare(
     "asof_join_salted",
     oracle="""
-    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-    views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+    views AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view' AND ts IS NOT NULL)
     SELECT c.event_id AS click_id, c.user_id,
            CAST(c.ts AS VARCHAR) AS click_ts,
            (SELECT MAX(v.event_id) FROM views v
@@ -128,8 +131,11 @@ def asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     *non-commutative* (ordered) computation, where a hash salt would break the
     order the semantics depend on; the deterministic time bin IS the salt.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts",
-                                                    "event_type")
+    # timed-events domain: an as-of position is undefined for a NULL ts
+    # (and NULL ordering diverges between engines) — pinned on both sides
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull())
+          .select("event_id", "user_id", "ts", "event_type"))
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts",
         F.col("event_id").alias("v_event_id"),

@@ -29,13 +29,18 @@ WINDOW = "5 minutes"
            COUNT(*) AS n_events,
            {sql_dsum('value', 4)} AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
 def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate via ``window()`` — shuffle on (bucket, type) with
     map-side partial agg; identical shape to the streaming version."""
-    ev = load_table(spark, sf_dir, "events")
+    # timed-events domain: window() silently drops a NULL event time while
+    # DuckDB's time_bucket groups it as a NULL bucket — pin the exclusion
+    # explicitly on both sides (matches the streaming path, where the
+    # watermark drops NULL event times)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 4).alias("total_value"))
@@ -56,6 +61,7 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -76,7 +82,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session id → per-session aggregate.  One shuffle on user_id; both window steps and
     the final aggregate reuse the same partitioning (no re-shuffle).  Microsecond
     arithmetic (``unix_micros``) keeps sub-second gaps exact."""
-    ev = load_table(spark, sf_dir, "events")
+    # timed-events domain (see events_tumbling_5min): an event without a
+    # time cannot join a session, and NULL window-ordering diverges anyway
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.withColumn(

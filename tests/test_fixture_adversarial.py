@@ -64,6 +64,17 @@ _ADV_EVENTS = [
     ("purchase", None, '{"k": "abc"}'),      # NULL value
 ]
 
+#: rows with a NULL event-time / duplicate id — appended with explicit
+#: event_id/ts control (the windowing and dedup seams)
+_ADV_EVENTS_SPECIAL = [
+    # (event_id, ts_us, user_id, event_type, value, props)
+    (10_100_000, None, 9_000_001, "click", 2.0, '{"k": 1}'),    # NULL ts
+    (10_100_001, 1_704_067_200_000_000, 9_000_002, "view", 3.0,
+     '{"k": 2}'),
+    (10_100_001, 1_704_067_260_000_000, 9_000_002, "view", 4.0,
+     '{"k": 3}'),                                               # dup event_id
+]
+
 
 def _adv_embedding(kind: str, dim: int) -> list[float]:
     base = [(i % 7) * 0.125 - 0.375 for i in range(dim)]
@@ -108,15 +119,25 @@ def adv_dir(tmp_path_factory):
     ts_type = base_ev.schema.field("ts").type
     t0 = 1_704_067_200_000_000  # 2024-01-01 in µs
     add = pa.table({
-        "event_id": pa.array(range(next_id, next_id + len(_ADV_EVENTS)),
-                             pa.int64()),
-        "ts": pa.array([t0 + i * 90_000_000 for i in range(len(_ADV_EVENTS))],
-                       pa.timestamp("us")).cast(ts_type),
-        "user_id": pa.array([9_000_000 + i % 3 for i in
-                             range(len(_ADV_EVENTS))], pa.int64()),
-        "event_type": pa.array([e[0] for e in _ADV_EVENTS], pa.string()),
-        "value": pa.array([e[1] for e in _ADV_EVENTS], pa.float64()),
-        "props": pa.array([e[2] for e in _ADV_EVENTS], pa.string()),
+        "event_id": pa.array(
+            list(range(next_id, next_id + len(_ADV_EVENTS)))
+            + [e[0] for e in _ADV_EVENTS_SPECIAL], pa.int64()),
+        "ts": pa.array(
+            [t0 + i * 90_000_000 for i in range(len(_ADV_EVENTS))]
+            + [e[1] for e in _ADV_EVENTS_SPECIAL],
+            pa.timestamp("us")).cast(ts_type),
+        "user_id": pa.array(
+            [9_000_000 + i % 3 for i in range(len(_ADV_EVENTS))]
+            + [e[2] for e in _ADV_EVENTS_SPECIAL], pa.int64()),
+        "event_type": pa.array(
+            [e[0] for e in _ADV_EVENTS] + [e[3] for e in _ADV_EVENTS_SPECIAL],
+            pa.string()),
+        "value": pa.array(
+            [e[1] for e in _ADV_EVENTS] + [e[4] for e in _ADV_EVENTS_SPECIAL],
+            pa.float64()),
+        "props": pa.array(
+            [e[2] for e in _ADV_EVENTS] + [e[5] for e in _ADV_EVENTS_SPECIAL],
+            pa.string()),
     })
     pq.write_table(pa.concat_tables([base_ev, add.cast(base_ev.schema)]),
                    os.path.join(out, "events.parquet"))
