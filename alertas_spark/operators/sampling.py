@@ -174,3 +174,71 @@ def dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"))
         .withColumn("copy_idx", F.col("copy_idx").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic WEIGHTED sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+#
+# Quality-weighted corpus selection: draw K documents where a document's
+# inclusion probability is proportional to its weight, WITHOUT replacement,
+# deterministically.  The A-ES scheme (Efraimidis & Spirakis 2006) assigns
+# each row the priority u^(1/w) for u ~ Uniform(0,1] and keeps the global
+# top-K — exactly a weighted draw — and because ranking is monotone in
+# ln(u)/w, the priority is computed in that form.
+#
+# Determinism contract: u is md5-derived (reshard/rerun/engine-stable, the
+# module convention), and ln(u) is quantized to 1e-9 fixed point BEFORE the
+# divide (the product_aggregate trick: engine libm ln may differ in the last
+# ulp; the quantized bigint is identical, and bigint/double division is
+# single-rounded on both engines).  Selection + ranks are then bit-equal.
+
+SAMPLE_K = 200
+
+#: u ∈ (0, 1]: 15 md5 hex digits → h ∈ [0, 2^60), u = (h+1) / 2^60
+_W_SPARK_H = ("cast(conv(substring(md5(concat('ws:', cast(doc_id AS string))), "
+              "1, 15), 16, 10) AS bigint)")
+_W_DUCK_H = ("CAST(concat('0x', substring(md5('ws:' || "
+             "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)")
+_TWO60 = float(1 << 60)
+
+
+@declare(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, n_chars,
+               CAST(ROUND(LN(CAST({_W_DUCK_H} + 1 AS DOUBLE) / {_TWO60})
+                          * 1e9) AS BIGINT)
+                   / CAST(n_chars + 1 AS DOUBLE) AS p
+        FROM documents
+        WHERE n_chars IS NOT NULL
+    ), ranked AS (
+        SELECT doc_id, n_chars, p,
+               ROW_NUMBER() OVER (ORDER BY p DESC, doc_id) AS rnk
+        FROM pri
+    )
+    SELECT doc_id, n_chars, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {SAMPLE_K}
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample of {SAMPLE_K} documents without replacement
+    (weight = n_chars + 1: longer docs proportionally likelier, every doc
+    still possible).  Scan-side priority projection + the two-phase exact
+    top-k (operators/topk.py): each partition emits only its local best K,
+    the final rank sorts ≤ K·n_partitions rows — no global sort of the
+    corpus, the same selection at any scale."""
+    from alertas_spark.operators.topk import ranked_topk
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("n_chars").isNotNull()))
+    h = F.expr(_W_SPARK_H)
+    lnq = F.round(F.log((h + 1).cast("double") / F.lit(_TWO60)) * 1e9) \
+           .cast("bigint")
+    pri = docs.select(
+        "doc_id", "n_chars",
+        (lnq.cast("double") / (F.col("n_chars") + 1).cast("double")).alias("p"),
+        F.lit(0).alias("g"))  # constant key: global top-k through the 2-phase op
+    return (ranked_topk(pri, "g", "p", "doc_id", SAMPLE_K, ascending=False)
+            .select("doc_id", "n_chars", F.col("rnk").cast("int").alias("rnk")))

@@ -300,3 +300,85 @@ def price_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.width_bucket("o_totalprice", "lo", "hi", F.lit(10))
                       .cast("int").alias("bucket"))
             .agg(F.count("*").alias("n")))
+
+
+@declare(
+    "regr_price_vs_quantity",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag AS flag,
+               l_quantity AS x, l_extendedprice AS y,
+               l_quantity * l_extendedprice AS xy,
+               l_quantity * l_quantity AS xx,
+               l_extendedprice * l_extendedprice AS yy
+        FROM lineitem
+        WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
+    ), m AS (
+        SELECT flag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(29,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(29,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(xy AS DECIMAL(29,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(xx AS DECIMAL(29,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(yy AS DECIMAL(29,6))) AS DOUBLE) AS syy
+        FROM p GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))
+                  * sx) / n, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+               AS r2
+    FROM m
+    """,
+)
+def regr_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (slope / intercept / R²) of line
+    price against quantity — the DETERMINISTIC distributed formulation.
+
+    Spark ships ``regr_slope``/``corr``, but their co-moment accumulators
+    merge in partition order (Welford-style), so the last bits differ between
+    runs, partitionings, and engines.  Instead the five raw moments
+    Σx, Σy, Σxy, Σx², Σy² accumulate through the decimal contract
+    (per-row products stay IEEE-double — bit-identical on both engines — and
+    the decimal sums are order-independent), then the closed-form slope /
+    intercept / R² is a handful of double ops on identical inputs: the result
+    is bit-equal under ANY partitioning, pinned against DuckDB.
+
+    Scale shape: one map-side-combined hash aggregate — regression over a
+    100 TB fact table costs exactly one scan + one tiny shuffle, like any
+    grouped sum.  Pairs with NULL/non-finite coordinates are excluded
+    (standard regr_* semantics + the finite-domain contract).  Decimal
+    headroom: x² terms up to ~1e10 leave 10¹³ row-count headroom in
+    DECIMAL(29,6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    p = (li.filter(finite(x).isNotNull() & finite(y).isNotNull())
+         .select(F.col("l_returnflag").alias("flag"),
+                 x.alias("x"), y.alias("y"),
+                 (x * y).alias("xy"), (x * x).alias("xx"),
+                 (y * y).alias("yy")))
+
+    def dmom(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(29,6)")).cast("double")
+
+    m = p.groupBy("flag").agg(
+        F.count("*").cast("double").alias("n"),
+        dmom("x").alias("sx"), dmom("y").alias("sy"),
+        dmom("xy").alias("sxy"), dmom("xx").alias("sxx"),
+        dmom("yy").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n, var_n = n * sxy - sx * sy, n * sxx - sx * sx
+    # try_divide: a degenerate group (single pair, or constant x) has zero
+    # variance — slope/R² are undefined there (NULL), and ANSI mode errors
+    # even on double division by zero
+    slope = F.try_divide(cov_n, var_n)
+    return m.select(
+        "flag", n.cast("bigint").alias("n_pairs"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(F.try_divide(cov_n * cov_n,
+                             var_n * (n * syy - sy * sy)), 6).alias("r2"))

@@ -36,6 +36,8 @@ QUERIES = [
     "trimmed_mean_order_value",      # UDAF: in-group sort + decimal-6 sum
     "trimmed_mean_order_value_builtin",  # window-rank trim + decimal agg
     "ivm_incremental_revenue_retract",   # negative-partial retraction merge
+    "regr_price_vs_quantity",            # decimal moment sums -> closed form
+    "sample_weighted_topk",              # quantized-ln A-ES priorities + topk
     "small_quantity_order_revenue",  # decimal-avg correlated threshold
     "ivm_incremental_revenue",       # unrounded-decimal partial merge
 ]

@@ -138,3 +138,23 @@ def test_approx_profile_rank_error_is_bounded_at_sf01(spark):
                 f" AS r FROM lineitem) WHERE r BETWEEN {lo} AND {hi}"
             ).fetchall()]
             assert getattr(got[c], field) in neighbors, (c, field, neighbors)
+
+
+def test_weighted_sample_prefers_heavy_documents(spark):
+    """sample_weighted_topk is a WEIGHTED draw: the selected documents'
+    mean weight must exceed the corpus mean (A-ES gives inclusion
+    probability ~ weight), and the selection is exactly SAMPLE_K ranked
+    rows with distinct ids."""
+    from alertas_spark.operators.sampling import SAMPLE_K
+    from alertas_spark.registry import load_all
+    from alertas_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = load_all()["sample_weighted_topk"].builder(spark, sf).collect()
+    assert len(got) == SAMPLE_K
+    assert sorted(r.rnk for r in got) == list(range(1, SAMPLE_K + 1))
+    assert len({r.doc_id for r in got}) == SAMPLE_K
+    sample_mean = sum(r.n_chars for r in got) / len(got)
+    corpus_mean = (load_table(spark, sf, "documents")
+                   .agg({"n_chars": "avg"}).collect()[0][0])
+    assert sample_mean > corpus_mean
