@@ -469,3 +469,84 @@ def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@declare(
+    "rank_dense_rank_quantity_popularity",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS flag, l_quantity AS qty, COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT flag, qty, n,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
+    FROM g
+    WINDOW w AS (PARTITION BY flag ORDER BY n DESC)
+    """,
+)
+def rank_dense_rank_quantity_popularity(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """RANK vs DENSE_RANK over genuinely tied data: quantity-popularity per
+    return flag (many counts tie, so the gap/no-gap semantics of the two
+    functions actually diverge — the corpus's row_number/ntile/percent_rank
+    queries all use tie-broken total orders and never exercise this).  Tied
+    rows get EQUAL ranks on any engine, so no tiebreak column is needed for
+    determinism; aggregate-then-rank keeps the window input at distinct-value
+    cardinality, not fact-table cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (li.groupBy(F.col("l_returnflag").alias("flag"),
+                    F.col("l_quantity").alias("qty"))
+         .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("flag").orderBy(F.desc("n"))
+    return g.select(
+        "flag", "qty", "n",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"))
+
+
+@declare(
+    "equi_depth_histogram_order_value",
+    oracle="""
+    WITH f AS (
+        SELECT o_orderstatus,
+               CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS v
+        FROM orders
+    ), b AS (
+        SELECT quantile_cont(v, 0.25) AS q1,
+               quantile_cont(v, 0.50) AS q2,
+               quantile_cont(v, 0.75) AS q3
+        FROM f
+    )
+    SELECT o_orderstatus,
+           CASE WHEN v IS NULL THEN NULL
+                WHEN v <= q1 THEN 1 WHEN v <= q2 THEN 2
+                WHEN v <= q3 THEN 3 ELSE 4 END AS bucket,
+           COUNT(*) AS n
+    FROM f, b
+    GROUP BY 1, 2
+    """,
+)
+def equi_depth_histogram_order_value(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH complement to the equal-width ``price_histogram_width_bucket``:
+    quartile boundaries from the exact interpolated percentile (identical
+    definition to the oracle's ``quantile_cont``, so the boundary doubles are
+    bit-equal), bucketed per status in a second pass over the scan — the J7
+    1-row-broadcast idiom again, two scans total, no shuffle beyond two tiny
+    aggregates.  Non-finite/NULL values take a NULL bucket (finite-domain
+    contract); by construction each global bucket holds ~25% of finite rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", finite(F.col("o_totalprice")).alias("v"))
+    b = orders.agg(
+        F.percentile(F.col("v"), F.lit([0.25, 0.5, 0.75])).alias("qs")
+    ).select(F.col("qs")[0].alias("q1"), F.col("qs")[1].alias("q2"),
+             F.col("qs")[2].alias("q3"))
+    return (orders.crossJoin(F.broadcast(b))
+            .groupBy("o_orderstatus",
+                     F.when(F.col("v").isNull(), None)
+                      .when(F.col("v") <= F.col("q1"), 1)
+                      .when(F.col("v") <= F.col("q2"), 2)
+                      .when(F.col("v") <= F.col("q3"), 3)
+                      .otherwise(4).alias("bucket"))
+            .agg(F.count("*").alias("n")))
