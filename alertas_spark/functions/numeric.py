@@ -68,5 +68,9 @@ def sql_dsum(expr: str, round_to: int = 2) -> str:
 
 
 def sql_davg(expr: str, round_to: int = 6) -> str:
-    return (f"ROUND(CAST(SUM(CAST({sql_finite(expr)} AS DECIMAL(29,6))) AS DOUBLE)"
-            f" / COUNT({sql_finite(expr)}), {round_to})")
+    """Decimal→double via VARCHAR, like :func:`sql_dsum`; the division and
+    final ROUND stay in double on both engines (identical inputs → identical
+    outputs; the double ROUND is safe here because an average's magnitude is
+    bounded by the max row value, far from the 9e18·10^-d overflow band)."""
+    return (f"ROUND(CAST(CAST(SUM(CAST({sql_finite(expr)} AS DECIMAL(29,6))) "
+            f"AS VARCHAR) AS DOUBLE) / COUNT({sql_finite(expr)}), {round_to})")

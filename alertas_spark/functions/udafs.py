@@ -74,7 +74,7 @@ def _make_trimmed_mean():
         FROM j
     )
     SELECT c_mktsegment,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*), 6) AS trimmed_mean
     FROM r
     WHERE rn > FLOOR(n * {TRIM_Q}) AND rn <= n - FLOOR(n * {TRIM_Q})
@@ -144,7 +144,7 @@ def builtin_trimmed_mean(df: DataFrame, keys: list[str], value: str) -> DataFram
         FROM orders WHERE isfinite(o_totalprice)
     )
     SELECT o_custkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*), 6) AS trimmed_mean
     FROM r
     WHERE rn > FLOOR(n * {TRIM_Q}) AND rn <= n - FLOOR(n * {TRIM_Q})

@@ -60,7 +60,7 @@ def _duck_update(assign_cte: str, out_name: str) -> str:
     return f"""
     {out_name}_sums AS (
         SELECT cid, dim,
-               CAST(SUM(CAST(emb[dim] AS DECIMAL(29,6))) AS DOUBLE) / COUNT(*) AS m
+               CAST(CAST(SUM(CAST(emb[dim] AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
         FROM {assign_cte}, range(1, {DIM} + 1) t(dim)
         GROUP BY cid, dim
     ), {out_name} AS (

@@ -460,7 +460,7 @@ _DUCK_TRAINED = f"""
     ),
     mean1 AS (
         SELECT a.m, a.c, t.dim,
-               CAST(SUM(CAST(s.sub[t.dim] AS {_DEC})) AS DOUBLE) / COUNT(*) AS mu
+               CAST(CAST(SUM(CAST(s.sub[t.dim] AS {_DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mu
         FROM a1 a
         JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m,
              range(1, {SUBDIM} + 1) t(dim)

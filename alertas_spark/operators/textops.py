@@ -461,7 +461,7 @@ BM25_B = 0.75
         SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
     ), stats AS (
         SELECT COUNT(*) AS n_docs,
-               ROUND(CAST(SUM(CAST(dl AS DECIMAL(29,6))) AS DOUBLE)
+               ROUND(CAST(CAST(SUM(CAST(dl AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE)
                      / COUNT(*), 6) AS avgdl
         FROM dl
     ), scored AS (

@@ -316,11 +316,11 @@ def price_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
         SELECT flag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(29,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(29,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(xy AS DECIMAL(29,6))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(xx AS DECIMAL(29,6))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(yy AS DECIMAL(29,6))) AS DOUBLE) AS syy
+               CAST(CAST(SUM(CAST(x AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(xy AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(CAST(xx AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(yy AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE) AS syy
         FROM p GROUP BY flag
     )
     SELECT flag, CAST(n AS BIGINT) AS n_pairs,

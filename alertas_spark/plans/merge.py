@@ -96,9 +96,9 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice)
+           ROUND(CAST(CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice)
                                      THEN o_totalprice END)
-                               AS DECIMAL(29,6))) AS DOUBLE), 2)
+                               AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE), 2)
                AS revenue
     FROM orders GROUP BY o_custkey
     """,
@@ -159,9 +159,9 @@ _RETRACT = "o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'"
     oracle=f"""
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice)
+           ROUND(CAST(CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice)
                                      THEN o_totalprice END)
-                               AS DECIMAL(29,6))) AS DOUBLE), 2)
+                               AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE), 2)
                AS revenue
     FROM orders
     WHERE NOT COALESCE(o_orderdate < TIMESTAMP '{CUTOFF}'

@@ -95,9 +95,9 @@ def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataF
         SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(CAST(SUM(CAST((CASE WHEN isfinite(l_extendedprice)
+    SELECT ROUND(CAST(CAST(SUM(CAST((CASE WHEN isfinite(l_extendedprice)
                                      THEN l_extendedprice END)
-                               AS DECIMAL(29,6))) AS DOUBLE)
+                               AS DECIMAL(29,6))) AS VARCHAR) AS DOUBLE)
                  / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN lim USING (l_partkey)
     WHERE l_quantity < 0.2 * avg_qty

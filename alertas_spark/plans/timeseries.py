@@ -27,9 +27,8 @@ from alertas_spark.sources.catalog import load_table
         FROM orders GROUP BY o_orderdate
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
-           ROUND(CAST(SUM(CAST(revenue AS DECIMAL(29,6))) OVER (
-                 ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-                 AS DOUBLE), 2) AS trailing_7d
+           ROUND(CAST(CAST(SUM(CAST(revenue AS DECIMAL(29,6))) OVER (
+                 ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE), 2) AS trailing_7d
     FROM daily
     """,
 )

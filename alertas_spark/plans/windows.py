@@ -183,11 +183,10 @@ def lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(29,6))) OVER (
+           ROUND(CAST(CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(29,6))) OVER (
                  PARTITION BY o_custkey
                  ORDER BY o_orderdate NULLS LAST, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DOUBLE), 2) AS running_spend,
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE), 2) AS running_spend,
            CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate NULLS LAST,
                                             o_orderkey) AS INTEGER)
@@ -220,10 +219,9 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderdate
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
-           ROUND(CAST(SUM(CAST(revenue AS DECIMAL(29,6))) OVER (
+           ROUND(CAST(CAST(SUM(CAST(revenue AS DECIMAL(29,6))) OVER (
                  ORDER BY day NULLS LAST
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                 AS DOUBLE)
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) OVER (
                  ORDER BY day NULLS LAST
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
