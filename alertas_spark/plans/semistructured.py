@@ -106,6 +106,14 @@ def json_props_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-independent on both engines; the final single cast to DOUBLE
     # (same round-to-nearest on the same exact integer) is the cross-engine
     # comparable surface, per the repo decimal contract (plans/merge.py).
+    # Cost disclosure: the int128 accumulator leaves the codegen'd long fast
+    # path (~0.5 s → ~1.4-1.9 s at sf0.1 in BENCH_LOCAL) but stays linear
+    # (10× probe 2.7×, SCALING.md) — crash-immunity over raw speed is the
+    # right default for an aggregate fed by arbitrary JSON payloads.
+    # try_sum(bigint) would keep long speed but its overflow-NULL depends on
+    # partial-accumulation order (a transiently-overflowing sum of mixed-sign
+    # values is NULL or a value depending on partitioning) — nondeterminism
+    # the engine's contracts forbid.
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
