@@ -59,7 +59,20 @@ STRICT_K = """
 #: leading zeros accepted, non-integral strings NULL), doubles truncate toward
 #: zero (TRUNC, not FLOOR/round — DuckDB's double→int CAST rounds, so TRUNC
 #: first), booleans → 1/0, anything out of int64 range NULL.
-VARIANT_K = """
+#:
+#: Trim semantics (verified live against Spark 4): Spark's string→bigint cast
+#: strips leading/trailing codepoints <= U+0020 (ASCII space and ALL control
+#: chars — tab, newline, CR, NUL...), and nothing else: U+00A0 (NBSP) is NOT
+#: stripped, so ``" 12"`` is NULL in Spark.  DuckDB's ``TRIM`` strips a
+#: different set, so the mirror trims via regexp_replace over the exact class
+#: ``[\x00-\x20]`` instead — divergent in both directions otherwise
+#: (``"\t12"`` → 12 in Spark / NULL under TRIM; NBSP-padded → NULL in Spark /
+#: 12 under TRIM).  Pinned by tests/test_semistructured_pin.py.
+_VK_TRIMMED = (
+    "regexp_replace(json_extract_string(props, '$.k'),"
+    " '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
+)
+VARIANT_K = f"""
  CASE WHEN props IS NOT NULL AND json_valid(props) THEN
    CASE json_type(props, '$.k')
      WHEN 'BIGINT'  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
@@ -69,9 +82,8 @@ VARIANT_K = """
      WHEN 'BOOLEAN' THEN CASE json_extract_string(props, '$.k')
                          WHEN 'true' THEN 1 ELSE 0 END
      WHEN 'VARCHAR' THEN CASE
-         WHEN regexp_matches(TRIM(json_extract_string(props, '$.k')),
-                             '^[+-]?[0-9]+$')
-         THEN TRY_CAST(TRIM(json_extract_string(props, '$.k')) AS BIGINT) END
+         WHEN regexp_matches({_VK_TRIMMED}, '^[+-]?[0-9]+$')
+         THEN TRY_CAST({_VK_TRIMMED} AS BIGINT) END
    END
  END"""
 
@@ -85,7 +97,7 @@ VARIANT_K = """
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(k) AS n_k,
-           CAST(SUM(k) AS DOUBLE) AS sum_k,
+           CAST(CAST(SUM(k) AS VARCHAR) AS DOUBLE) AS sum_k,
            MIN(k) AS min_k,
            MAX(k) AS max_k
     FROM ext GROUP BY event_type

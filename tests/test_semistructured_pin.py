@@ -51,6 +51,21 @@ PAYLOADS = [
     ('{"k": true}', None, 1),                   # bool: strict NULLs, variant 1/0
     ('{"k": false}', None, 0),
     ('{"k": [1]}', None, None),
+    # whitespace/control-char trim seam (ADVICE r8): Spark's string→bigint cast
+    # trims codepoints <= U+0020 only — tab/newline/VT/US trim, NBSP (U+00A0)
+    # and thin space (U+2009) do NOT; interior control chars kill the cast; a
+    # LITERAL (unescaped) control char inside a JSON string is invalid JSON for
+    # both try_parse_json and json_valid.
+    ('{"k": "\\t12"}', None, 12),               # escaped tab, leading
+    ('{"k": "12\\n"}', None, 12),               # escaped newline, trailing
+    ('{"k": "\\r\\n 12 \\t"}', None, 12),       # mixed pad both sides
+    ('{"k": "\\u000b12"}', None, 12),           # vertical tab <= 0x20
+    ('{"k": "\\u001f12"}', None, 12),           # unit separator <= 0x20
+    ('{"k": " 12"}', None, None),          # literal NBSP: NOT trimmed
+    ('{"k": "\\u00a012"}', None, None),         # escaped NBSP: NOT trimmed
+    ('{"k": "\\u200912"}', None, None),         # thin space: NOT trimmed
+    ('{"k": "1\\t2"}', None, None),             # interior tab: cast fails
+    ('{"k": "\t12"}', None, None),              # literal raw tab: invalid JSON
     ('{"k": null}', None, None),
     ('{"x": 1}', None, None),                   # key absent
     ('not json', None, None),                   # malformed: try_parse_json → NULL row
@@ -75,6 +90,16 @@ def adversarial_dir(tmp_path_factory):
     for i in range(len(PAYLOADS), len(PAYLOADS) + 40):  # plain-int background rows
         rows.append((i, 1_700_000_000_000_000 + i * 60_000_000, i % 7,
                      types[i % 3], float(i), '{"k": %d}' % (i * 3 - 50)))
+    # Three values in ONE group summing to 23822014728487422455 (> 2^64),
+    # chosen so DuckDB's direct HUGEINT→DOUBLE cast mis-rounds by exactly one
+    # ulp (0x1.4a98cc2e5d9dcp+64 vs the correctly-rounded ...dd) — the seam
+    # ADVICE r9 flagged; the oracle must route SUM(k) through VARCHAR.
+    base = len(PAYLOADS) + 40
+    for j, kv in enumerate([9223372036854775807, 9223372036854775807,
+                            5375270654777870841]):
+        i = base + j
+        rows.append((i, 1_700_000_000_000_000 + i * 60_000_000, i % 7,
+                     "hugesum", float(i), '{"k": %d}' % kv))
     tbl = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
         "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
