@@ -6,61 +6,152 @@ PQ codebooks) is produced by a full-corpus scan ONCE, persisted as a tiny
 versioned parquet relation, and every later session loads it in milliseconds
 instead of re-scanning the corpus.  This module is that store:
 
-* **layout** — ``<warehouse>/_artifacts/<name>/v=<version>/`` parquet; the
-  version is an explicit cache key (bump it when the trainer's logic or its
-  input snapshot changes — same contract as the fixture generator's VERSION).
-* **load_or_build** — read the artifact if its version directory exists, else
-  run the builder, persist, and return the persisted copy (read back, so the
-  caller always consumes the on-disk artifact — a subsequent session is
-  byte-identical to the first).
-* **composition** — builders typically wrap a ``memo.session_artifact`` key,
-  so within a session the parquet is read at most once, and across sessions
-  the training pipeline runs at most once per version.
+* **layout** — ``<root>/_artifacts/<name>/v=<version>/`` parquet; the version
+  is an explicit cache key combining a CODE_VERSION (bump when the trainer's
+  logic changes) with a **dataset fingerprint** (size + mtime of the input
+  parquet files), so a regenerated fixture or refreshed snapshot auto-triggers
+  retraining — stale-artifact reuse is impossible without touching code.
+* **atomic first write** — the builder's output goes to a session-private temp
+  directory that is ``os.rename``-d into ``v=<version>`` only after Spark's
+  job commit completes; a concurrent session can never observe a
+  partially-written artifact, and ``exists`` additionally requires the
+  ``_SUCCESS`` marker (so a crashed pre-atomic writer's debris is rebuilt
+  over, not served).  If two sessions race, the loser's rename fails and it
+  simply reads the winner's (deterministically identical) artifact.
+* **load_or_build** — read the artifact if its version directory is complete,
+  else run the builder, persist atomically, and return the persisted copy
+  (read back, so the caller always consumes the on-disk artifact — a
+  subsequent session is byte-identical to the first).
+* **composition** — :func:`persistent_artifact` layers
+  ``memo.session_artifact`` over ``load_or_build``: within a session the
+  parquet is opened at most once, and across sessions the training pipeline
+  runs at most once per version.  When no artifact root is configured
+  (``spark.alertas.artifacts.dir`` conf, else ``ALERTAS_ARTIFACTS_DIR`` env)
+  the call degrades to the session memo alone — ad-hoc sessions keep training
+  in-session; a deployed pipeline points the conf at its warehouse and every
+  consumer shares the trained relation.
 
 Determinism makes this safe: every trainer in this engine is deterministic
 (decimal means, fixed seeds, explicit tiebreaks — test_partition_invariance),
 so an artifact trained yesterday on yesterday's snapshot equals one trained
-today on the same snapshot; versioning handles the snapshot moving.
+today on the same snapshot; the fingerprint handles the snapshot moving.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import os
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from alertas_spark.operators.memo import session_artifact
 
-def artifact_path(warehouse: str, name: str, version: str) -> str:
-    return os.path.join(warehouse, "_artifacts", name, f"v={version}")
+#: Spark conf key (checked first) and env fallback naming the artifact root.
+CONF_KEY = "spark.alertas.artifacts.dir"
+ENV_KEY = "ALERTAS_ARTIFACTS_DIR"
+
+#: Builder invocations since process start — lets a test (or a second session
+#: asserting cross-session reuse) prove that a query ran WITHOUT training.
+_BUILD_CALLS = 0
 
 
-def exists(spark: SparkSession, warehouse: str, name: str, version: str) -> bool:
-    path = artifact_path(warehouse, name, version)
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path))
+def build_count() -> int:
+    return _BUILD_CALLS
 
 
-def load_or_build(spark: SparkSession, warehouse: str, name: str,
+def artifact_root(spark: SparkSession) -> str | None:
+    """The configured store root, or None (store disabled — memo-only tier)."""
+    root = spark.conf.get(CONF_KEY, None)
+    if not root:
+        root = os.environ.get(ENV_KEY) or None
+    return root
+
+
+def dataset_fingerprint(sf_dir: str, table: str) -> str:
+    """Short content key for a table's parquet files: (name, size, mtime_ns)
+    per file, hashed.  Cheap (pure stat, no reads) and conservative — any
+    rewrite of the input invalidates dependent artifacts."""
+    h = hashlib.sha1()
+    pat = os.path.join(sf_dir, f"{table}.parquet")
+    files = sorted(glob.glob(pat)) or sorted(
+        glob.glob(os.path.join(pat, "*.parquet")))
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def artifact_path(root: str, name: str, version: str) -> str:
+    return os.path.join(root, "_artifacts", name, f"v={version}")
+
+
+def exists(spark: SparkSession, root: str, name: str, version: str) -> bool:
+    """Complete-artifact check: the version directory must carry Spark's
+    ``_SUCCESS`` job-commit marker — a part file alone may be the debris of a
+    crashed writer (pre-atomic layouts) and must NOT be served."""
+    path = artifact_path(root, name, version)
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def load_or_build(spark: SparkSession, root: str, name: str,
                   version: str, build: Callable[[], DataFrame]) -> DataFrame:
     """Return the persisted artifact, training + persisting on first use.
 
-    The builder's result is written then READ BACK, so first and later
-    sessions consume the identical on-disk relation (no
-    written-vs-in-memory drift — parquet round-trips our artifact types
-    exactly: bigint ids, double vectors)."""
-    path = artifact_path(warehouse, name, version)
-    if not exists(spark, warehouse, name, version):
-        build().write.mode("overwrite").parquet(path)
+    The builder's result is written to a private temp dir then atomically
+    renamed into ``v=<version>`` and READ BACK, so first and later sessions
+    consume the identical on-disk relation (no written-vs-in-memory drift —
+    parquet round-trips our artifact types exactly: bigint ids, double
+    vectors).  A lost rename race falls through to reading the winner's copy:
+    trainers are deterministic, so the two artifacts are interchangeable."""
+    global _BUILD_CALLS
+    path = artifact_path(root, name, version)
+    if not exists(spark, root, name, version):
+        _BUILD_CALLS += 1
+        tmp = f"{path}.__tmp__{uuid.uuid4().hex}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another session committed first (or stale debris occupies the
+            # final path without _SUCCESS): keep/serve whichever copy is
+            # complete, clean up ours
+            import shutil
+
+            if exists(spark, root, name, version):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:  # debris at `path` from a crashed pre-atomic writer
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
     return spark.read.parquet(path)
 
 
-def versions(warehouse: str, name: str) -> list[str]:
+def persistent_artifact(spark: SparkSession, sf_dir: str, name: str,
+                        code_version: str, table: str,
+                        build: Callable[[], DataFrame]) -> DataFrame:
+    """The composed trained-artifact tier used by declared query paths.
+
+    Session memo over the persistent store: ``(name, sf_dir)`` resolves to one
+    DataFrame per session; on memo miss, the store is consulted (when
+    configured) before the trainer runs.  ``table`` names the input relation
+    whose fingerprint keys the version."""
+    root = artifact_root(spark)
+    if root is None:
+        return session_artifact(spark, (name, sf_dir), build)
+    version = f"{code_version}-{dataset_fingerprint(sf_dir, table)}"
+    return session_artifact(
+        spark, (name, sf_dir, "persistent", version),
+        lambda: load_or_build(spark, root, name, version, build))
+
+
+def versions(root: str, name: str) -> list[str]:
     """Persisted versions of ``name`` (housekeeping: old versions are plain
     directories — retention is an ``rm`` away, never a cache-coherence
     question, because readers pin their version explicitly)."""
-    root = os.path.join(warehouse, "_artifacts", name)
-    if not os.path.isdir(root):
+    d = os.path.join(root, "_artifacts", name)
+    if not os.path.isdir(d):
         return []
-    return sorted(d.removeprefix("v=") for d in os.listdir(root)
-                  if d.startswith("v="))
+    return sorted(p.removeprefix("v=") for p in os.listdir(d)
+                  if p.startswith("v=") and "__tmp__" not in p)

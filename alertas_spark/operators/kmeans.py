@@ -26,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from alertas_spark.operators.artifacts import persistent_artifact
 from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_embeddings
-from alertas_spark.operators.memo import session_artifact
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -179,10 +179,14 @@ def simsearch_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.sqrt(_norm2(F.col("emb"))).alias("nrm")
                                ).localCheckpoint()
 
-    # trained artifact memo: the Lloyd loop runs once per session per dataset —
-    # the standalone query, the recall dashboard, and any later consumer share
-    # the same checkpointed assignment table (operators/memo.py)
-    n = session_artifact(spark, ("kmeans_trained_assignment", sf_dir), train)
+    # trained-artifact tiers: within a session the Lloyd loop runs once per
+    # dataset (operators/memo.py); when an artifact store is configured
+    # (spark.alertas.artifacts.dir / ALERTAS_ARTIFACTS_DIR) the assignment
+    # table — this engine's IVF index — persists as versioned parquet and
+    # every LATER session loads it instead of re-scanning the corpus
+    # (operators/artifacts.py; two-session proof in test_artifacts.py)
+    n = persistent_artifact(spark, sf_dir, "kmeans_trained_assignment",
+                            code_version="1", table="embeddings", build=train)
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"), F.col("cid").alias("qcid"))

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from alertas_spark.operators.artifacts import persistent_artifact
 from alertas_spark.operators.memo import session_artifact
 from alertas_spark.operators.embgate import (EMB_VALID_SQL, np_valid_mask,
                                              valid_embeddings, valid_nrm)
@@ -557,9 +558,14 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # 64 tiny rows; truncate the trained-plan lineage
         )
 
-    # the Lloyd pass trains once per session per dataset (operators/memo.py);
-    # the final re-assign below still runs per call
-    cw1 = session_artifact(spark, ("pq_trained_codebook", sf_dir), train_codebook)
+    # trained-artifact tiers: the Lloyd pass runs once per session per dataset
+    # (operators/memo.py), and when an artifact store is configured
+    # (spark.alertas.artifacts.dir / ALERTAS_ARTIFACTS_DIR) the 64-row trained
+    # codebook persists as versioned parquet and later sessions skip training
+    # entirely (operators/artifacts.py); the final re-assign runs per call
+    cw1 = persistent_artifact(spark, sf_dir, "pq_trained_codebook",
+                              code_version="1", table="embeddings",
+                              build=train_codebook)
     a2 = assign(cw1)
     # codes + qerr in ONE conditional aggregation (single shuffle on vec_id) —
     # a pivot + join-back here would cost an extra exchange and a merge join

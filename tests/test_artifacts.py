@@ -77,3 +77,81 @@ def test_artifact_survives_disk_roundtrip_exactly(spark, tmp_path):
     a = sorted((r.cid, tuple(r.cvec)) for r in trained.collect())
     b = sorted((r.cid, tuple(r.cvec)) for r in got.collect())
     assert a == b  # exact doubles, no tolerance
+
+
+def test_incomplete_artifact_debris_is_rebuilt(spark, tmp_path):
+    """A crashed pre-atomic writer's leftovers (part files, no _SUCCESS) must
+    not be served: exists() is _SUCCESS-gated, and load_or_build replaces the
+    debris with a complete atomically-renamed build."""
+    from alertas_spark.operators import artifacts
+
+    wh = str(tmp_path)
+    debris = artifacts.artifact_path(wh, "kmeans_centroids", "v1")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00not parquet")  # truncated part file, no _SUCCESS
+    assert not artifacts.exists(spark, wh, "kmeans_centroids", "v1")
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _train_centroids(spark)
+
+    got = artifacts.load_or_build(spark, wh, "kmeans_centroids", "v1", build)
+    assert calls["n"] == 1
+    assert got.count() > 0
+    assert artifacts.exists(spark, wh, "kmeans_centroids", "v1")
+    # debris gone, no temp dirs left behind
+    parent = os.path.dirname(debris)
+    assert os.listdir(parent) == ["v=v1"]
+
+
+def test_fingerprint_tracks_dataset_rewrites(tmp_path):
+    """Same bytes rewritten (mtime bump) or different bytes → new version key;
+    an untouched file → stable key."""
+    from alertas_spark.operators import artifacts
+
+    p = tmp_path / "embeddings.parquet"
+    p.write_bytes(b"AAAA")
+    f1 = artifacts.dataset_fingerprint(str(tmp_path), "embeddings")
+    assert artifacts.dataset_fingerprint(str(tmp_path), "embeddings") == f1
+    os.utime(p, ns=(1, 1))
+    f2 = artifacts.dataset_fingerprint(str(tmp_path), "embeddings")
+    assert f2 != f1
+
+
+def test_two_separate_sessions_second_skips_training(tmp_path):
+    """THE cross-session claim, proven end to end: two separate OS processes
+    (separate Spark JVMs), a shared $ALERTAS_ARTIFACTS_DIR.  The first session
+    trains (build_calls == 2: IVF assignment + PQ codebook) and persists; the
+    second answers both trained queries with ZERO builder invocations,
+    identical rows, and — for the fully-artifact-derived IVF query — a plan
+    whose only file source is _artifacts/ (no embeddings.parquet scan)."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, ALERTAS_ARTIFACTS_DIR=str(tmp_path))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(phase):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "tests", "_artifact_session.py"),
+             phase],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stderr[-3000:]
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("RESULT ")][-1]
+        return json.loads(line.removeprefix("RESULT "))
+
+    first = run("first")
+    assert first["build_calls"] == 2
+    assert any("_artifacts" in s for s in os.listdir(str(tmp_path)))
+
+    second = run("second")
+    assert second["build_calls"] == 0, "second session retrained"
+    assert second["rows"] == first["rows"]
+    assert any("_artifacts" in s for s in second["ivf_plan_sources"])
+    assert not any("embeddings.parquet" in s
+                   for s in second["ivf_plan_sources"])

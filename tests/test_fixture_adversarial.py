@@ -247,13 +247,31 @@ def adv_rel_dir(tmp_path_factory):
                        os.path.join(out, f"{t}.parquet"))
 
     base = pq.read_table(os.path.join(SF, "orders.parquet"))
+    # Equi-depth boundary seam (VERDICT r8 watch item #2): append rows whose
+    # o_totalprice sits at and within one ulp of each base-quartile boundary —
+    # if the two engines' interpolated-percentile arithmetic ever diverges by
+    # a bit, one of these rows flips buckets and the sweep goes red.  The
+    # appended rows shift the final quartiles slightly, which is the point:
+    # the new boundary lands BETWEEN ulp-adjacent values.
+    qs = duckdb.connect().execute(
+        f"SELECT quantile_cont(o_totalprice, 0.25), "
+        f"quantile_cont(o_totalprice, 0.50), "
+        f"quantile_cont(o_totalprice, 0.75) "
+        f"FROM '{os.path.join(SF, 'orders.parquet')}'").fetchone()
+    boundary_rows = []
+    k = 20_000_100
+    for q in qs:
+        for v in (math.nextafter(q, -math.inf), q, math.nextafter(q, math.inf)):
+            boundary_rows.append((k, 5, "O", v, _TS0, "3-MEDIUM"))
+            k += 1
+    orders_rows = _ADV_ORDERS + boundary_rows
     add = pa.table({
-        "o_orderkey": pa.array([r[0] for r in _ADV_ORDERS], pa.int64()),
-        "o_custkey": pa.array([r[1] for r in _ADV_ORDERS], pa.int64()),
-        "o_orderstatus": pa.array([r[2] for r in _ADV_ORDERS], pa.string()),
-        "o_totalprice": pa.array([r[3] for r in _ADV_ORDERS], pa.float64()),
-        "o_orderdate": pa.array([r[4] for r in _ADV_ORDERS], pa.timestamp("us")),
-        "o_orderpriority": pa.array([r[5] for r in _ADV_ORDERS], pa.string()),
+        "o_orderkey": pa.array([r[0] for r in orders_rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in orders_rows], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in orders_rows], pa.string()),
+        "o_totalprice": pa.array([r[3] for r in orders_rows], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in orders_rows], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in orders_rows], pa.string()),
     })
     pq.write_table(pa.concat_tables([base, add.cast(base.schema)]),
                    os.path.join(out, "orders.parquet"))

@@ -72,3 +72,30 @@ def test_funnel_counts_are_monotone(spark):
     row = _run(spark, "funnel_view_click_purchase").collect()[0]
     assert row["n_view"] >= row["n_view_click"] >= row["n_view_click_purchase"]
     assert row["n_view"] > 0
+
+
+def test_percentile_interpolation_bit_equal_to_quantile_cont(spark):
+    """The equi-depth histogram's boundary contract (plans/windows.py): Spark
+    ``percentile(v, [.25,.5,.75])`` and DuckDB ``quantile_cont`` must produce
+    BIT-EQUAL boundary doubles, or a value within an ulp of a boundary flips a
+    bucket count between engines.  Crafted 8-value set: every quartile index
+    (p*(n-1) = 1.75 / 3.5 / 5.25) lands between elements whose interpolant is
+    NOT exactly representable, so any difference in interpolation expression
+    order (lo + (hi-lo)*f  vs  lo*(1-f) + hi*f) shows up in the last bit."""
+    import struct
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    vals = [0.1, 0.2, 1.0 / 3.0, 0.7, 1.1, 2.2, 7.7, 1e15 + 0.1]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    s = df.agg(F.percentile(F.col("v"), F.lit([0.25, 0.5, 0.75]))
+               .alias("qs")).collect()[0].qs
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    for v in vals:
+        con.execute("INSERT INTO t VALUES (?)", [v])
+    d = con.execute("SELECT quantile_cont(v, 0.25), quantile_cont(v, 0.50),"
+                    " quantile_cont(v, 0.75) FROM t").fetchone()
+    bits = lambda x: struct.pack("<d", x)
+    assert [bits(a) for a in s] == [bits(b) for b in d], (s, d)
