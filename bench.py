@@ -121,11 +121,14 @@ def main() -> None:
         from alertas_spark.operators import artifacts as _art
 
         art_dir = tempfile.mkdtemp(prefix="bench_artifacts_")
-        spark.conf.set(_art.CONF_KEY, art_dir)
         try:
             for name in sorted(memoized):
                 q = registry[name]
                 memo.clear()
+                # per-query store root: artifacts persisted by an earlier
+                # query in this loop must not mask a later query's own
+                # populate step (shared roots make build_count stay flat)
+                spark.conf.set(_art.CONF_KEY, os.path.join(art_dir, name))
                 b0 = _art.build_count()
                 try:
                     q.builder(spark, sf_dir).write.format("noop") \

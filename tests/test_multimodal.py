@@ -1,10 +1,12 @@
 """Multimodal codec seam + the oracle's ASCII assumption.
 
-The decode/frame-sample stubs are placeholders for real codecs; what the engine
-guarantees is the seam (inject any batch function + schema, the stub never runs)
-and the Arrow plumbing around it.  The DuckDB oracles compare the stubs'
-byte-level arithmetic against character-level SQL, which is only valid while the
-fixture text is pure ASCII — pinned here so the assumption is checked, not silent.
+Every declared multimodal query executes the REAL pure-stdlib PNG codec (r9);
+fake codecs exist only here, as injection-seam fixtures — what the engine
+guarantees is the seam (inject any batch function + schema, the default never
+runs) and the Arrow plumbing around it.  The DuckDB oracles compare the
+pipeline's byte-level arithmetic against character-level SQL, which is only
+valid while the fixture text is pure ASCII — pinned here so the assumption is
+checked, not silent.
 """
 
 from __future__ import annotations
@@ -65,12 +67,22 @@ def test_injected_frame_sampler_replaces_the_stub(spark):
     assert out.count() > 0
 
 
-def test_default_stub_still_runs_when_nothing_injected(spark):
-    out = decode_features(_media(spark))
-    row = out.orderBy("doc_id").first()
-    assert set(out.columns) == {"doc_id", "n_bytes", "fake_width", "fake_height",
-                                "checksum"}
-    assert len(row["checksum"]) == 32
+def test_default_decoder_is_the_real_png_codec(spark):
+    """No injection → the REAL PNG decoder runs (no stub anywhere on the
+    declared path): features carry genuine raster geometry and pixel hashes."""
+    from alertas_spark.operators.multimodal import PNG_W, with_png_media
+    from alertas_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = decode_features(with_png_media(docs))
+    assert set(out.columns) == {"doc_id", "width", "height", "mode", "px_md5",
+                                "px_mean", "n_source_bytes"}
+    rows = out.orderBy("doc_id").limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r["width"] == PNG_W and r["mode"] == "L"
+        assert r["height"] == max(1, -(-r["n_source_bytes"] // PNG_W))
+        assert len(r["px_md5"]) == 32
 
 
 def test_fixture_text_is_ascii(spark):
@@ -86,37 +98,59 @@ def test_fixture_text_is_ascii(spark):
 
 
 def test_resize_is_exact_target_size_and_composes_with_decode(spark):
-    # binary→binary: every non-empty payload resamples to exactly TARGET_BYTES,
-    # empty stays empty, and the output feeds decode_features unchanged (the
-    # whole point of a transform stage)
-    from alertas_spark.operators.multimodal import (TARGET_BYTES, decode_features,
-                                                    resize_media)
+    # binary→binary: every non-empty payload resamples to exactly TARGET_BYTES
+    # pixels re-encoded as a REAL PNG, empty stays empty, and the output feeds
+    # decode_features unchanged (the whole point of a transform stage)
+    from alertas_spark.operators.multimodal import (PNG_W, TARGET_BYTES,
+                                                    decode_features,
+                                                    resize_media,
+                                                    with_png_media)
+    from alertas_spark.sources.catalog import load_table
 
-    resized = resize_media(_media(spark))
-    rows = resized.select("doc_id", "orig_bytes",
-                          F.octet_length("media").alias("n")).collect()
+    docs = load_table(spark, SF, "documents")
+    resized = resize_media(with_png_media(docs))
+    rows = resized.collect()
     assert rows
     for r in rows:
-        assert r["n"] == (TARGET_BYTES if r["orig_bytes"] > 0 else 0)
+        assert r["resized_bytes"] == (TARGET_BYTES if r["orig_bytes"] > 0
+                                      else 0)
+        if r["orig_bytes"] > 0:
+            assert bytes(r["media"])[:4] == b"\x89PNG"[:4]
 
-    feats = decode_features(resized.drop("orig_bytes")).limit(5).collect()
-    assert all(f["n_bytes"] in (0, TARGET_BYTES) for f in feats)
+    # composability: the resized PNG payloads decode again through the same
+    # seam (no n_source_bytes column → all pixels are valid)
+    feats = decode_features(
+        resized.filter("orig_bytes > 0").select("doc_id", "media")
+    ).limit(5).collect()
+    assert feats
+    for f in feats:
+        assert (f["width"], f["height"]) == (PNG_W, TARGET_BYTES // PNG_W)
 
 
-def test_injected_resizer_replaces_the_stub(spark):
-    from alertas_spark.operators.multimodal import RESIZED_SCHEMA, resize_media
+def test_injected_resizer_replaces_the_default(spark):
+    """The seam carries ANY resizer: a fake byte-reverser with its own schema
+    (fake codecs live HERE, never on a declared query path)."""
+    from pyspark.sql.types import BinaryType, IntegerType
+
+    from alertas_spark.operators.multimodal import resize_media
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("orig_bytes", IntegerType()),
+    ])
 
     def reverse_resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf.copy()
-            out["media"] = out["media"].map(lambda b: bytes(b)[::-1])
-            out["orig_bytes"] = out["media"].map(len).astype("int32")
-            yield out[["doc_id", "media", "media_type", "orig_bytes"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": pdf["media"].map(lambda b: bytes(b)[::-1]),
+                "orig_bytes": pdf["media"].map(len).astype("int32"),
+            })
 
-    out = resize_media(_media(spark), resizer=reverse_resizer)
-    assert out.schema == RESIZED_SCHEMA
+    out = resize_media(_media(spark), resizer=reverse_resizer, schema=schema)
+    assert out.schema == schema
     row = out.filter("doc_id = 0").collect()[0]
-    assert bytes(row["media"])[::-1].decode("utf-8").startswith("")  # round-trips
     assert row["orig_bytes"] == len(bytes(row["media"]))
 
 
