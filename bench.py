@@ -193,8 +193,24 @@ def main() -> None:
     # (slowest — most informative — last) and the headline keys after them, so a
     # front truncation costs only the fastest per-query entries.  Full record also
     # goes to BENCH_LOCAL.json for round-over-round diffing (tools/bench_diff.py).
+    # Fixture fingerprints: the driver regenerates /root/testdata between
+    # rounds, and regenerated content shifts absolute per-query times (r8
+    # postmortem: the six vector-family queries drifted +28-56% r7→r8 purely
+    # from fixture regeneration — A/B at both code points on byte-identical
+    # fixtures showed the r8 code FASTER on every one; SCALING.md).  Recording
+    # the input identity lets bench_diff gate cross-round comparison on it.
+    try:
+        from alertas_spark.operators.artifacts import dataset_fingerprint
+
+        fixtures = {t: dataset_fingerprint(sf_dir, t)
+                    for t in ("region", "nation", "customer", "supplier",
+                              "part", "orders", "lineitem", "events",
+                              "documents", "embeddings")}
+    except Exception:
+        fixtures = {}
     record = {
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "fixtures": fixtures,
         "queries_warm_shared_artifacts": dict(sorted(warm.items())),
         "queries_warm_persistent": dict(sorted(persistent.items())),
         "cache_cold_since_r7": cache_cold_since_r7,
@@ -216,7 +232,11 @@ def main() -> None:
                      "cross-session cost (r9); also excluded from the headline; "
                      "streaming_* carry ~1-2s fixed micro-batch + state-store "
                      "machinery per run; fixture regeneration between rounds "
-                     "shifts absolute times; operator caches unpersisted "
+                     "shifts absolute times — per-query cross-round deltas are "
+                     "comparable ONLY between records whose fixtures "
+                     "fingerprints match (the r7->r8 vector-family drift was "
+                     "exactly this: regenerated embeddings/documents, not "
+                     "code); operator caches unpersisted "
                      "before every timed run (r7) — cache_cold_since_r7 lists "
                      "the queries whose earlier-round numbers were "
                      "subplan-cache warm and are not comparable"),

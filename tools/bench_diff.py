@@ -62,13 +62,16 @@ def _extract_queries(text: str) -> dict[str, float]:
     raise ValueError("unbalanced queries object (truncated at the tail?)")
 
 
-def load_bench(path: str) -> tuple[dict[str, float], bool, bool, set[str], set[str]]:
-    """``(queries, is_cold, is_cache_cold, memoized, cache_sensitive)``.
+def load_bench(path: str) -> tuple[dict[str, float], bool, bool, set[str],
+                                   set[str], dict]:
+    """``(queries, is_cold, is_cache_cold, memoized, cache_sensitive,
+    fixtures)``.
 
     Protocol marks are detected from the raw text (substring search so
     truncated driver tails still classify); the name sets are what the record
     itself flagged (empty for older records, which did not track them — the
-    NEW side's sets are used to classify those)."""
+    NEW side's sets are used to classify those).  ``fixtures`` is the input
+    fingerprint map recorded from r9 on (empty for older records)."""
     with open(path) as fh:
         raw = fh.read()
     cold = COLD_PROTOCOL_MARK in raw
@@ -76,13 +79,14 @@ def load_bench(path: str) -> tuple[dict[str, float], bool, bool, set[str], set[s
     try:
         doc = json.loads(raw)
     except json.JSONDecodeError:
-        return _extract_queries(raw), cold, cache_cold, set(), set()
+        return _extract_queries(raw), cold, cache_cold, set(), set(), {}
     if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
         return (doc["queries"], cold, cache_cold,
                 set(doc.get("queries_warm_shared_artifacts") or ()),
-                set(doc.get("cache_cold_since_r7") or ()))
+                set(doc.get("cache_cold_since_r7") or ()),
+                doc.get("fixtures") or {})
     if isinstance(doc, dict) and "tail" in doc:  # driver wrapper
-        return _extract_queries(doc["tail"]), cold, cache_cold, set(), set()
+        return _extract_queries(doc["tail"]), cold, cache_cold, set(), set(), {}
     raise ValueError(f"{path}: unrecognized bench format")
 
 
@@ -93,8 +97,19 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.5)
     args = ap.parse_args()
 
-    old, old_cold, old_cc, old_memo, old_sens = load_bench(args.old)
-    new, new_cold, new_cc, new_memo, new_sens = load_bench(args.new)
+    old, old_cold, old_cc, old_memo, old_sens, old_fix = load_bench(args.old)
+    new, new_cold, new_cc, new_memo, new_sens, new_fix = load_bench(args.new)
+    # Fixture boundary: regenerated input tables shift absolute per-query
+    # times (the r7→r8 vector-family drift was exactly this — A/B on frozen
+    # fixtures exonerated the code).  When both records carry fingerprints
+    # and they differ, ratios are printed but regressions are ADVISORY — the
+    # gate cannot attribute them to code.
+    fixture_boundary = bool(old_fix and new_fix and old_fix != new_fix)
+    if fixture_boundary:
+        changed = sorted(t for t in set(old_fix) | set(new_fix)
+                         if old_fix.get(t) != new_fix.get(t))
+        print(f"fixture boundary: regenerated {', '.join(changed)} — "
+              "regressions reported but not gated (data identity changed)")
     # A query timed warm on ONE side only is not comparable — refuse to grade
     # those pairs instead of reporting 5x "regressions".  Two boundaries:
     # r5→r6 (trained-artifact memo cleared per run → memoized queries), and
@@ -149,6 +164,10 @@ def main() -> int:
               file=sys.stderr)
         for f in failures:
             print(f"  {f}", file=sys.stderr)
+        if fixture_boundary:
+            print("advisory only: fixture fingerprints differ between the "
+                  "records", file=sys.stderr)
+            return 0
         return 1
     print(f"no regressions past {args.threshold}x")
     return 0
