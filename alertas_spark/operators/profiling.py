@@ -108,10 +108,24 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sketch to be a sketch: the r7 setting of 1e7 made the sketch effectively
 #: buffer-everything — exact at any fixture, but the 10× scale probe measured
 #: 19.8× time for 10× rows (33.9 s vs 14.8 s at 1e6, 7.3 s at 1e5 on the same
-#: 6M-row replica).  1e6 keeps every correctness gate exact AND scales
-#: sublinearly; at true 100 TB tune further down (1e4-1e5) — the plan shape
-#: is unchanged.
-APPROX_ACC = 1_000_000
+#: 6M-row replica).
+#:
+#: Memory model (the r9 100× probe's lesson): a Greenwald–Khanna summary
+#: holds O(accuracy·log n) sampled entries, and a PARTIAL aggregation keeps
+#: one live summary per column per concurrent task — total
+#: ``accuracy · n_cols · concurrent_tasks · ~32 B``.  At accuracy 1e6 the
+#: 100×-row probe (60M lineitem rows, 32 concurrent tasks × 4 columns on an
+#: 8 GiB heap) OOMed the JVM; 2e5 bounds the same stage at ~1 GiB and
+#: completes the 100× probe (SCALING.md).  2e5 is the smallest setting that
+#: keeps the sf0.01 oracle gate EXACT — n ≤ accuracy is NOT sufficient for
+#: exactness (Spark's GK summary compresses at a fixed 10k threshold and its
+#: merge bounds are looser than n·ε: accuracy 1e5 flipped p50 by one discrete
+#: value on a 60k-row column; 2e5/3e5/5e5 measured exact) — and budgets
+#: n·ε = 3 ranks of error at sf0.1, pinned by
+#: test_approx_profile_rank_error_is_bounded_at_sf01.  On a real cluster the
+#: same model applies per executor: accuracy × cols × executor-cores must fit
+#: the executor heap's aggregation fraction.
+APPROX_ACC = 200_000
 
 
 def _duck_profile_approx(col: str) -> str:

@@ -382,3 +382,124 @@ def regr_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(F.try_divide(cov_n * cov_n,
                              var_n * (n * syy - sy * sy)), 6).alias("r2"))
+
+
+@declare(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               SUM(CAST(l_quantity AS DECIMAL(29,6))) AS w
+        FROM lineitem
+        WHERE isfinite(l_extendedprice) AND isfinite(l_quantity)
+          AND l_quantity > 0
+        GROUP BY 1, 2
+    ), c AS (
+        SELECT flag, price, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY price
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(w) OVER (PARTITION BY flag) AS tot
+        FROM p
+    )
+    SELECT flag, MIN(price) AS weighted_median,
+           CAST(CAST(MIN(tot) AS VARCHAR) AS DOUBLE) AS total_weight
+    FROM c WHERE cumw + cumw >= tot GROUP BY flag
+    """,
+)
+def weighted_median_price_by_flag(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """WEIGHTED (lower) median — the order statistic neither engine ships as
+    a weighted built-in: per return flag, the smallest price whose cumulative
+    quantity-weight reaches half the total.  The construction is exact and
+    order-independent everywhere it matters: weights aggregate per distinct
+    price in exact decimal (ties collapse before the scan), the cumulative
+    sum runs over the unambiguous ``price`` ordering, and the half-total test
+    ``2·cumw ≥ tot`` compares exact decimals — no float accumulation, so the
+    selected median is bit-identical across engines and partitionings.
+
+    Scale shape: one map-side-combined aggregation on (flag, price), one
+    window shuffle on flag — at 100 TB the per-flag ordering is the
+    unavoidable cost of any exact order statistic, and the per-distinct-value
+    pre-aggregation bounds the window input by value cardinality, not row
+    count.  Zero/negative/non-finite weights and non-finite prices are
+    excluded (finite-domain contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    p = (li.filter(finite(price).isNotNull() & finite(qty).isNotNull()
+                   & (qty > 0))
+         .groupBy(F.col("l_returnflag").alias("flag"),
+                  price.alias("price"))
+         .agg(F.sum(qty.cast("decimal(29,6)")).alias("w")))
+    from pyspark.sql import Window
+
+    cum = Window.partitionBy("flag").orderBy("price") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("flag")
+    c = p.select(
+        "flag", "price",
+        F.sum("w").over(cum).alias("cumw"),
+        F.sum("w").over(tot).alias("tot"))
+    # cumw+cumw, not 2*cumw: doubling by ADDITION stays inside both
+    # engines' decimal width cap (38); a decimal×int product would
+    # need precision 39 and falls out of exact decimal space
+    return (c.filter(F.col("cumw") + F.col("cumw") >= F.col("tot"))
+            .groupBy("flag")
+            .agg(F.min("price").alias("weighted_median"),
+                 F.min("tot").cast("double").alias("total_weight")))
+
+
+@declare(
+    "event_type_entropy_per_user",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS c,
+               CAST(ROUND(LN(COUNT(*)) * 1e9) AS BIGINT) AS qc
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    ), u AS (
+        SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types,
+               SUM(CAST(c AS HUGEINT) * qc) AS s
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(n_types AS INTEGER) AS n_types,
+           ROUND(CAST(CAST(CAST(n AS HUGEINT)
+                           * CAST(ROUND(LN(n) * 1e9) AS BIGINT) - s
+                      AS VARCHAR) AS DOUBLE) / n / 1e9, 6) AS entropy_nats
+    FROM u
+    """,
+)
+def event_type_entropy_per_user(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the behavioral
+    diversity statistic (and the A8 quantized-ln idiom applied to a
+    *composite* log expression): H = ln(n) − (Σ cᵢ·ln cᵢ)/n, with every ln
+    term quantized to 1e-9-unit bigints BEFORE any arithmetic, so the
+    numerator n·Q(n) − Σ cᵢ·Q(cᵢ) accumulates in exact integers (decimal(38)
+    headroom for 100 TB counts) and is identical under any partitioning; the
+    single closing double division is correctly rounded on both engines (the
+    DuckDB side converts the exact numerator through VARCHAR per the decimal
+    contract).
+
+    Scale shape: two map-side-combined hash aggregations — (user, type) then
+    user — i.e. entropy over any cardinality costs the same as two grouped
+    counts.  NULL types/users are excluded (a NULL category has no count
+    semantics; documented domain contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.filter(F.col("event_type").isNotNull()
+                   & F.col("user_id").isNotNull())
+         .groupBy("user_id", "event_type")
+         .agg(F.count("*").alias("c")))
+    qc = F.round(F.log("c") * 1e9).cast("bigint")
+    u = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").cast("int").alias("n_types"),
+        F.sum(F.col("c").cast("decimal(38,0)") * qc).alias("s"))
+    qn = F.round(F.log("n") * 1e9).cast("bigint")
+    numer = (F.col("n").cast("decimal(38,0)") * qn - F.col("s")).cast("double")
+    return u.select(
+        F.col("user_id"),
+        F.col("n").cast("bigint").alias("n_events"),
+        "n_types",
+        F.round(numer / F.col("n") / 1e9, 6).alias("entropy_nats"))

@@ -40,9 +40,13 @@ BUILD_CONF = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # the sandbox is a 32-thread / 128 GiB single-JVM box; the 1 GiB default
     # driver heap OOMs the first time AQE builds a non-trivial broadcast
-    # (found by tools/scale_probe.py at 10x data).  On a real cluster the
-    # submitter sets this; only applied when WE build the session.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # (found by tools/scale_probe.py at 10x data).  12g, not 8g: local[32]
+    # concentrates THIRTY-TWO executor-threads' aggregation buffers in one
+    # heap — ~10x the per-heap concurrency of a typical 4-8-core cluster
+    # executor — and the 100x probe's sketch stage (32 tasks x 3 GK summaries
+    # at accuracy 2e5) thrashed GC at 8g (r9).  On a real cluster the
+    # submitter sets executor memory; only applied when WE build the session.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
 }
 
 #: Settings safe to apply on an already-running session.

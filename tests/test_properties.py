@@ -114,13 +114,16 @@ def test_salted_join_equals_plain_join(spark, rows, dim):
 
 def test_approx_profile_rank_error_is_bounded_at_sf01(spark):
     """profile_columns_approx is APPROXIMATE by contract past the oracle-gate
-    scale: with accuracy=1e6, a 600k-row column budgets n*eps = 0.6 rank of
-    error, so a percentile may land on a neighboring discrete value (observed
-    for p95 at sf0.1) but NEVER further.  This pins the bound: every sketch
-    percentile equals the exact discrete quantile at a rank within +-1."""
+    scale: with accuracy=2e5 (the memory-bounded setting — see the APPROX_ACC
+    memory model), a 600k-row column budgets n*eps = 3 ranks of error, so a
+    percentile may land on a nearby discrete value but NEVER further.  This
+    pins the bound: every sketch percentile equals an exact discrete quantile
+    at a rank within the ceil(n*eps)+1 budget."""
+    import math
+
     import duckdb
 
-    from alertas_spark.operators.profiling import _COLS
+    from alertas_spark.operators.profiling import APPROX_ACC, _COLS
     from alertas_spark.registry import load_all
 
     sf = "/root/testdata/sf0.1"
@@ -130,9 +133,10 @@ def test_approx_profile_rank_error_is_bounded_at_sf01(spark):
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
     for c in _COLS:
         n = con.execute(f"SELECT COUNT({c}) FROM lineitem").fetchone()[0]
+        budget = math.ceil(n / APPROX_ACC) + 1
         for q, field in ((0.5, "p50"), (0.95, "p95")):
             rank = int(q * n)  # quantile_disc's lower-rank convention, ~scale
-            lo, hi = max(1, rank - 1), min(n, rank + 2)
+            lo, hi = max(1, rank - budget), min(n, rank + budget + 1)
             neighbors = [round(v[0], 6) for v in con.execute(
                 f"SELECT {c} FROM (SELECT {c}, ROW_NUMBER() OVER (ORDER BY {c})"
                 f" AS r FROM lineitem) WHERE r BETWEEN {lo} AND {hi}"
