@@ -199,10 +199,21 @@ def test_ranked_topk_equals_full_rank(spark):
     assert sorted(map(tuple, got_a.collect())) == sorted(map(tuple, want_a.collect()))
 
 
-def test_multimodal_resize_is_shuffle_free(spark):
+def test_multimodal_resize_shuffles_once_for_codec_parallelism(spark):
+    """Since the real PNG codec became the default (r9), every multimodal query
+    stages ONE round-robin repartition before the codec mapInPandas: the local
+    fixture is a single parquet file → a single input partition, which would
+    serialize all codec CPU onto one core.  The exchange must be round-robin
+    (no key, no skew) and the only one in the plan — encode and resize stages
+    share it, with no shuffle between them."""
     plan = _plan(_build(spark, "multimodal_resize"))
-    assert "Exchange" not in plan, "binary resize must be a pure streaming pass"
+    assert plan.count("Exchange") == 1, plan
+    assert "RoundRobinPartitioning" in plan, plan
+    assert "hashpartitioning" not in plan.lower(), plan
     assert plan.count("FileScan") == 1
+    # both codec stages sit ABOVE the single exchange: resize consumes encode's
+    # output partitioning directly
+    assert plan.index("Exchange") > plan.rindex("MapInPandas"), plan
 
 
 def test_cluster_representative_windows_share_one_exchange(spark):
