@@ -342,3 +342,114 @@ def test_query_matches_oracle_on_adversarial_rel_fixture(spark, adv_rel_dir, nam
     problems = [p for p in compare(name, sdf, odf)
                 if not p.startswith("dtype note")]
     assert problems == [], problems
+
+
+# ---------------------------------------------------------------------------
+# Part 3: skewed-prefix fuzzy-dedup fixture (VERDICT r9 "What's wrong" #1) —
+# thousands of documents sharing one leading prefix.  The r9 4-char-prefix
+# blocking put all of them in ONE block (quadratic within-block pair
+# generation); the r10 q-gram prefix filter must keep the candidate set
+# output-bound here, because the shared prefix's grams are the CORPUS-COMMON
+# ones and rarity-first ordering keeps them out of every prefix.
+# ---------------------------------------------------------------------------
+
+_N_SKEW = 3000
+_SKEW_PREFIX = "form 27-"
+
+
+@pytest.fixture(scope="module")
+def skew_doc_dir(tmp_path_factory):
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(20260814)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    texts: list[str] = []
+    prev = None
+    for i in range(_N_SKEW):
+        if prev is not None and i % 10 == 9:
+            # every 10th doc is a <=4-edit mutation of its predecessor — the
+            # true near-dup pairs the query must still find under skew
+            s = list(prev)
+            for _ in range(rng.randint(1, 4)):
+                op = rng.choice("ids")
+                pos = rng.randrange(len(s))
+                if op == "i":
+                    s.insert(pos, rng.choice(alpha))
+                elif op == "d" and len(s) > 12:
+                    del s[pos]
+                else:
+                    s[pos] = rng.choice(alpha)
+            t = "".join(s)
+        else:
+            t = _SKEW_PREFIX + "".join(rng.choice(alpha) for _ in range(40))
+        texts.append(t)
+        prev = t
+    # count-filter boundary shapes: repeated-gram strings (occurrence
+    # tagging), MIN_LEN-floor lengths (9/10/11 chars), and short docs that
+    # still share the hot prefix
+    texts += ["a" * 32, "a" * 31 + "b", "ab" * 16, "ba" * 16,
+              "abcdefghij", "abcdefghijk", "abcdefghi",
+              _SKEW_PREFIX + "aa", _SKEW_PREFIX + "ab"]
+
+    out = str(tmp_path_factory.mktemp("skewed_prefix_fixture"))
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(SF, f"{t}.parquet"),
+                       os.path.join(out, f"{t}.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["form"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(out, "documents.parquet"))
+    return out
+
+
+def test_fuzzy_matches_oracle_on_skewed_prefix_fixture(spark, skew_doc_dir):
+    """Exactness + completeness under prefix skew: the filtered Spark plan
+    must equal DuckDB's brute-force all-pairs levenshtein."""
+    from alertas_spark.registry import load_all
+    from tools.verify_local import compare
+
+    q = load_all()["dedup_fuzzy_editdist"]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{skew_doc_dir}/{t}.parquet'")
+    sdf = q.builder(spark, skew_doc_dir).toPandas()
+    odf = con.execute(q.oracle).df()
+    # most planted mutation pairs survive as true pairs (edits landing past
+    # the 32-char signature window, or insert-shift inflation past the
+    # threshold, drop a minority — the oracle is ground truth either way)
+    assert len(odf) >= _N_SKEW // 15
+    problems = [p for p in compare("dedup_fuzzy_editdist", sdf, odf)
+                if not p.startswith("dtype note")]
+    assert problems == [], problems
+
+
+def test_fuzzy_candidates_output_bound_under_prefix_skew(spark, skew_doc_dir):
+    """The scale property itself: ~3k docs share one prefix, so naive
+    prefix blocking generates ~4.5M candidate pairs; the q-gram prefix
+    filter must stay within a small multiple of the true-pair count."""
+    from alertas_spark.operators.fuzzy import _candidate_pairs
+
+    n_true = load_fuzzy_true_pairs(skew_doc_dir)
+    cand = (_candidate_pairs(spark, skew_doc_dir)
+            .select("doc_a", "doc_b").distinct().count())
+    naive_block_pairs = _N_SKEW * (_N_SKEW - 1) // 2
+    assert cand < naive_block_pairs / 1000, cand
+    assert cand <= 3 * n_true + 300, (cand, n_true)
+
+
+def load_fuzzy_true_pairs(doc_dir: str) -> int:
+    from alertas_spark.registry import load_all
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{doc_dir}/{t}.parquet'")
+    return len(con.execute(load_all()["dedup_fuzzy_editdist"].oracle).df())

@@ -44,6 +44,7 @@ QUERIES = [
     "dedup_components",            # large-star/small-star label propagation
     "dedup_embedding_cosine_blocked",  # LSH-bucketed cosine (embeddings ×N)
     "dedup_jaccard_prefix_filter",  # AllPairs prefix-filtered exact join (r6)
+    "dedup_fuzzy_editdist",        # q-gram count-filtered edit-distance join (r10)
     "source_quality_gate",         # scan-side text scoring + gate join
     "tfidf_top_terms",             # df join-back on term + window top-n
     "profile_columns",             # exact distinct + quantiles (two-pass)
@@ -68,6 +69,8 @@ QUERIES = [
     "waiting_suppliers",           # Q21 group-stats decorrelation (lineitem ×N)
     "full_outer_daily_status_revenue",  # full-outer of daily aggs (orders ×N)
     "customer_cohort_set_ops",     # INTERSECT/EXCEPT cohorts (orders ×N)
+    "weighted_median_price_by_flag",  # agg + bounded window (lineitem ×N, r9)
+    "event_type_entropy_per_user",  # two hash aggs (events ×N, r9)
     "streaming_tumbling_5min",     # full streaming machinery + state (events ×N)
     "streaming_sessionize",        # session-window state store (events ×N)
 ]
