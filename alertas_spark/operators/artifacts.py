@@ -57,6 +57,19 @@ ENV_KEY = "ALERTAS_ARTIFACTS_DIR"
 #: asserting cross-session reuse) prove that a query ran WITHOUT training.
 _BUILD_CALLS = 0
 
+#: Declared queries whose execution path reaches a :func:`persistent_artifact`
+#: call when a store root is configured.  bench.py's queries_warm_persistent
+#: tier iterates exactly this set instead of probing every memoized query
+#: end-to-end (probing doubled bench time for the non-persistent ones).  Keep
+#: in sync when adding a persistent_artifact call site —
+#: tests/test_artifacts.py::test_persistent_queries_registry_is_accurate
+#: proves each listed query really persists (and really reuses) the store.
+PERSISTENT_QUERIES = frozenset({
+    "simsearch_topk_ivf_trained",   # kmeans.py trained assignment table
+    "pq_encode_trained",            # pq.py trained codebook
+    "simsearch_recall_dashboard",   # consumes both trained paths
+})
+
 
 def build_count() -> int:
     return _BUILD_CALLS
@@ -76,8 +89,14 @@ def dataset_fingerprint(sf_dir: str, table: str) -> str:
     rewrite of the input invalidates dependent artifacts."""
     h = hashlib.sha1()
     pat = os.path.join(sf_dir, f"{table}.parquet")
-    files = sorted(glob.glob(pat)) or sorted(
-        glob.glob(os.path.join(pat, "*.parquet")))
+    # a directory-table (<table>.parquet/ holding part files) must be
+    # fingerprinted by its PART files: glob(pat) matches the directory
+    # itself, whose size/mtime do NOT change on an in-place same-name part
+    # rewrite — stat'ing the dir would serve a stale artifact
+    if os.path.isdir(pat):
+        files = sorted(glob.glob(os.path.join(pat, "*.parquet")))
+    else:
+        files = sorted(glob.glob(pat))
     for f in files:
         st = os.stat(f)
         h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns};".encode())
@@ -120,11 +139,23 @@ def load_or_build(spark: SparkSession, root: str, name: str,
             # complete, clean up ours
             import shutil
 
-            if exists(spark, root, name, version):
-                shutil.rmtree(tmp, ignore_errors=True)
-            else:  # debris at `path` from a crashed pre-atomic writer
-                shutil.rmtree(path, ignore_errors=True)
-                os.rename(tmp, path)
+            if not exists(spark, root, name, version):
+                # debris at `path` from a crashed pre-atomic writer.  Move it
+                # ASIDE rather than rmtree-ing in place: a racer may have
+                # completed the artifact between the exists() above and now,
+                # and deleting would yank files from under a concurrent
+                # reader — renaming keeps that copy intact and our own
+                # (deterministically identical) tmp replaces it one rename
+                # later.  Full closure of the remaining instant would need an
+                # O_EXCL lock file; deferred for a local-FS store.
+                debris = f"{path}.__debris__{uuid.uuid4().hex}"
+                try:
+                    os.rename(path, debris)
+                    os.rename(tmp, path)
+                except OSError:
+                    pass  # lost a second race: serve whoever committed
+                shutil.rmtree(debris, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 
@@ -154,4 +185,5 @@ def versions(root: str, name: str) -> list[str]:
     if not os.path.isdir(d):
         return []
     return sorted(p.removeprefix("v=") for p in os.listdir(d)
-                  if p.startswith("v=") and "__tmp__" not in p)
+                  if p.startswith("v=")
+                  and "__tmp__" not in p and "__debris__" not in p)

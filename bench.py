@@ -122,7 +122,11 @@ def main() -> None:
 
         art_dir = tempfile.mkdtemp(prefix="bench_artifacts_")
         try:
-            for name in sorted(memoized):
+            # only the queries whose paths actually persist artifacts
+            # (artifacts.PERSISTENT_QUERIES, accuracy pytest-pinned) — probing
+            # every memoized query end-to-end just to learn via build_count
+            # that it persists nothing doubled this tier's cost
+            for name in sorted(memoized & _art.PERSISTENT_QUERIES):
                 q = registry[name]
                 memo.clear()
                 # per-query store root: artifacts persisted by an earlier

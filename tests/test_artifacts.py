@@ -121,6 +121,58 @@ def test_fingerprint_tracks_dataset_rewrites(tmp_path):
     assert f2 != f1
 
 
+def test_fingerprint_tracks_directory_table_part_rewrites(tmp_path):
+    """Directory-layout tables (<table>.parquet/ of part files) fingerprint by
+    their PART files: an in-place same-name part rewrite leaves the directory
+    inode's size/mtime unchanged, so stat'ing the dir (the old fallback) would
+    serve a stale artifact."""
+    from alertas_spark.operators import artifacts
+
+    d = tmp_path / "embeddings.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_bytes(b"AAAA")
+    (d / "_SUCCESS").write_bytes(b"")
+    f1 = artifacts.dataset_fingerprint(str(tmp_path), "embeddings")
+    assert artifacts.dataset_fingerprint(str(tmp_path), "embeddings") == f1
+    # in-place rewrite: same file name, same byte count, new mtime — the dir
+    # stat is unchanged but the dataset is not the same snapshot
+    os.utime(part, ns=(1, 1))
+    f2 = artifacts.dataset_fingerprint(str(tmp_path), "embeddings")
+    assert f2 != f1
+    # and a new part file changes it again
+    (d / "part-00001.parquet").write_bytes(b"BBBB")
+    assert artifacts.dataset_fingerprint(str(tmp_path), "embeddings") != f2
+
+
+def test_persistent_queries_registry_is_accurate(spark, tmp_path):
+    """artifacts.PERSISTENT_QUERIES (the set bench.py's persistent tier
+    iterates) is accurate: every listed query persists into a configured
+    store on first run and answers from it (zero builder calls) on a
+    memo-cold second run."""
+    from alertas_spark.operators import artifacts, memo
+    from alertas_spark.registry import load_all
+
+    reg = load_all()
+    assert artifacts.PERSISTENT_QUERIES <= set(reg)
+    try:
+        for name in sorted(artifacts.PERSISTENT_QUERIES):
+            spark.conf.set(artifacts.CONF_KEY, str(tmp_path / name))
+            memo.clear()
+            b0 = artifacts.build_count()
+            reg[name].builder(spark, SF).write.format("noop") \
+                .mode("overwrite").save()
+            assert artifacts.build_count() > b0, f"{name} persisted nothing"
+            memo.clear()  # simulated new session: memo cold, store warm
+            b1 = artifacts.build_count()
+            reg[name].builder(spark, SF).write.format("noop") \
+                .mode("overwrite").save()
+            assert artifacts.build_count() == b1, f"{name} retrained"
+    finally:
+        spark.conf.unset(artifacts.CONF_KEY)
+        memo.clear()
+
+
 def test_two_separate_sessions_second_skips_training(tmp_path):
     """THE cross-session claim, proven end to end: two separate OS processes
     (separate Spark JVMs), a shared $ALERTAS_ARTIFACTS_DIR.  The first session
