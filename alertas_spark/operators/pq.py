@@ -650,9 +650,16 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Truth set computed ONCE (the brute-force scan is the expensive side),
     # replicated across the five method labels; all tiers union into one tiny
     # broadcast side so the whole dashboard is a single join + single agg.
-    bf = (session_artifact(
-              spark, ("dashboard_bf", sf_dir),
-              lambda: simsearch_topk_bruteforce(spark, sf_dir)
+    # The truth set is GROUND-TRUTH INFRASTRUCTURE, not a tier under
+    # evaluation, and it is deterministic per embeddings fingerprint — so it
+    # persists in the artifact store and later sessions skip the brute-force
+    # scan entirely.  The five tier plans deliberately recompute every
+    # session: they are the measured subject, and artifact-serving their
+    # outputs would turn the dashboard into a cache read.
+    bf = (persistent_artifact(
+              spark, sf_dir, "dashboard_bf_truth", code_version="1",
+              table="embeddings",
+              build=lambda: simsearch_topk_bruteforce(spark, sf_dir)
               .select("query_id", "cand_id").localCheckpoint())
           .crossJoin(F.broadcast(
               spark.createDataFrame([(m,) for m in methods], "method string"))))
