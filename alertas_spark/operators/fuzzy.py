@@ -11,6 +11,12 @@ exact Gravano count filter as a mid-stage):
 * **signature projection** — compare on a fixed-length normalized prefix
   (``SIG_LEN`` chars of ``lower(text)``), not whole documents: edit distance
   is O(len²) per pair, so the comparison window must be bounded up front.
+* **exact-dup collapse** (``_units``) — the gram machinery runs over
+  DISTINCT signatures only; identical-signature members (the dominant
+  near-dup shape on boilerplate corpora) are re-expanded afterwards by
+  linear joins.  Without this, a duplication factor k multiplies every
+  gram's df by k and the prefix self-join's bucket products by k² — the
+  10× clique replica would cost 100× in the join instead of ~1×.
 * **q-gram count filter** (Gravano et al., *Approximate String Joins in a
   Database (Almost) for Free*, VLDB 2001) — one edit changes at most ``Q``
   of a string's positional q-grams, so ``ED(a,b) <= MAX_DIST`` forces the
@@ -85,9 +91,35 @@ PREFIX = Q * MAX_DIST + 1
 _T_SUB = (Q - 1) + Q * MAX_DIST
 
 
+def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig) for every admissible document."""
+    return (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()
+                    & (F.length("text") >= MIN_LEN))
+            .select("doc_id",
+                    F.substring(F.lower("text"), 1, SIG_LEN).alias("sig")))
+
+
+def _units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per DISTINCT signature: (doc_id = min member id, sig, l).
+
+    The exact-dup collapse that makes the fuzzy join scale on boilerplate
+    corpora: identical 32-char signatures are by far the most common
+    near-dup at 100 TB (form letters, template fills, crawled mirror pages),
+    and running the q-gram machinery over every member would multiply every
+    gram's document frequency — and therefore the prefix self-join's bucket
+    products — by the duplication factor SQUARED.  Collapsing to distinct
+    sigs first keeps the expensive pipeline's input at distinct-content
+    cardinality; member pairs are re-expanded afterwards (linear joins whose
+    output IS the answer)."""
+    return (_doc_sigs(spark, sf_dir)
+            .groupBy("sig").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "sig", F.length("sig").alias("l")))
+
+
 def _gram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc gram state: doc_id, sig, l (sig length), n (gram count),
-    ord (tagged grams as array<struct<df,g>>, rarity-sorted).
+    """Per-unit gram state: doc_id (unit id), sig, l (sig length), n (gram
+    count), ord (tagged grams as array<struct<df,g>>, rarity-sorted).
 
     Occurrence tagging (the k-th occurrence of gram g becomes "g#k", turning
     the q-gram BAG into a set whose intersections equal bag intersections —
@@ -98,12 +130,7 @@ def _gram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second — the dedup.py::_shingle_rows lesson)."""
     from pyspark.sql import Window as W
 
-    d = (load_table(spark, sf_dir, "documents")
-         .filter(F.col("text").isNotNull()
-                 & (F.length("text") >= MIN_LEN))
-         .select("doc_id",
-                 F.substring(F.lower("text"), 1, SIG_LEN).alias("sig"))
-         .withColumn("l", F.length("sig")))
+    d = _units(spark, sf_dir)
     toks = (d.select("doc_id", "sig", "l",
                      F.explode(F.expr(f"sequence(1, l - {Q - 1})")).alias("i"))
             .withColumn("g0", F.expr(f"substring(sig, i, {Q})"))
@@ -141,10 +168,10 @@ def _prefix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_a, doc_b) pairs surviving the prefix, length,
+    """Distinct UNIT (doc_a, doc_b) pairs surviving the prefix, length,
     positional, and EXACT count filters — a provable superset of the true
-    pairs, deduplicated (the distinct runs after the count filter, where
-    cardinality is already near-output)."""
+    distinct-signature pairs, deduplicated (the distinct runs after the
+    count filter, where cardinality is already near-output)."""
     pref = _prefix_tokens(spark, sf_dir)
     cols = ("doc_id", "l", "n", "p")
     a = pref.select(*[F.col(c).alias(f"{c}_a") for c in cols], "g")
@@ -210,16 +237,32 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded on both sides (below the count-filter floor; ED {MAX_DIST}
     on such strings is not near-duplication)."""
     cand = _candidate_pairs(spark, sf_dir)
-    sigs = (load_table(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull()
-                    & (F.length("text") >= MIN_LEN))
-            .select("doc_id",
-                    F.substring(F.lower("text"), 1, SIG_LEN).alias("sig")))
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    # banded DP: -1 past the threshold, so the filter keeps 0..MAX_DIST
+    units = _units(spark, sf_dir)
+    ua = units.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    ub = units.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    # banded DP: -1 past the threshold, so the filter keeps 0..MAX_DIST;
+    # verified pairs are DISTINCT-SIGNATURE pairs (dist >= 1 by construction)
     dist = F.levenshtein(F.col("sig_a"), F.col("sig_b"), MAX_DIST)
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("dist", dist)
-            .filter(F.col("dist") >= 0)
-            .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist")))
+    unit_pairs = (cand.join(ua, "doc_a").join(ub, "doc_b")
+                  .withColumn("dist", dist)
+                  .filter(F.col("dist") >= 0)
+                  .select("sig_a", "sig_b", "dist"))
+    # expansion back to member documents: every member pair across a matched
+    # signature pair inherits the pair's distance (distance is a function of
+    # the signatures alone), and members of the SAME signature are exact
+    # duplicates (dist 0).  Both expansions are linear joins whose output is
+    # the answer itself — quadratic only where the answer is.
+    docs = _doc_sigs(spark, sf_dir)
+    ma = docs.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("da"))
+    mb = docs.select(F.col("sig").alias("sig_b"), F.col("doc_id").alias("db"))
+    cross = (unit_pairs.join(ma, "sig_a").join(mb, "sig_b")
+             .select(F.least("da", "db").alias("doc_a"),
+                     F.greatest("da", "db").alias("doc_b"),
+                     F.col("dist").cast("int").alias("dist")))
+    x, y = docs.alias("x"), docs.alias("y")
+    same = (x.join(y, (F.col("x.sig") == F.col("y.sig"))
+                   & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"),
+                    F.lit(0).cast("int").alias("dist")))
+    return cross.unionByName(same)

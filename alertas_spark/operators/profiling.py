@@ -116,7 +116,9 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``accuracy · n_cols · concurrent_tasks · ~32 B``.  At accuracy 1e6 the
 #: 100×-row probe (60M lineitem rows, 32 concurrent tasks × 4 columns on an
 #: 8 GiB heap) OOMed the JVM; 2e5 bounds the same stage at ~1 GiB and
-#: completes the 100× probe (SCALING.md).  2e5 is the smallest setting that
+#: completes the 100× probe in 59.0 s — 31.7× for 100× rows, sublinear
+#: (recorded in SCALING.md §"100× deep probes", r10; the 10× row there is
+#: also re-measured at this shipped setting).  2e5 is the smallest setting that
 #: keeps the sf0.01 oracle gate EXACT — n ≤ accuracy is NOT sufficient for
 #: exactness (Spark's GK summary compresses at a fixed 10k threshold and its
 #: merge bounds are looser than n·ε: accuracy 1e5 flipped p50 by one discrete

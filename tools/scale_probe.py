@@ -404,6 +404,13 @@ def main() -> int:
                 "| rows ratio |\n|---|---|---|---|---|---|---|\n")
             for name, t1, tn, tr, r1, rn, rr in alert_rows:
                 f.write(f"| {name} | {t1} | {tn} | {tr} | {r1} | {rn} | {rr} |\n")
+            # hand-measured deep-dive sections (100x probes, postmortems,
+            # state decompositions) live in tools/scaling_notes.md so a table
+            # regeneration can never silently drop recorded evidence
+            notes = os.path.join(ROOT, "tools", "scaling_notes.md")
+            if os.path.isfile(notes):
+                with open(notes) as nf:
+                    f.write("\n" + nf.read())
         print(f"wrote {os.path.join(ROOT, 'SCALING.md')}")
     return 0
 
