@@ -151,6 +151,14 @@ def load_or_build(spark: SparkSession, root: str, name: str,
                 debris = f"{path}.__debris__{uuid.uuid4().hex}"
                 try:
                     os.rename(path, debris)
+                except OSError:
+                    pass  # a concurrent recoverer already vacated `path`
+                try:
+                    # attempted even when the debris rename failed: if the
+                    # path is vacant (the racer moved the debris aside but
+                    # has not committed yet), our complete tmp fills it and
+                    # the final read below cannot hit a transiently-empty
+                    # path
                     os.rename(tmp, path)
                 except OSError:
                     pass  # lost a second race: serve whoever committed

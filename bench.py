@@ -125,7 +125,14 @@ def main() -> None:
             # only the queries whose paths actually persist artifacts
             # (artifacts.PERSISTENT_QUERIES, accuracy pytest-pinned) — probing
             # every memoized query end-to-end just to learn via build_count
-            # that it persists nothing doubled this tier's cost
+            # that it persists nothing doubled this tier's cost.  A declared
+            # persistent query that did NOT memoize in the cold loop would be
+            # silently dropped from the tier — surface it instead.
+            dropped = _art.PERSISTENT_QUERIES - memoized
+            if dropped:
+                print(f"# bench persistent tier: declared-persistent queries "
+                      f"missing from the memoized set (not timed): "
+                      f"{sorted(dropped)}", file=sys.stderr)
             for name in sorted(memoized & _art.PERSISTENT_QUERIES):
                 q = registry[name]
                 memo.clear()

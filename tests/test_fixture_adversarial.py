@@ -435,10 +435,12 @@ def test_fuzzy_candidates_output_bound_under_prefix_skew(spark, skew_doc_dir):
     """The scale property itself: ~3k docs share one prefix, so naive
     prefix blocking generates ~4.5M candidate pairs; the q-gram prefix
     filter must stay within a small multiple of the true-pair count."""
-    from alertas_spark.operators.fuzzy import _candidate_pairs
+    from alertas_spark.operators.fuzzy import (_candidate_pairs, _doc_sigs,
+                                               _gram_docs, _units)
 
     n_true = load_fuzzy_true_pairs(skew_doc_dir)
-    cand = (_candidate_pairs(spark, skew_doc_dir)
+    gram = _gram_docs(_units(_doc_sigs(spark, skew_doc_dir)))
+    cand = (_candidate_pairs(gram, gram.count())
             .select("doc_a", "doc_b").distinct().count())
     naive_block_pairs = _N_SKEW * (_N_SKEW - 1) // 2
     assert cand < naive_block_pairs / 1000, cand
