@@ -146,11 +146,18 @@ def main() -> None:
                         .mode("overwrite").save()  # populates the store
                     if _art.build_count() == b0:
                         continue  # nothing persistent in this query's path
-                    memo.clear()  # new-session simulation: memo cold, store warm
-                    t0 = time.time()
-                    q.builder(spark, sf_dir).write.format("noop") \
-                        .mode("overwrite").save()
-                    persistent[name] = round(time.time() - t0, 3)
+                    # min of 2, same machine-noise guard as the cold loop:
+                    # this tier was a SINGLE sample through r10, and one GC
+                    # pause in the end-of-bench session faked a 5.2->20.8s
+                    # "regression" (r10 verdict #2; a controlled re-run of
+                    # the identical protocol measured 5.0-6.1s)
+                    for _p in range(2):
+                        memo.clear()  # new-session simulation: memo cold,
+                        t0 = time.time()  # store warm
+                        q.builder(spark, sf_dir).write.format("noop") \
+                            .mode("overwrite").save()
+                        t = round(time.time() - t0, 3)
+                        persistent[name] = min(persistent.get(name, t), t)
                 except Exception as ex:
                     persistent[name] = -1.0
                     print(f"# bench persistent error {name}: {ex}",
@@ -240,7 +247,10 @@ def main() -> None:
                      "queries_warm_persistent = trained query re-timed in a "
                      "simulated NEW session (memo cleared) against a "
                      "pre-populated persistent artifact store — the "
-                     "cross-session cost (r9); also excluded from the headline "
+                     "cross-session cost (r9; min of 2 from r11 — the single "
+                     "sample this tier took through r10 let one end-of-bench "
+                     "GC pause fake a 4x dashboard regression); also excluded "
+                     "from the headline "
                      "(simsearch_recall_dashboard's persistent-warm residue is "
                      "the five ANN tier plans themselves — ground truth is "
                      "artifact-served from r10 (brute-force scan 0.9s -> 0.12s "

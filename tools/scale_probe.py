@@ -90,10 +90,19 @@ STREAM_N = 100
 STREAM_QUERIES = ["streaming_tumbling_5min", "streaming_user_totals",
                   "streaming_dedup_within_watermark"]
 
-#: alert-warehouse probe (alerta_prcr, the deepest legal-logic pipeline): the
-#: MPRJ fixture entity chain documento ← assunto/personagem ← vista ← andamento
-#: ← sub_andamento replicated with CONSISTENTLY shifted surrogate keys per
-#: replica (dims shared), so every per-document join fans out N× realistically.
+#: alert-warehouse probe: the MPRJ fixture entity chain documento ←
+#: assunto/personagem ← vista ← andamento ← sub_andamento ←
+#: item_movimentacao/movimentacao replicated with CONSISTENTLY shifted
+#: surrogate keys per replica (dims shared), so every per-document join fans
+#: out N× realistically.  Probed alerts: PRCR (deepest legal-logic
+#: pipeline), BDPA (widest fan: documento→vista→andamento→sub_andamento +
+#: the item_movimentacao→movimentacao guia chain — r10 verdict task #6),
+#: MVVD (exploded disjunctive identity join).  Person identities
+#: (mcpr_pessoa_fisica and pers_pess_dk) are deliberately SHARED across
+#: replicas — CPF/RG/name facet strings cannot be shifted consistently — so
+#: MVVD's replica is a hot-identity caseload: the same victims appear in N×
+#: documents and its OUTPUT grows ~N², the rows column to read its time
+#: ratio against (like the near-dup pair operators).
 ALERT_SHIFT_COLS = {
     "mcpr_documento": ("docu_dk",),
     "mcpr_assunto_documento": ("asdo_docu_dk",),
@@ -101,8 +110,11 @@ ALERT_SHIFT_COLS = {
     "mcpr_vista": ("vist_dk", "vist_docu_dk"),
     "mcpr_andamento": ("pcao_dk", "pcao_vist_dk"),
     "mcpr_sub_andamento": ("stao_dk", "stao_pcao_dk"),
+    "mcpr_item_movimentacao": ("item_docu_dk", "item_movi_dk"),
+    "mcpr_movimentacao": ("movi_dk",),
 }
 _ALERT_OFF = 10_000_000
+ALERT_PROBES = ("PRCR", "BDPA", "MVVD")
 
 
 def build_replica(n: int) -> str:
@@ -332,13 +344,15 @@ def main() -> int:
 
         from alertas_spark.plans.alert_corpus import FIXTURE_DIR
         alert_big = build_alert_replica(n)
-        t1, r1 = min(timed_alert(spark, FIXTURE_DIR, "PRCR") for _ in range(2))
-        tn, rn = min(timed_alert(spark, alert_big, "PRCR") for _ in range(2))
-        tr = round(tn / t1, 2) if t1 > 0 else float("inf")
-        rr = round(rn / r1, 2) if r1 > 0 else float("inf")
-        alert_rows.append(("alerta_prcr", t1, tn, tr, r1, rn, rr))
-        print(f"{'alerta_prcr':34s} 1x={t1:6.2f}s  {n}x={tn:6.2f}s  "
-              f"time_ratio={tr:6.2f}  rows {r1}->{rn} (x{rr})")
+        for sigla in ALERT_PROBES:
+            t1, r1 = min(timed_alert(spark, FIXTURE_DIR, sigla) for _ in range(2))
+            tn, rn = min(timed_alert(spark, alert_big, sigla) for _ in range(2))
+            tr = round(tn / t1, 2) if t1 > 0 else float("inf")
+            rr = round(rn / r1, 2) if r1 > 0 else float("inf")
+            label = f"alerta_{sigla.lower()}"
+            alert_rows.append((label, t1, tn, tr, r1, rn, rr))
+            print(f"{label:34s} 1x={t1:6.2f}s  {n}x={tn:6.2f}s  "
+                  f"time_ratio={tr:6.2f}  rows {r1}->{rn} (x{rr})")
 
     if not only:
         with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
@@ -370,6 +384,19 @@ def main() -> int:
                 "dedicated trade-graph replica (below) where custkey/suppkey "
                 "also shift per replica, growing the EDGE SET itself "
                 f"{n}x.\n\n"
+                "`profile_columns_approx` rows are measured at the SHIPPED "
+                "sketch accuracy (operators/profiling.py APPROX_ACC = 2e5, "
+                "retuned r9 — the r7 1e6 setting was buffer-everything at "
+                "this scale); the 100x deep probe at the same accuracy is in "
+                "the hand-measured notes appended below.  "
+                "`dedup_fuzzy_editdist` reads this replica as a cliqued "
+                "corpus: replica text mutations append AFTER the 32-char "
+                "comparison window, so every signature becomes an "
+                f"{n}-member exact-dup clique — its candidate/gram machinery "
+                "runs at 1x unit cardinality BY DESIGN (the exact-dup "
+                "collapse in operators/fuzzy.py) and its output grows "
+                "~quadratically with the clique width, which is what the "
+                "rows column shows.\n\n"
                 f"| query | 1x sec | {n}x sec | time ratio | 1x rows | {n}x rows "
                 "| rows ratio |\n|---|---|---|---|---|---|---|\n")
             for name, t1, tn, tr, r1, rn, rr in rows:
@@ -397,9 +424,17 @@ def main() -> int:
             f.write(
                 f"\n## Alert warehouse ({n}x entity-chain replica)\n\n"
                 "MPRJ fixture documento ← assunto/personagem ← vista ← andamento "
-                "← sub_andamento replicated with consistently shifted surrogate "
-                "keys (dims shared); cold fresh-context runs including the "
-                "detail-table write — the nightly per-alert cost at n× caseload.\n\n"
+                "← sub_andamento ← item_movimentacao/movimentacao replicated with "
+                "consistently shifted surrogate keys (dims shared); cold "
+                "fresh-context runs including the detail-table write — the "
+                "nightly per-alert cost at n× caseload.  PRCR = deepest "
+                "legal-logic pipeline; BDPA = widest join fan (adds the "
+                "guia/movimentacao chain); MVVD = exploded disjunctive identity "
+                "join — its person identities are SHARED across replicas (CPF/"
+                "name facet strings cannot shift), so the same victims appear "
+                f"in {n}x documents and MVVD's OUTPUT grows ~{n}²x by "
+                "construction: read its time against the rows column, like the "
+                "near-dup pair operators.\n\n"
                 f"| query | 1x sec | {n}x sec | time ratio | 1x rows | {n}x rows "
                 "| rows ratio |\n|---|---|---|---|---|---|---|\n")
             for name, t1, tn, tr, r1, rn, rr in alert_rows:
