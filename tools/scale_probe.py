@@ -391,7 +391,7 @@ def main() -> int:
                 "the hand-measured notes appended below.  "
                 "`dedup_fuzzy_editdist` reads this replica as a cliqued "
                 "corpus: replica text mutations append AFTER the 32-char "
-                "comparison window, so every signature becomes an "
+                "comparison window, so every signature becomes a "
                 f"{n}-member exact-dup clique — its candidate/gram machinery "
                 "runs at 1x unit cardinality BY DESIGN (the exact-dup "
                 "collapse in operators/fuzzy.py) and its output grows "
