@@ -1058,3 +1058,78 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component", F.col("doc_id").alias("rep_doc_id"),
                 "cluster_size", F.col("n_chars").alias("rep_n_chars"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split — train/val/test at CLUSTER granularity
+# ---------------------------------------------------------------------------
+
+#: per-mille split boundaries: bucket < 800 → train, < 900 → val, else test.
+SPLIT_TRAIN_PM = 800
+SPLIT_VAL_PM = 900
+
+
+@declare(
+    "split_leakage_safe",
+    oracle="WITH RECURSIVE" + _MINHASH_CTES_DUCK.lstrip().removeprefix("WITH") + f"""
+    , pairs AS (SELECT doc_a, doc_b FROM verified WHERE jacc >= {JACCARD_THRESHOLD})
+    , edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs)
+    , walk AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    , labels AS (SELECT node AS doc_id, MIN(label) AS component FROM walk
+                 GROUP BY node)
+    SELECT doc_id, component,
+           CAST(CAST(concat('0x', substring(
+                    md5('split:' || CAST(component AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000 AS BIGINT) AS bucket,
+           CASE WHEN CAST(concat('0x', substring(
+                         md5('split:' || CAST(component AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000 < {SPLIT_TRAIN_PM} THEN 'train'
+                WHEN CAST(concat('0x', substring(
+                         md5('split:' || CAST(component AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000 < {SPLIT_VAL_PM} THEN 'val'
+                ELSE 'test' END AS split
+    FROM labels
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document is bucketed by
+    a content-independent hash of its near-dup CLUSTER label (the connected
+    component of the MinHash pair graph), so near-duplicates land in the same
+    split by construction — hashing raw doc_ids would scatter a duplicated
+    document across train and test, the classic eval-contamination bug this
+    operator exists to prevent (same failure class as benchmark
+    decontamination, but *within* the corpus).  80/10/10 per-mille
+    boundaries; md5 is the one hash both engines compute identically, salted
+    with ``split:`` so the assignment is independent of every other
+    md5-keyed operator (sampling, sharding).
+
+    Scale shape: the component labels are the O(log diameter) star
+    contraction (:func:`connected_components`); the split itself is a pure
+    scan projection over the label table — no additional shuffle, and the
+    assignment is reshard-stable (a re-run over re-partitioned input yields
+    byte-identical splits, same contract as ``sample_hash_stratified``).
+
+    Oracle: recursive-CTE reachability labels + the same salted-md5 bucket
+    arithmetic in DuckDB."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels, _rounds = connected_components(
+        nodes, pairs.selectExpr("doc_a AS src", "doc_b AS dst"))
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("split:"),
+                           F.col("component").cast("string"))), 1, 15),
+               16, 10).cast("bigint") % 1000)
+    return (labels
+            .withColumn("bucket", bucket)
+            .withColumn("split",
+                        F.when(F.col("bucket") < SPLIT_TRAIN_PM, "train")
+                        .when(F.col("bucket") < SPLIT_VAL_PM, "val")
+                        .otherwise("test"))
+            .select("doc_id", "component", "bucket", "split"))

@@ -1,0 +1,142 @@
+"""Substring-level exact deduplication — the ExactSubstr operator family.
+
+Line-level dedup (``dedup_lines``) removes repeated fixed-token spans; the
+substring tier detects ANY repeated character window of length ``K`` across
+the corpus, the signal behind suffix-array training-data dedup (Lee et al.,
+*Deduplicating Training Data Makes Language Models Better*, ACL 2022): a
+position is *duplicated* iff the K-char window starting there occurs at
+least twice anywhere in the corpus (another document or elsewhere in the
+same one — verbatim self-repetition is the same memorization risk).
+
+Spark-first shape — the single-node reference algorithm is one giant suffix
+array, which does not distribute; the shuffle-native equivalent is a
+K-shingle group-by, exact for fixed K:
+
+* **shingle explode** (narrow): ``sequence(1, len-K+1)`` + posexplode +
+  codegen'd ``substring`` — no shuffle, rows = total characters.
+* **per-(gram, doc) pre-count** (shuffle 1): map-side-combined hash agg —
+  the only stage whose input is corpus-character-sized; its output is
+  bounded by distinct (gram, doc) pairs.
+* **corpus totals** as a window sum over ``gram`` (shuffle 2): each gram's
+  occurrence count lands next to its per-doc rows without a join-back of
+  the raw shingle stream.
+* **per-doc rollup** (shuffle 3): duplicated-position counts per document —
+  the actionable filter column (drop or trim docs whose duplicated
+  fraction is high).
+
+Every stage is a linear scan + combinable hash agg; no stage is quadratic
+in anything (contrast the near-dup family, whose OUTPUT is pair-shaped).
+The gram string itself is the shuffle key here for oracle exactness; at
+100 TB carry ``xxhash64(gram)`` (8-byte keys, collision odds ~n²/2⁶⁵)
+through shuffles 1-2 and keep the string only where the output needs it
+(``dedup_substring_common``'s top-k projection re-reads just the winners).
+
+No counterpart exists in the reference engine (its dedup surface is
+row-level DISTINCT — e.g. ``/root/reference/src/alertas/alerta_mvvd.py``);
+this module is part of the LLM-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+#: duplicated-window width (chars).  Lee et al. use 50 BPE tokens; 40 chars
+#: is the same order of magnitude on this corpus's ~5-char words and keeps
+#: every admissible fixture document (min length 44) in scope.
+K = 40
+#: heavy-hitter report size for ``dedup_substring_common``.
+TOP_N = 100
+
+
+def _gram_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gram, doc_id, cnt): occurrences of each K-gram within each document.
+
+    The shingle explode is scan-side and narrow; the hash agg is the corpus-
+    character-sized shuffle, map-side combined so repeated windows collapse
+    before the exchange."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull() & (F.length("text") >= K)))
+    shingles = (docs
+                .select("doc_id", "text",
+                        F.explode(F.expr(f"sequence(1, length(text) - {K - 1})"))
+                        .alias("i"))
+                .select("doc_id",
+                        F.expr(f"substring(text, i, {K})").alias("gram")))
+    return shingles.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+@declare(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, substr(text, CAST(t.i AS INT), {K}) AS gram
+        FROM documents CROSS JOIN LATERAL
+             unnest(range(1, length(text) - {K - 2})) AS t(i)
+        WHERE text IS NOT NULL AND length(text) >= {K}
+    ), pg AS (
+        SELECT gram, doc_id, count(*) AS cnt FROM pos GROUP BY gram, doc_id
+    ), gt AS (
+        SELECT gram, doc_id, cnt, sum(cnt) OVER (PARTITION BY gram) AS tot
+        FROM pg
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN tot >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup
+    FROM gt GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring statistics: of a document's
+    ``n_pos`` K-char window positions, ``n_dup`` start a window that occurs
+    >= 2 times in the corpus — the ExactSubstr memorization-risk signal
+    (``n_dup / n_pos`` is the duplicated fraction; counts are emitted raw so
+    the cross-engine compare never crosses a float seam).  Documents shorter
+    than {K} chars have no window and are excluded."""
+    pg = _gram_doc_counts(spark, sf_dir)
+    tot = F.sum("cnt").over(W.partitionBy("gram"))
+    return (pg.withColumn("tot", tot)
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").cast("bigint").alias("n_pos"),
+                 F.sum(F.when(F.col("tot") >= 2, F.col("cnt"))
+                       .otherwise(F.lit(0))).cast("bigint").alias("n_dup")))
+
+
+@declare(
+    "dedup_substring_common",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, substr(text, CAST(t.i AS INT), {K}) AS gram
+        FROM documents CROSS JOIN LATERAL
+             unnest(range(1, length(text) - {K - 2})) AS t(i)
+        WHERE text IS NOT NULL AND length(text) >= {K}
+    ), pg AS (
+        SELECT gram, doc_id, count(*) AS cnt FROM pos GROUP BY gram, doc_id
+    )
+    SELECT gram,
+           CAST(sum(cnt) AS BIGINT) AS occurrences,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pg GROUP BY gram
+    HAVING count(*) >= 2
+    ORDER BY occurrences DESC, gram
+    LIMIT {TOP_N}
+    """,
+)
+def dedup_substring_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {TOP_N} most widely duplicated K-grams that span documents
+    (boilerplate / license-block / template discovery: what you grep the
+    corpus for before writing removal rules).  Deterministic: ordered by
+    total occurrences then gram; grams are unique post-aggregation, so the
+    LIMIT is a total order.  The global top-k is a TakeOrderedAndProject —
+    per-partition heaps, only {TOP_N} rows cross the final exchange."""
+    pg = _gram_doc_counts(spark, sf_dir)
+    return (pg.groupBy("gram")
+            .agg(F.sum("cnt").cast("bigint").alias("occurrences"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy(F.desc("occurrences"), F.asc("gram"))
+            .limit(TOP_N))

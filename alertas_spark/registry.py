@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "alertas_spark.streaming.queries",
     "alertas_spark.operators.dedup",
     "alertas_spark.operators.fuzzy",
+    "alertas_spark.operators.substring",
     "alertas_spark.operators.simsearch",
     "alertas_spark.operators.kmeans",
     "alertas_spark.operators.pq",

@@ -245,3 +245,107 @@ def test_ranked_topk_invariant_under_adversarial_layouts(spark):
             assert got == want
     finally:
         spark.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_*: ExactSubstr duplicated-window semantics
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    # 80 DISTINCT printable chars -> all 41 windows of doc 1 are unique text
+    uniq = "".join(chr(33 + i) for i in range(80))
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            uniq,        # 41 windows, duplicated only via doc 2's copy
+            uniq,        # exact copy: every window occurs twice corpus-wide
+            "z" * 41,    # 2 windows, both the SAME gram: self-repetition
+            "w" * 39,    # below K=40 -> excluded entirely
+        ],
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": [80, 80, 41, 39],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: (r["n_pos"], r["n_dup"])
+           for r in load_all()["dedup_substring_spans"]
+           .builder(spark, str(tmp_path)).collect()}
+    # doc 4 has no K-window; docs 1/2 fully duplicated by each other; doc 3's
+    # two positions duplicate EACH OTHER (verbatim self-repetition counts)
+    assert out == {1: (41, 41), 2: (41, 41), 3: (2, 2)}
+
+
+def test_substring_common_requires_cross_document(spark, tmp_path):
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    uniq = "".join(chr(33 + i) for i in range(80))
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [uniq, uniq, "z" * 41],
+        "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [80, 80, 41],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = (load_all()["dedup_substring_common"]
+            .builder(spark, str(tmp_path)).collect())
+    # the 41 doc1/doc2 shared windows qualify (n_docs=2); doc 3's
+    # within-document repeat does NOT (n_docs=1 despite occurrences=2)
+    assert len(rows) == 41
+    assert all(r["occurrences"] == 2 and r["n_docs"] == 2 for r in rows)
+    assert all("z" not in r["gram"] for r in rows)
+
+
+def test_substring_spans_counts_every_window_on_testdata(spark):
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "dedup_substring_spans")
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("text").isNotNull() & (F.length("text") >= 40))
+            .select("doc_id", (F.length("text") - 39).alias("want")))
+    joined = out.join(docs, "doc_id", "full").cache()
+    try:
+        # exactly the admissible docs appear, each with n_pos = len-K+1
+        assert joined.filter("n_pos IS NULL OR want IS NULL").count() == 0
+        assert joined.filter("n_pos != want").count() == 0
+        assert joined.filter("n_dup < 0 OR n_dup > n_pos").count() == 0
+    finally:
+        joined.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_safe: cluster-granular split invariants
+# ---------------------------------------------------------------------------
+
+
+def test_split_is_constant_within_every_cluster(spark):
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "split_leakage_safe").cache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    try:
+        # total: every document assigned exactly once
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+        # THE invariant: one split per component — near-dups cannot straddle
+        assert (out.groupBy("component")
+                .agg(F.countDistinct("split").alias("n"))
+                .filter("n > 1").count()) == 0
+        # all three splits non-degenerate on the fixture, bucket in range
+        assert out.filter("bucket < 0 OR bucket >= 1000").count() == 0
+        got = {r["split"] for r in out.select("split").distinct().collect()}
+        assert got == {"train", "val", "test"}
+    finally:
+        out.unpersist()
+
+
+def test_split_agrees_with_minhash_pairs(spark):
+    # every MinHash near-dup PAIR ends up in one split: join the pair list
+    # against the assignment on both endpoints
+    out = _run(spark, "split_leakage_safe").select("doc_id", "split")
+    pairs = _run(spark, "dedup_minhash_lsh").select("doc_a", "doc_b")
+    a = out.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa")
+    b = out.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb")
+    assert pairs.join(a, "doc_a").join(b, "doc_b").filter("sa != sb").count() == 0

@@ -45,6 +45,9 @@ QUERIES = [
     "dedup_embedding_cosine_blocked",  # LSH-bucketed cosine (embeddings ×N)
     "dedup_jaccard_prefix_filter",  # AllPairs prefix-filtered exact join (r6)
     "dedup_fuzzy_editdist",        # q-gram count-filtered edit-distance join (r10)
+    "dedup_substring_spans",       # ExactSubstr K-shingle group-by (r11)
+    "dedup_substring_common",      # duplicated-window heavy hitters (r11)
+    "split_leakage_safe",          # cluster-granular train/val/test (r11)
     "source_quality_gate",         # scan-side text scoring + gate join
     "tfidf_top_terms",             # df join-back on term + window top-n
     "profile_columns",             # exact distinct + quantiles (two-pass)
