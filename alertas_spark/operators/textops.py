@@ -637,3 +637,67 @@ def source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("n_src_docs").cast("int").alias("n_src_docs"),
                 F.round("src_pass_rate", 6).alias("src_pass_rate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "perplexity_unigram",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ), d AS (
+        SELECT doc_id, t, COUNT(*) AS dc FROM tok GROUP BY doc_id, t
+    ), ct AS (
+        SELECT t, SUM(dc) AS c FROM d GROUP BY t
+    ), g AS (
+        SELECT CAST(ROUND(LN(SUM(c)) * 1e9) AS BIGINT) AS qln_n FROM ct
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.dc) AS BIGINT) AS n_tokens,
+           ROUND(CAST(CAST(SUM(CAST(d.dc AS HUGEINT)
+                       * (g.qln_n - CAST(ROUND(LN(ct.c) * 1e9) AS BIGINT)))
+                  AS VARCHAR) AS DOUBLE) / SUM(d.dc) / 1e9, 6)
+               AS cross_entropy_nats
+    FROM d JOIN ct USING (t) CROSS JOIN g
+    GROUP BY d.doc_id
+    """,
+)
+def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained unigram LM — the
+    perplexity-filter stage of CCNet-style corpus cleaning (there KenLM
+    5-gram; the unigram tier is the same pipeline shape minus the model
+    download, and the filter semantics — flag documents whose token
+    distribution is unlike the corpus — are identical).  For document d with
+    per-token counts dᵢ over corpus counts cᵢ and corpus size N:
+    H(d) = Σ dᵢ·(ln N − ln cᵢ) / Σ dᵢ — reported in nats; perplexity is the
+    monotone transform e^H, not emitted because a cross-engine ``exp`` is a
+    libm seam while the quantized-ln numerator Σ dᵢ·(Q(ln N) − Q(ln cᵢ)) is
+    exact-integer arithmetic under any partitioning (the
+    ``event_type_entropy_per_user`` idiom).
+
+    Scale shape: two map-side-combined hash aggs — (doc, token) then token —
+    a vocabulary-sized join back (AQE-broadcastable on natural corpora), a
+    1-row global crossJoin broadcast (no driver collect), and one final
+    per-doc agg.  Zero-token documents have no rows and are excluded (no
+    distribution to score; documented domain contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (docs.filter(F.col("text").isNotNull())
+         .select("doc_id",
+                 F.explode(F.regexp_extract_all(
+                     F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t"))
+         .groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("dc")))
+    ct = d.groupBy("t").agg(F.sum("dc").alias("c"))
+    g = ct.agg(F.round(F.log(F.sum("c")) * 1e9).cast("bigint").alias("qln_n"))
+    qc = F.round(F.log("c") * 1e9).cast("bigint")
+    return (d.join(ct, "t").crossJoin(F.broadcast(g))
+            .withColumn("term", F.col("dc").cast("decimal(38,0)")
+                        * (F.col("qln_n") - qc))
+            .groupBy("doc_id")
+            .agg(F.sum("dc").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum("term").cast("double")
+                         / F.sum("dc") / 1e9, 6).alias("cross_entropy_nats")))

@@ -349,3 +349,52 @@ def test_split_agrees_with_minhash_pairs(spark):
     a = out.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa")
     b = out.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb")
     assert pairs.join(a, "doc_a").join(b, "doc_b").filter("sa != sb").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# perplexity_unigram: hand-computed cross-entropy
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_unigram_hand_computed(spark, tmp_path):
+    import math
+
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    # corpus counts: a:2, b:1, N=3
+    #   doc 1 "a a": H = ln3 - (2*ln2)/2 = ln(3/2)
+    #   doc 2 "b":   H = ln3 - ln1      = ln 3
+    #   doc 3 "":    zero tokens -> excluded
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a", "b", "..."],
+        "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [3, 1, 3],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: (r["n_tokens"], r["cross_entropy_nats"])
+           for r in load_all()["perplexity_unigram"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1][0] == 2 and out[2][0] == 1
+    assert out[1][1] == pytest.approx(round(math.log(1.5), 6), abs=1e-6)
+    assert out[2][1] == pytest.approx(round(math.log(3.0), 6), abs=1e-6)
+
+
+def test_perplexity_unigram_is_nonnegative_and_total(spark):
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "perplexity_unigram").cache()
+    try:
+        # every token's corpus count <= N, so each -ln p term >= 0
+        assert out.filter("cross_entropy_nats < 0").count() == 0
+        # token mass conservation: sum of n_tokens == corpus token count
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        total = (docs.filter(F.col("text").isNotNull())
+                 .select(F.size(F.regexp_extract_all(
+                     F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
+                     .alias("n"))
+                 .agg(F.sum("n")).collect()[0][0])
+        assert out.agg(F.sum("n_tokens")).collect()[0][0] == total
+    finally:
+        out.unpersist()
