@@ -568,3 +568,156 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _png_encode_batch, schema=_PNG_MEDIA_SCHEMA)
     return media.mapInPandas(_png_decode_verify_batch,
                              schema=_PNG_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec (pure-stdlib RIFF/WAV PCM): runs in THIS container
+# ---------------------------------------------------------------------------
+
+#: synthesized-audio parameters: 16 kHz mono s16le — the ASR-pipeline
+#: standard format.  One source byte becomes one sample: (byte - 128) << 8.
+WAV_RATE = 16_000
+#: VAD window: 160 samples = 10 ms at 16 kHz.
+WAV_WIN = 160
+#: a window is "silent" when max |sample| stays under this (= 20 << 8).
+WAV_SILENCE = 5_120
+
+_WAV_MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media", BinaryType()),
+    StructField("media_type", StringType()),
+])
+
+_WAV_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_ms", DoubleType()),
+    StructField("peak_abs", IntegerType()),
+    StructField("energy_sq", LongType()),
+    StructField("n_windows", LongType()),
+    StructField("n_silent_windows", LongType()),
+])
+
+
+def _wav_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Render each doc's bytes as a REAL RIFF/WAVE payload (stdlib ``wave``
+    writer): 16 kHz mono s16le, one sample per source byte."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        bufs = []
+        for txt in pdf["text"]:
+            data = txt.encode("utf-8")
+            pcm = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                    - 128) << 8)
+            bio = io.BytesIO()
+            with wave.open(bio, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(WAV_RATE)
+                w.writeframes(pcm.astype("<i2").tobytes())
+            bufs.append(bio.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": bufs,
+                            "media_type": "audio/wav"})
+
+
+def wav_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL audio decode: parse the RIFF header with the stdlib ``wave``
+    reader (format/width/rate validated by the parser itself), then extract
+    sample stats + 10 ms-window voice-activity counts.  Integer stats only —
+    an RMS would put a cross-engine sqrt in the contract; ``energy_sq`` is
+    the exact integer Σ s², and RMS is its monotone transform downstream."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "sample_rate", "n_samples", "duration_ms", "peak_abs",
+            "energy_sq", "n_windows", "n_silent_windows")}
+        for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+            with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
+                sr = w.getframerate()
+                n = w.getnframes()
+                pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+            if n == 0:
+                continue  # no samples → no distribution to score
+            n_win = -(-n // WAV_WIN)
+            padded = np.zeros(n_win * WAV_WIN, dtype=np.int64)
+            padded[:n] = np.abs(pcm.astype(np.int64))
+            wpeak = padded.reshape(n_win, WAV_WIN).max(axis=1)
+            rows["doc_id"].append(doc_id)
+            rows["sample_rate"].append(sr)
+            rows["n_samples"].append(n)
+            # exact: 1000/16000 = 2^-4, a power of two — no rounding drift
+            rows["duration_ms"].append(round(n * (1000.0 / WAV_RATE), 4))
+            rows["peak_abs"].append(int(np.abs(pcm.astype(np.int64)).max()))
+            rows["energy_sq"].append(int((pcm.astype(np.int64) ** 2).sum()))
+            rows["n_windows"].append(n_win)
+            rows["n_silent_windows"].append(int((wpeak < WAV_SILENCE).sum()))
+        out = pd.DataFrame(rows)
+        out["sample_rate"] = pd.array(out["sample_rate"], dtype="Int32")
+        out["peak_abs"] = pd.array(out["peak_abs"], dtype="Int32")
+        yield out
+
+
+@declare(
+    "multimodal_audio_features",
+    # character-based oracle == byte-based operator only on ASCII fixtures; see
+    # the ASCII note above multimodal_decode_features
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+               (unicode(substr(text, CAST(t.i AS INT), 1)) - 128) * 256 AS s
+        FROM documents CROSS JOIN LATERAL
+             unnest(range(1, length(text) + 1)) AS t(i)
+        WHERE text IS NOT NULL AND length(text) > 0
+    ), win AS (
+        SELECT doc_id, (i - 1) // {WAV_WIN} AS w, MAX(ABS(s)) AS wpeak
+        FROM ch GROUP BY doc_id, (i - 1) // {WAV_WIN}
+    ), wstat AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN wpeak < {WAV_SILENCE} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_silent_windows
+        FROM win GROUP BY doc_id
+    )
+    SELECT ch.doc_id,
+           {WAV_RATE} AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           ROUND(COUNT(*) * 0.0625, 4) AS duration_ms,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak_abs,
+           CAST(SUM(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy_sq,
+           MAX(w.n_windows) AS n_windows,
+           MAX(w.n_silent_windows) AS n_silent_windows
+    FROM ch JOIN wstat w USING (doc_id)
+    GROUP BY ch.doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: each doc's bytes become an actual
+    RIFF/WAVE payload (stdlib ``wave`` writer — 16 kHz mono s16le), and a
+    SECOND mapInPandas stage parses that binary back through the stdlib
+    ``wave`` reader and extracts the ASR-ingest features: sample count,
+    duration, peak amplitude, exact integer energy Σ s², and 10 ms-window
+    voice-activity counts (the silence-trim signal).  This is the audio
+    sibling of ``multimodal_png_roundtrip`` — the decode is a genuine format
+    parser executing in-container, the production seam for richer codecs
+    (Opus, MP3) being the same batch-function injection as the image tier.
+
+    Both stages are partition-preserving Arrow-batched passes; the
+    ``repartition`` spreads codec CPU across cores exactly as the PNG tier
+    does (single-file scan would serialize it).  Zero-length documents have
+    no samples and are excluded (documented domain contract, same as the
+    token-less exclusion in ``perplexity_unigram``)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    media = docs.repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
+        _wav_media_batch, schema=_WAV_MEDIA_SCHEMA)
+    return media.mapInPandas(wav_feature_batch, schema=_WAV_FEATURES_SCHEMA)

@@ -281,3 +281,56 @@ def test_png_verify_batch_nulls_corrupt_payload():
     assert bool(good.roundtrip_ok) and good.width == 16
     assert not bool(bad.roundtrip_ok)
     assert pd.isna(bad.width) and bad["mode"] is None
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV audio tier (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_features_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    # doc 1: 4 chars 'a' (97): s = (97-128)*256 = -7936 each
+    #   energy = 4 * 7936^2 = 251920384; 1 window, |s| >= 5120 -> not silent
+    # doc 2: 'zz' (122): s = -1536, |s| < 5120 -> ONE silent window
+    # doc 3: empty -> excluded
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["aaaa", "zz", ""],
+        "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [4, 2, 0],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r.asDict()
+           for r in load_all()["multimodal_audio_features"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    d1, d2 = out[1], out[2]
+    assert (d1["sample_rate"], d1["n_samples"], d1["peak_abs"]) == (16000, 4, 7936)
+    assert d1["energy_sq"] == 4 * 7936 ** 2
+    assert d1["duration_ms"] == 0.25
+    assert (d1["n_windows"], d1["n_silent_windows"]) == (1, 0)
+    assert (d2["peak_abs"], d2["n_windows"], d2["n_silent_windows"]) == (1536, 1, 1)
+
+
+def test_wav_payload_is_a_real_riff_file(spark):
+    import io
+    import wave
+
+    from alertas_spark.operators.multimodal import (_wav_media_batch,
+                                                    with_media_column)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter("text IS NOT NULL").limit(8)
+    media = (docs.select("doc_id", "text")
+             .mapInPandas(_wav_media_batch,
+                          schema="doc_id long, media binary, media_type string")
+             .collect())
+    assert media
+    for r in media:
+        buf = bytes(r["media"])
+        assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+        with wave.open(io.BytesIO(buf), "rb") as w:   # stdlib parser accepts it
+            assert w.getframerate() == 16000
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
