@@ -153,3 +153,92 @@ def dedup_substring_common(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_docs") >= 2)
             .orderBy(F.desc("occurrences"), F.asc("gram"))
             .limit(TOP_N))
+
+
+@declare(
+    "dedup_substring_scrub",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+               substr(text, CAST(t.i AS INT), {K}) AS gram
+        FROM documents CROSS JOIN LATERAL
+             unnest(range(1, length(text) - {K - 2})) AS t(i)
+        WHERE text IS NOT NULL AND length(text) >= {K}
+    ), rk AS (
+        SELECT doc_id, i,
+               ROW_NUMBER() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, i) AS rn,
+               COUNT(*) OVER (PARTITION BY gram) AS cnt
+        FROM sh
+    ), rem AS (
+        SELECT DISTINCT doc_id, CAST(u.c AS BIGINT) AS c
+        FROM rk CROSS JOIN LATERAL unnest(range(i, i + {K})) AS u(c)
+        WHERE cnt >= 2 AND rn >= 2
+    ), ch AS (
+        SELECT doc_id, CAST(t.c AS BIGINT) AS c,
+               substr(text, CAST(t.c AS INT), 1) AS ch
+        FROM documents CROSS JOIN LATERAL
+             unnest(range(1, length(text) + 1)) AS t(c)
+        WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN rem.c IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN rem.c IS NULL THEN ch.ch END, ''
+                               ORDER BY ch.c), '') AS text_scrub
+    FROM ch LEFT JOIN rem ON ch.doc_id = rem.doc_id AND ch.c = rem.c
+    GROUP BY ch.doc_id
+    """,
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr REMOVAL step — produce the cleaned corpus, not just
+    the statistics: every K-char window that duplicates an earlier occurrence
+    (keep-first under the global (doc_id, position) order) has its characters
+    removed, and each document is re-assembled from its surviving characters
+    (Lee et al. ACL'22 cut duplicated spans the same way; ``dedup_lines`` is
+    the fixed-token-grid cousin).  The FIRST occurrence of a duplicated
+    window survives unless another duplicated window overlaps it —
+    span-union semantics, stated contract.
+
+    Scale shape: the occurrence ranking is one window over ``gram``
+    (rank + count share the partition key, one exchange); removed positions
+    explode K rows per duplicated window and dedupe to char granularity; the
+    re-assembly is the ``dedup_lines`` idiom — char rows LEFT-JOIN the
+    removed set on (doc, position), one per-doc agg with a sorted
+    collect_list.  Every stage is linear in corpus characters (the same size
+    class as the shingle scan itself); a mega-duplicated gram makes a big
+    window partition — the same skew class as ``dedup_lines``'s line window,
+    bounded because position-tagged occurrences of one gram are capped by
+    corpus size, not by pair products.  Zero-length documents have no
+    characters and are excluded (same contract as ``dedup_lines``)."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    sh = (docs.filter(F.length("text") >= K)
+          .select("doc_id", "text",
+                  F.explode(F.expr(f"sequence(1, length(text) - {K - 1})"))
+                  .alias("i"))
+          .select("doc_id", "i",
+                  F.expr(f"substring(text, i, {K})").alias("gram")))
+    wg = W.partitionBy("gram")
+    rk = (sh.withColumn("rn", F.row_number().over(
+              wg.orderBy("doc_id", "i")))
+          .withColumn("cnt", F.count(F.lit(1)).over(wg)))
+    rem = (rk.filter((F.col("cnt") >= 2) & (F.col("rn") >= 2))
+           .select("doc_id",
+                   F.explode(F.expr(f"sequence(i, i + {K - 1})")).alias("c"))
+           .distinct())
+    ch = (docs.filter(F.length("text") > 0)
+          .select("doc_id", "text",
+                  F.explode(F.expr("sequence(1, length(text))")).alias("c"))
+          .select("doc_id", "c", F.expr("substring(text, c, 1)").alias("ch")))
+    flagged = (ch.join(rem.withColumn("rem", F.lit(1)), ["doc_id", "c"],
+                       "left"))
+    kept = F.when(F.col("rem").isNull(), F.struct("c", "ch"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_chars"),
+                 F.sum(F.when(F.col("rem").isNotNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_removed"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda s: s["ch"]), "").alias("text_scrub")))

@@ -398,3 +398,47 @@ def test_perplexity_unigram_is_nonnegative_and_total(spark):
         assert out.agg(F.sum("n_tokens")).collect()[0][0] == total
     finally:
         out.unpersist()
+
+
+def test_substring_scrub_keep_first_semantics(spark, tmp_path):
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    uniq = "".join(chr(33 + i) for i in range(80))
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            uniq,        # first occurrence of every window -> fully kept
+            uniq,        # every window rn=2 -> fully scrubbed
+            "z" * 41,    # self-repeat: window@1 kept, window@2 removed
+            "w" * 39,    # below K -> no windows -> fully kept
+        ],
+        "lang": ["en"] * 4, "source": ["t"] * 4, "n_chars": [80, 80, 41, 39],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r.asDict()
+           for r in load_all()["dedup_substring_scrub"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert out[1]["text_scrub"] == uniq and out[1]["n_removed"] == 0
+    assert out[2]["text_scrub"] == "" and out[2]["n_removed"] == 80
+    # doc 3: removed span = chars 2..41 (the rn=2 window), first char survives
+    assert out[3]["text_scrub"] == "z" and out[3]["n_removed"] == 40
+    assert out[4]["text_scrub"] == "w" * 39 and out[4]["n_removed"] == 0
+
+
+def test_substring_scrub_conserves_characters(spark):
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "dedup_substring_scrub").cache()
+    try:
+        # length(text_scrub) + n_removed == n_chars on every row
+        assert out.filter(
+            F.length("text_scrub") + F.col("n_removed") != F.col("n_chars")
+        ).count() == 0
+        # the fixture contains near-dups, so scrubbing must bite somewhere
+        assert out.agg(F.sum("n_removed")).collect()[0][0] > 0
+        # scrubbed text is a subsequence start-anchored check: every doc's
+        # kept text has length <= original
+        assert out.filter(F.length("text_scrub") > F.col("n_chars")).count() == 0
+    finally:
+        out.unpersist()
