@@ -170,75 +170,142 @@ def dedup_substring_common(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY doc_id, i) AS rn,
                COUNT(*) OVER (PARTITION BY gram) AS cnt
         FROM sh
-    ), rem AS (
-        SELECT DISTINCT doc_id, CAST(u.c AS BIGINT) AS c
-        FROM rk CROSS JOIN LATERAL unnest(range(i, i + {K})) AS u(c)
+    ), dup AS (
+        SELECT doc_id, i, i + {K - 1} AS e FROM rk
         WHERE cnt >= 2 AND rn >= 2
-    ), ch AS (
-        SELECT doc_id, CAST(t.c AS BIGINT) AS c,
-               substr(text, CAST(t.c AS INT), 1) AS ch
-        FROM documents CROSS JOIN LATERAL
-             unnest(range(1, length(text) + 1)) AS t(c)
-        WHERE text IS NOT NULL AND length(text) > 0
+    ), marked AS (
+        SELECT doc_id, i, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pe
+        FROM dup
+    ), numbered AS (
+        SELECT doc_id, i, e,
+               SUM(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS g
+        FROM marked
+    ), islands AS (
+        SELECT doc_id, g, MIN(i) AS s, MAX(e) AS e
+        FROM numbered GROUP BY doc_id, g
+    ), docs0 AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), frags AS (
+        SELECT doc_id,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+                   AS fs,
+               s - 1 AS fe
+        FROM islands
+        UNION ALL
+        SELECT doc_id, MAX(e) + 1 AS fs, NULL AS fe
+        FROM islands GROUP BY doc_id
+        UNION ALL
+        SELECT d.doc_id, 1 AS fs, NULL AS fe
+        FROM docs0 d ANTI JOIN islands USING (doc_id)
+    ), fr AS (
+        SELECT f.doc_id, f.fs, COALESCE(f.fe, d.n) AS fe, d.n, d.text
+        FROM frags f JOIN docs0 d USING (doc_id)
+    ), removed AS (
+        SELECT doc_id, SUM(e - s + 1) AS n_removed FROM islands
+        GROUP BY doc_id
     )
-    SELECT ch.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_chars,
-           CAST(SUM(CASE WHEN rem.c IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_removed,
-           COALESCE(string_agg(CASE WHEN rem.c IS NULL THEN ch.ch END, ''
-                               ORDER BY ch.c), '') AS text_scrub
-    FROM ch LEFT JOIN rem ON ch.doc_id = rem.doc_id AND ch.c = rem.c
-    GROUP BY ch.doc_id
+    SELECT fr.doc_id,
+           CAST(MAX(fr.n) AS BIGINT) AS n_chars,
+           CAST(COALESCE(MAX(removed.n_removed), 0) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(
+               CASE WHEN fe >= fs
+                    THEN substr(text, CAST(fs AS INT),
+                                CAST(fe - fs + 1 AS INT))
+                    ELSE '' END, '' ORDER BY fs), '') AS text_scrub
+    FROM fr LEFT JOIN removed USING (doc_id)
+    GROUP BY fr.doc_id
     """,
 )
 def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ExactSubstr REMOVAL step — produce the cleaned corpus, not just
     the statistics: every K-char window that duplicates an earlier occurrence
     (keep-first under the global (doc_id, position) order) has its characters
-    removed, and each document is re-assembled from its surviving characters
+    removed, and each document is re-assembled from its surviving spans
     (Lee et al. ACL'22 cut duplicated spans the same way; ``dedup_lines`` is
     the fixed-token-grid cousin).  The FIRST occurrence of a duplicated
     window survives unless another duplicated window overlaps it —
     span-union semantics, stated contract.
 
-    Scale shape: the occurrence ranking is one window over ``gram``
-    (rank + count share the partition key, one exchange); removed positions
-    explode K rows per duplicated window and dedupe to char granularity; the
-    re-assembly is the ``dedup_lines`` idiom — char rows LEFT-JOIN the
-    removed set on (doc, position), one per-doc agg with a sorted
-    collect_list.  Every stage is linear in corpus characters (the same size
-    class as the shingle scan itself); a mega-duplicated gram makes a big
-    window partition — the same skew class as ``dedup_lines``'s line window,
-    bounded because position-tagged occurrences of one gram are capped by
-    corpus size, not by pair products.  Zero-length documents have no
-    characters and are excluded (same contract as ``dedup_lines``)."""
-    docs = load_table(spark, sf_dir, "documents") \
-        .filter(F.col("text").isNotNull())
-    sh = (docs.filter(F.length("text") >= K)
+    Scale shape — interval algebra, never per-character rows: the occurrence
+    ranking is one window over ``gram`` (rank + count share the partition
+    key, one exchange); duplicated windows then merge into DISJOINT removed
+    intervals per document with the gaps-and-islands running-max idiom (one
+    doc-keyed window exchange), and each document re-assembles from the
+    complement segments — codegen'd ``substring`` per kept span, a sorted
+    collect_list of (position, fragment), segments per doc = islands + 1.
+    The r11 first cut exploded K rows per duplicated window and LEFT-JOINed
+    at char granularity: on a heavily-duplicated corpus (the 10× clique
+    replica is ~90% duplicated windows) that is a K× row amplification —
+    measured 15.8× at 10× (93.5 s); the island form touches each duplicated
+    window once and each document once (re-measured 5.6× / 28 s).  A
+    mega-duplicated gram makes a big rank-window partition — the same skew
+    class as ``dedup_lines``'s line window, bounded by corpus size, not pair
+    products.  Zero-length documents have no characters and are excluded
+    (same contract as ``dedup_lines``)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+            .select("doc_id", "text",
+                    F.length("text").cast("bigint").alias("n")))
+    sh = (docs.filter(F.col("n") >= K)
           .select("doc_id", "text",
                   F.explode(F.expr(f"sequence(1, length(text) - {K - 1})"))
                   .alias("i"))
           .select("doc_id", "i",
                   F.expr(f"substring(text, i, {K})").alias("gram")))
     wg = W.partitionBy("gram")
-    rk = (sh.withColumn("rn", F.row_number().over(
-              wg.orderBy("doc_id", "i")))
-          .withColumn("cnt", F.count(F.lit(1)).over(wg)))
-    rem = (rk.filter((F.col("cnt") >= 2) & (F.col("rn") >= 2))
-           .select("doc_id",
-                   F.explode(F.expr(f"sequence(i, i + {K - 1})")).alias("c"))
-           .distinct())
-    ch = (docs.filter(F.length("text") > 0)
-          .select("doc_id", "text",
-                  F.explode(F.expr("sequence(1, length(text))")).alias("c"))
-          .select("doc_id", "c", F.expr("substring(text, c, 1)").alias("ch")))
-    flagged = (ch.join(rem.withColumn("rem", F.lit(1)), ["doc_id", "c"],
-                       "left"))
-    kept = F.when(F.col("rem").isNull(), F.struct("c", "ch"))
-    return (flagged.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_chars"),
-                 F.sum(F.when(F.col("rem").isNotNull(), 1).otherwise(0))
-                 .cast("bigint").alias("n_removed"),
+    dup = (sh.withColumn("rn", F.row_number().over(
+               wg.orderBy("doc_id", "i")))
+           .withColumn("cnt", F.count(F.lit(1)).over(wg))
+           .filter((F.col("cnt") >= 2) & (F.col("rn") >= 2))
+           .select("doc_id", "i", (F.col("i") + (K - 1)).alias("e")))
+    # gaps-and-islands: an interval starts a new island iff it begins past
+    # the running max end of everything before it; islands are disjoint by
+    # construction, so their lengths sum without double counting
+    wd = W.partitionBy("doc_id").orderBy("i")
+    numbered = (dup
+                .withColumn("pe", F.max("e").over(
+                    wd.rowsBetween(W.unboundedPreceding, -1)))
+                .withColumn("g", F.sum(
+                    F.when(F.col("pe").isNull()
+                           | (F.col("i") > F.col("pe")), 1).otherwise(0))
+                    .over(wd.rowsBetween(W.unboundedPreceding, 0))))
+    islands = (numbered.groupBy("doc_id", "g")
+               .agg(F.min("i").alias("s"), F.max("e").alias("e")))
+    # kept fragments: before each island, after the last island, and the
+    # whole document when nothing was removed
+    wi = W.partitionBy("doc_id").orderBy("s")
+    before = islands.select(
+        "doc_id",
+        (F.coalesce(F.lag("e").over(wi), F.lit(0)) + 1).alias("fs"),
+        (F.col("s") - 1).alias("fe"))
+    tail = (islands.groupBy("doc_id")
+            .agg((F.max("e") + 1).alias("fs"),
+                 F.lit(None).cast("bigint").alias("fe")))
+    whole = (docs.join(islands, "doc_id", "left_anti")
+             .select("doc_id", F.lit(1).cast("bigint").alias("fs"),
+                     F.lit(None).cast("bigint").alias("fe")))
+    frags = before.unionByName(tail).unionByName(whole)
+    fr = (frags.join(docs, "doc_id")
+          .withColumn("fe", F.coalesce("fe", "n"))
+          .withColumn("frag", F.when(
+              F.col("fe") >= F.col("fs"),
+              F.expr("substring(text, cast(fs as int), "
+                     "cast(fe - fs + 1 as int))")).otherwise(F.lit(""))))
+    removed = (islands.groupBy("doc_id")
+               .agg(F.sum(F.col("e") - F.col("s") + 1).alias("n_removed")))
+    return (fr.join(removed, "doc_id", "left")
+            .groupBy("doc_id")
+            .agg(F.max("n").cast("bigint").alias("n_chars"),
+                 F.coalesce(F.max("n_removed"), F.lit(0)).cast("bigint")
+                 .alias("n_removed"),
                  F.array_join(
-                     F.transform(F.array_sort(F.collect_list(kept)),
-                                 lambda s: s["ch"]), "").alias("text_scrub")))
+                     F.transform(F.array_sort(F.collect_list(
+                         F.struct("fs", "frag"))),
+                         lambda s: s["frag"]), "").alias("text_scrub")))
