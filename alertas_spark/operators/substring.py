@@ -233,22 +233,28 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     window survives unless another duplicated window overlaps it —
     span-union semantics, stated contract.
 
-    Scale shape — interval algebra, never per-character rows: the occurrence
-    ranking is one window over ``gram`` (rank + count share the partition
-    key, one exchange); duplicated windows then merge into DISJOINT removed
-    intervals per document with the gaps-and-islands running-max idiom (one
-    doc-keyed window exchange), and each document re-assembles from the
+    Scale shape — interval algebra, never per-character rows: keep-first is
+    a ``min(struct(doc_id, i))`` + count hash agg per gram (map-side
+    combined) with an equi join-back over ONE cached gram-partitioned
+    shingle copy, NOT a rank window — a window funnels every occurrence of
+    a mega-duplicated gram (billions at 100 TB for one boilerplate string)
+    into one SORTING task, while here the mega-gram streams through a
+    hash-join probe, linear and spill-free; the cache is disk-backed
+    (shuffle-class cost, not a memory bet).  Both shapes were measured on
+    the 10× clique replica: rank window 5.0 s/28.1 s (1×/10×), this form
+    6.2 s/38.4 s — the ~1.2× premium buys away the single-task sort cliff,
+    which on the target domain (license blocks, template boilerplate) is a
+    job-killer, not a tail case.  Duplicated windows then merge into
+    DISJOINT removed intervals per document with the gaps-and-islands
+    running-max idiom (one doc-keyed window exchange — per-DOC partitions,
+    bounded by document length), and each document re-assembles from the
     complement segments — codegen'd ``substring`` per kept span, a sorted
     collect_list of (position, fragment), segments per doc = islands + 1.
     The r11 first cut exploded K rows per duplicated window and LEFT-JOINed
-    at char granularity: on a heavily-duplicated corpus (the 10× clique
-    replica is ~90% duplicated windows) that is a K× row amplification —
-    measured 15.8× at 10× (93.5 s); the island form touches each duplicated
-    window once and each document once (re-measured 5.6× / 28 s).  A
-    mega-duplicated gram makes a big rank-window partition — the same skew
-    class as ``dedup_lines``'s line window, bounded by corpus size, not pair
-    products.  Zero-length documents have no characters and are excluded
-    (same contract as ``dedup_lines``)."""
+    at char granularity: on a heavily-duplicated corpus (the 10× replica is
+    ~90% duplicated windows) that is a K× row amplification — measured
+    15.8× at 10× (93.5 s).  Zero-length documents have no characters and
+    are excluded (same contract as ``dedup_lines``)."""
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("text").isNotNull() & (F.length("text") > 0))
             .select("doc_id", "text",
@@ -259,11 +265,31 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("i"))
           .select("doc_id", "i",
                   F.expr(f"substring(text, i, {K})").alias("gram")))
-    wg = W.partitionBy("gram")
-    dup = (sh.withColumn("rn", F.row_number().over(
-               wg.orderBy("doc_id", "i")))
-           .withColumn("cnt", F.count(F.lit(1)).over(wg))
-           .filter((F.col("cnt") >= 2) & (F.col("rn") >= 2))
+    # keep-first WITHOUT a rank window: "occurrence is removed iff its gram
+    # occurs >= 2 times and it is not the lexicographic-min (doc_id, i)" is
+    # the same set row_number()-over-gram selects, but min(struct) is a
+    # map-side-combinable aggregate and the join-back an equi join — a rank
+    # window funnels EVERY occurrence of a mega-gram (billions at 100 TB for
+    # one boilerplate string) into one SORTING task; here the mega-gram
+    # streams through a hash-join probe, linear and spill-free.  Structs
+    # compare field-by-field, so min(struct(doc_id, i)) IS the keep-first
+    # occurrence.  The shingle table is repartitioned on gram ONCE and
+    # materialized through the tracked cache: both the stats agg and the
+    # join stream read the same HashPartitioning(gram) copy, so neither
+    # needs another exchange and the explode never re-runs (an uncached
+    # shape re-computed the scan+explode per consumer and shuffled the wide
+    # grams twice — measured 12.6 s vs ~5 s at sf0.1).
+    from alertas_spark.operators import memo
+
+    shc = memo.cached(
+        sh.repartition(sh.sparkSession.sparkContext.defaultParallelism,
+                       "gram"))
+    gstats = (shc.groupBy("gram")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.min(F.struct("doc_id", "i")).alias("first"))
+              .filter(F.col("cnt") >= 2))
+    dup = (shc.join(gstats, "gram")
+           .filter(F.struct("doc_id", "i") != F.col("first"))
            .select("doc_id", "i", (F.col("i") + (K - 1)).alias("e")))
     # gaps-and-islands: an interval starts a new island iff it begins past
     # the running max end of everything before it; islands are disjoint by
