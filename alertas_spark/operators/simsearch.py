@@ -300,3 +300,92 @@ def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EVERY approximate tier — IVF, PQ, PQ+rerank — against the brute-force truth,
 # and pq.py is the module that can see all of them.
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-quantized) Hamming tier — 1 bit per dimension
+# ---------------------------------------------------------------------------
+
+#: 32-bit packing words: dims 1-32 and 33-64.  Two words rather than one
+#: 64-bit long because bit 63 is unrepresentable as a positive shift in the
+#: oracle engine (BIGINT << 63 overflows there), and the word-array form IS
+#: the general design — dim > 64 packs into ceil(dim/32) words.
+_HAM_WORDS = ((1, 0), (33, 32))  # (1-based slice start, bit-offset base)
+
+_HAM_SIG_SPARK = (
+    "aggregate(zip_with(slice(emb, {start}, 32), sequence(0, 31), "
+    "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, v) -> a | v)")
+
+_HAM_SIG_DUCK = (
+    "list_reduce(list_transform(range(1, 33), i -> "
+    "CASE WHEN emb[i + {off}] > 0 THEN (1::BIGINT << (i - 1)) "
+    "ELSE 0::BIGINT END), (x, y) -> x | y)")
+
+
+@declare(
+    "simsearch_topk_hamming",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE {EMB_VALID_SQL}),
+    s AS (SELECT vec_id,
+                 {_HAM_SIG_DUCK.format(off=0)} AS sig_lo,
+                 {_HAM_SIG_DUCK.format(off=32)} AS sig_hi
+          FROM v),
+    q AS (SELECT vec_id AS query_id, sig_lo AS qlo, sig_hi AS qhi
+          FROM s WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, s.vec_id AS cand_id,
+               bit_count(xor(q.qlo, s.sig_lo))
+                   + bit_count(xor(q.qhi, s.sig_hi)) AS hamming
+        FROM q JOIN s ON q.query_id <> s.vec_id
+    ), ranked AS (
+        SELECT query_id, cand_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, cand_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk,
+           CAST(hamming AS INTEGER) AS hamming
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def simsearch_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized top-k: each embedding collapses to one SIGN BIT per
+    dimension (packed into 32-bit words), and candidates rank by Hamming
+    distance — ``bit_count(xor)`` per word, integer-only, zero float seams.
+    This is the coarsest ANN memory tier (64 dims → 8 bytes/vector, a 32×
+    compression over float32; random-hyperplane LSH theory makes sign-bit
+    Hamming a cosine estimator): cheaper than int8 (embgate) and PQ, the
+    candidate-generation stage in binary-then-rerank pipelines.  At corpus
+    scale the signature projection is a zero-shuffle scan pass; the scored
+    join broadcasts only the packed query signatures (8 bytes × queries),
+    XOR/popcount are single codegen'd JVM instructions per word, and the
+    exact rank is the two-phase top-k (per-partition shortlists, never a
+    full-corpus sort).  NaN/zero-norm vectors are excluded by the embgate
+    on BOTH engines (the oracle engine sorts NaN above zero, Spark below —
+    the validity gate removes the seam rather than pinning it).  Ties in
+    Hamming distance (common — the distance is a 0-64 integer) break by
+    cand_id, making the top-k a total order."""
+    from alertas_spark.operators.topk import ranked_topk
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("emb"))
+         .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+         .filter(valid_nrm(F.col("nrm")))
+         .select("vec_id",
+                 F.expr(_HAM_SIG_SPARK.format(start=1)).alias("sig_lo"),
+                 F.expr(_HAM_SIG_SPARK.format(start=33)).alias("sig_hi")))
+    q = (v.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("sig_lo").alias("qlo"), F.col("sig_hi").alias("qhi")))
+    scored = (v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+              .withColumn("hamming",
+                          F.expr("bit_count(qlo ^ sig_lo) "
+                                 "+ bit_count(qhi ^ sig_hi)")))
+    return (ranked_topk(scored.select("query_id", "vec_id", "hamming"),
+                        "query_id", "hamming", "vec_id", TOP_K,
+                        ascending=True)
+            .select("query_id", F.col("vec_id").alias("cand_id"),
+                    F.col("rnk").cast("int").alias("rnk"),
+                    F.col("hamming").cast("int").alias("hamming")))

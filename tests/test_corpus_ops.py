@@ -442,3 +442,60 @@ def test_substring_scrub_conserves_characters(spark):
         assert out.filter(F.length("text_scrub") > F.col("n_chars")).count() == 0
     finally:
         out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# simsearch_topk_hamming: binary-tier invariants
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_topk_shape_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "simsearch_topk_hamming").cache()
+    try:
+        # distance is 0..64 (one sign bit per dimension), self excluded,
+        # exactly TOP_K ranks 1..k per query, ranks strictly ordered by
+        # (hamming, cand_id)
+        assert out.filter("hamming < 0 OR hamming > 64").count() == 0
+        assert out.filter("query_id = cand_id").count() == 0
+        per_q = out.groupBy("query_id").agg(
+            F.count("*").alias("n"), F.min("rnk").alias("lo"),
+            F.max("rnk").alias("hi"))
+        assert per_q.filter("n != 5 OR lo != 1 OR hi != 5").count() == 0
+        disordered = out.alias("a").join(
+            out.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.rnk") + 1 == F.col("b.rnk"))
+            & ((F.col("a.hamming") > F.col("b.hamming"))
+               | ((F.col("a.hamming") == F.col("b.hamming"))
+                  & (F.col("a.cand_id") > F.col("b.cand_id")))))
+        assert disordered.count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_hamming_identical_vector_is_rank_one(spark, tmp_path):
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    # vec 20 is an exact copy of query 0 -> hamming 0 -> rank 1;
+    # vec 21 flips one dimension's sign -> hamming 1
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    flip = list(base)
+    flip[7] = -flip[7]
+    rows = [(0, base, 0), (20, list(base), 1), (21, flip, 1)]
+    rows += [(i, [(-1.0) ** (i + j) for j in range(64)], 2)
+             for i in range(30, 36)]
+    pd.DataFrame({
+        "vec_id": [r[0] for r in rows],
+        "embedding": [r[1] for r in rows],
+        "label": [r[2] for r in rows],
+    }).to_parquet(tmp_path / "embeddings.parquet")
+    out = [(r["cand_id"], r["hamming"]) for r in
+           load_all()["simsearch_topk_hamming"]
+           .builder(spark, str(tmp_path))
+           .filter("query_id = 0").orderBy("rnk").collect()]
+    assert out[0] == (20, 0)
+    assert out[1] == (21, 1)
