@@ -56,6 +56,7 @@ QUERIES = [
     "profile_columns",             # exact distinct + quantiles (two-pass)
     "profile_columns_approx",      # sketch profiling (documents ×N)
     "simsearch_topk_ivf_trained",  # Lloyd training + pruned top-k (embeddings ×N)
+    "simsearch_topk_hamming",      # sign-bit binary tier, bit_count(xor) (r11)
     "simsearch_topk_pq",           # numpy ADC + two-phase top-k (r6 rewrite)
     "simsearch_topk_pq_reranked",  # ADC shortlist + exact re-rank
     "asof_join_salted",            # segmented carry-forward as-of join
