@@ -1,0 +1,320 @@
+"""Subword tokenization — a trained BPE merge-table tokenizer.
+
+The text tier's ``token_count`` is a regex word count and ``perplexity_unigram``
+scores whole words; a real LLM data pipeline costs, filters, and packs by
+SUBWORD counts (the unit models actually consume).  This module trains a
+byte-pair-encoding merge table on the corpus (Sennrich, Haddow & Birch, *Neural
+Machine Translation of Rare Words with Subword Units*, ACL 2016) and applies it
+— the same trained-artifact lifecycle as the k-means / PQ quantizers
+(operators/kmeans.py, operators/pq.py): train once per corpus snapshot, persist
+through the artifact store, and every later session tokenizes without touching
+the trainer.
+
+Deterministic contract (both engines, all tiers, bit-for-bit):
+
+* **pre-tokenization** — words are ``[a-z0-9]+`` runs of ``lower(text)``, the
+  corpus convention every green textops query shares; merges never cross word
+  boundaries.
+* **training** — vocabulary = top ``VOCAB_TOP`` words by (freq DESC, word ASC);
+  each of ``N_MERGES`` rounds counts freq-weighted adjacent token pairs
+  (all adjacent index pairs, overlaps included) and merges the (count DESC,
+  lhs ASC, rhs ASC) winner.  Ties and float seams: none — counts are integer,
+  order is total.
+* **merge application** — token state is the DOUBLE-delimited string
+  ``||t1||t2||...||`` (``|`` cannot occur in a ``[a-z0-9]+`` word); applying
+  merge (lhs, rhs) is ONE ``replace`` of ``|lhs||rhs|`` by ``|lhsrhs|``,
+  ranks applied in order.  The double separator is load-bearing: CONSECUTIVE
+  pair occurrences (``[a,b,a,b]``) share no characters between their
+  patterns, so one left-to-right replace pass merges them all and equals
+  canonical BPE's single-merge application exactly — left-to-right
+  NON-overlapping at token level (``[a,a,a]`` → ``[aa, a]``), full token
+  anchoring on both sides (``[ab,a,b]`` merges only the trailing pair,
+  ``[xa,a]`` never matches mid-token).  Python ``str.replace``, Spark
+  ``replace``, and DuckDB ``replace`` implement the identical scan —
+  verified case-by-case against a token-level reference implementation
+  (tests/test_bpe.py pins all the edge shapes above).
+
+Scale shape:
+
+* **training input** is the word-frequency relation — one corpus scan + one
+  hash agg (map-side combined) + a top-``VOCAB_TOP`` TakeOrderedAndProject;
+  the driver-side loop then runs on ≤ VOCAB_TOP tiny strings (the standard
+  BPE trainer shape: cost ∝ vocabulary, not corpus — at 100 TB the agg is the
+  only corpus-sized stage).  The collect here is a trainer-scalar site, same
+  class as the PQ seed collect (pq.py:231): bounded rows, artifact-building
+  only, never on the per-row query path.
+* **apply cost ∝ vocabulary, not corpus** — the corpus explodes to
+  (doc_id, word) once; tokenization runs on the DISTINCT word relation and
+  joins back by word (AQE broadcasts the vocab side when it is small; at
+  web-corpus vocabulary the join-back is a plain shuffle join on the word
+  key).  Two tiers, one contract:
+  - :func:`bpe_token_count` — Arrow-batched pandas UDF over the distinct
+    words with the merge list in an ``sc.broadcast`` (the production tier:
+    a 32k-merge table is a dict lookup per pair in Python, unrepresentable
+    as a codegen expression);
+  - :func:`bpe_token_count_builtin` — the merge chain unrolled into
+    ``N_MERGES`` codegen'd ``replace`` calls (JVM-side, zero Python; viable
+    exactly because the fixture-scale table is small — the repo's
+    built-ins-first rule, same dual-tier pattern as
+    ``trimmed_mean_order_value``).
+* the merge table itself is ≤ ``N_MERGES`` rows — persisted parquet artifact,
+  versioned by the documents fingerprint, loaded in milliseconds by later
+  sessions (proof: tests/test_artifacts.py registry test + bench's
+  persistent-warm tier).
+
+Oracle: the DuckDB SQL replicates the TRAINER, not just the apply — the
+training loop unrolls into ``N_MERGES`` materialized CTE steps (pair-count →
+arg-max → replace), the same replicate-the-training pattern as
+``pq_encode_trained``'s ``_DUCK_TRAINED``; at production merge counts the
+unrolled oracle is the test-scale verification harness, not the serving path.
+
+``N_MERGES``/``VOCAB_TOP`` are fixture-scale knobs (16/256): large enough that
+merges provably compose into multi-char tokens (rank-15 on the sf0.01 corpus
+is ``h + ash → hash``), small enough that the unrolled oracle stays readable.
+Production values (32k/1M) change constants, not shapes.
+
+No reference counterpart (the reference engine has no text functions beyond
+LIKE/slugify); LLM-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alertas_spark.operators.artifacts import persistent_artifact
+from alertas_spark.registry import declare
+from alertas_spark.sources.catalog import load_table
+
+#: merge-table size (training rounds) — fixture-scale, see module docstring.
+N_MERGES = 16
+#: training vocabulary cutoff: top words by (freq DESC, word ASC).
+VOCAB_TOP = 256
+#: bump when trainer logic changes — part of the artifact version key.
+CODE_VERSION = "bpe-r12b"
+
+_WORD_RE = "[a-z0-9]+"
+
+
+# ---------------------------------------------------------------------------
+# trainer
+# ---------------------------------------------------------------------------
+
+def _train_merges_py(words: list[tuple[str, int]]) -> list[tuple[int, str, str, int]]:
+    """The driver-side BPE loop over the (word, freq) vocabulary — the exact
+    contract the module docstring states.  O(VOCAB_TOP · N_MERGES · len(word));
+    microseconds at fixture scale, <1 s at production knobs."""
+    st = [("||" + "||".join(w) + "||", f) for w, f in words]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, N_MERGES + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for s, f in st:
+            toks = s.split("||")[1:-1]
+            for a, b in zip(toks, toks[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + f
+        if not cnt:
+            break
+        (lhs, rhs), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lhs, rhs, c))
+        pat, rep = f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|"
+        st = [(s.replace(pat, rep), f) for s, f in st]
+    return merges
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word): every word occurrence in the corpus — narrow explode."""
+    return (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.explode(F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit(_WORD_RE), 0))
+                    .alias("word")))
+
+
+def trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained merge table (rank, lhs, rhs, freq) through the persistent
+    artifact store — trains at most once per corpus snapshot per deployment."""
+
+    def build() -> DataFrame:
+        vocab = (_doc_words(spark, sf_dir)
+                 .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+                 .orderBy(F.desc("freq"), F.asc("word"))
+                 .limit(VOCAB_TOP)
+                 .collect())  # trainer-scalar collect: ≤ VOCAB_TOP rows
+        merges = _train_merges_py([(r["word"], r["freq"]) for r in vocab])
+        return spark.createDataFrame(
+            merges, schema="rank int, lhs string, rhs string, freq bigint")
+
+    return persistent_artifact(spark, sf_dir, "bpe_merges", CODE_VERSION,
+                               "documents", build)
+
+
+def _merges_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Rank-ordered (lhs, rhs) pairs, driver-side — a ≤ N_MERGES-row read of
+    the artifact relation (broadcast/codegen tiers need the literals)."""
+    rows = trained_merges(spark, sf_dir).orderBy("rank").collect()
+    return [(r["lhs"], r["rhs"]) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — replicates the trainer, then the apply
+# ---------------------------------------------------------------------------
+
+def _train_ctes() -> str:
+    """The unrolled training loop as materialized CTEs ending in ``merges``.
+
+    MATERIALIZED is load-bearing: each step references the previous state up
+    to three times (pair count + two scalar subqueries); inlined CTEs would
+    re-evaluate the chain exponentially."""
+    parts = [f"""w0 AS MATERIALIZED (
+        SELECT t.w AS word, CAST(count(*) AS BIGINT) AS freq FROM documents,
+        LATERAL unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS t(w)
+        GROUP BY t.w ORDER BY count(*) DESC, t.w LIMIT {VOCAB_TOP})""",
+             """s0 AS MATERIALIZED (
+        SELECT word, freq,
+               '||' || list_aggr(string_split(word, ''), 'string_agg', '||')
+                    || '||' AS s
+        FROM w0)"""]
+    for t in range(1, N_MERGES + 1):
+        parts.append(f"""b{t} AS MATERIALIZED (
+        SELECT {t} AS rank, z.pr[1] AS lhs, z.pr[2] AS rhs,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, list_filter(string_split(s, '||'),
+                                       x -> x <> '') AS tk FROM s{t - 1}),
+        LATERAL unnest(list_zip(tk, tk[2:])) AS z(pr)
+        WHERE z.pr[2] IS NOT NULL
+        GROUP BY 2, 3 ORDER BY cnt DESC, lhs, rhs LIMIT 1)""")
+        parts.append(f"""s{t} AS MATERIALIZED (
+        SELECT word, freq,
+        replace(s,
+            coalesce((SELECT '|' || lhs || '||' || rhs || '|' FROM b{t}),
+                     chr(2)),
+            coalesce((SELECT '|' || lhs || rhs || '|' FROM b{t}),
+                     chr(2))) AS s
+        FROM s{t - 1})""")
+    parts.append("merges AS ("
+                 + " UNION ALL ".join(f"SELECT * FROM b{t}"
+                                      for t in range(1, N_MERGES + 1)) + ")")
+    return ",\n".join(parts)
+
+
+def _apply_ctes() -> str:
+    """Tokenize every DISTINCT corpus word with the trained merges (the same
+    vocabulary-not-corpus shape the Spark tiers use), ending in
+    ``tokc(word, ntok)`` and ``docw(doc_id, word)``."""
+    parts = [f"""docw AS MATERIALIZED (
+        SELECT doc_id, t.w AS word FROM documents,
+        LATERAL unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS t(w))""",
+             """a0 AS MATERIALIZED (
+        SELECT DISTINCT word,
+               '||' || list_aggr(string_split(word, ''), 'string_agg', '||')
+                    || '||' AS s
+        FROM docw)"""]
+    for t in range(1, N_MERGES + 1):
+        parts.append(f"""a{t} AS MATERIALIZED (
+        SELECT word,
+        replace(s,
+            coalesce((SELECT '|' || lhs || '||' || rhs || '|' FROM b{t}),
+                     chr(2)),
+            coalesce((SELECT '|' || lhs || rhs || '|' FROM b{t}),
+                     chr(2))) AS s
+        FROM a{t - 1})""")
+    parts.append(f"""tokc AS MATERIALIZED (
+        SELECT word,
+               CAST(len(list_filter(string_split(s, '||'), x -> x <> ''))
+                    AS BIGINT) AS ntok
+        FROM a{N_MERGES})""")
+    return ",\n".join(parts)
+
+
+_TOKEN_COUNT_ORACLE = f"""
+    WITH {_train_ctes()},
+    {_apply_ctes()}
+    SELECT docw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens
+    FROM docw JOIN tokc USING (word)
+    GROUP BY docw.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+@declare(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH {_train_ctes()}
+    SELECT rank, lhs, rhs, cnt AS freq FROM merges ORDER BY rank
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained merge table itself — (rank, lhs, rhs, freq), rank-ordered.
+    The oracle retrains from scratch in unrolled SQL, so a green row proves
+    the corpus-side vocabulary agg, the cutoff order, and every merge round's
+    winner (count DESC, lhs, rhs) all match an independent engine exactly."""
+    return trained_merges(spark, sf_dir).orderBy("rank")
+
+
+def _doc_token_counts(spark: SparkSession, sf_dir: str,
+                      ntok_for: Callable) -> DataFrame:
+    """Shared apply shape for both tiers: distinct-word tokenization via
+    ``ntok_for`` (column-in → bigint-token-count-out), joined back to word
+    occurrences, rolled up per document.  Documents with zero ``[a-z0-9]+``
+    words have nothing to tokenize and are excluded (oracle join semantics)."""
+    docw = _doc_words(spark, sf_dir)
+    tokc = (docw.select("word").distinct()
+            .withColumn("ntok", ntok_for(F.col("word"))))
+    return (docw.join(tokc, "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("ntok").cast("bigint").alias("n_tokens")))
+
+
+@declare("bpe_token_count", oracle=_TOKEN_COUNT_ORACLE)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword counts under the trained merge table — the
+    production tier: merges ride an ``sc.broadcast`` into an Arrow-batched
+    pandas UDF that runs once per DISTINCT word (vocabulary-sized Python,
+    corpus-sized work stays in codegen'd explode/join/agg)."""
+    merges = _merges_list(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(merges)
+
+    @F.pandas_udf("bigint")
+    def ntok(words: pd.Series) -> pd.Series:
+        ms = bc.value
+
+        def one(w: str) -> int:
+            s = "||" + "||".join(w) + "||"
+            for lhs, rhs in ms:
+                s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
+            return s.count("|") // 2 - 1
+
+        return words.map(one)
+
+    return _doc_token_counts(spark, sf_dir, ntok)
+
+
+@declare("bpe_token_count_builtin", oracle=_TOKEN_COUNT_ORACLE)
+def bpe_token_count_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ``bpe_token_count``, zero Python on the data path:
+    the merge chain unrolls into N_MERGES codegen'd ``replace`` calls over the
+    delimited state string (state init is one ``regexp_replace``).  Viable
+    exactly while the merge table is expression-sized; the pandas tier is the
+    unbounded-table path — the module's measured built-in/UDF pair, like
+    ``trimmed_mean_order_value`` vs ``_builtin``."""
+    merges = _merges_list(spark, sf_dir)
+
+    def ntok(word):
+        s = F.concat(F.lit("||"), F.regexp_replace(word, "(.)", "$1||"))
+        for lhs, rhs in merges:
+            s = F.replace(s, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|"))
+        # n tokens = (pipe count) / 2 - 1; the count is always even, so the
+        # double division is exact and the cast loss-free
+        pipes = F.length(s) - F.length(F.replace(s, F.lit("|"), F.lit("")))
+        return (pipes / F.lit(2)).cast("bigint") - F.lit(1)
+
+    return _doc_token_counts(spark, sf_dir, ntok)

@@ -100,7 +100,7 @@ sig join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alertas_spark.operators import memo
@@ -204,7 +204,7 @@ def _prefix_tokens(gram: DataFrame) -> DataFrame:
             .repartition(gram.sparkSession.sparkContext.defaultParallelism))
 
 
-def _maybe_broadcast(df: DataFrame, n_units: int) -> DataFrame | Column:
+def _maybe_broadcast(df: DataFrame, n_units: int) -> DataFrame:
     """Broadcast a per-unit table only below the exact-count gate."""
     return F.broadcast(df) if n_units <= BROADCAST_MAX_UNITS else df
 

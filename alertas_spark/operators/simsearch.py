@@ -362,8 +362,10 @@ def simsearch_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     XOR/popcount are single codegen'd JVM instructions per word, and the
     exact rank is the two-phase top-k (per-partition shortlists, never a
     full-corpus sort).  NaN/zero-norm vectors are excluded by the embgate
-    on BOTH engines (the oracle engine sorts NaN above zero, Spark below —
-    the validity gate removes the seam rather than pinning it).  Ties in
+    on BOTH engines — the sign bit of a NaN component is meaningless and
+    every other ANN tier applies the same validity gate, so this tier keeps
+    the corpus-subset contract consistent (both engines evaluate NaN > 0 as
+    TRUE, so this is a semantics choice, not a comparison seam).  Ties in
     Hamming distance (common — the distance is a 0-64 integer) break by
     cand_id, making the top-k a total order."""
     from alertas_spark.operators.topk import ranked_topk

@@ -29,10 +29,25 @@ K-shingle group-by, exact for fixed K:
 
 Every stage is a linear scan + combinable hash agg; no stage is quadratic
 in anything (contrast the near-dup family, whose OUTPUT is pair-shaped).
-The gram string itself is the shuffle key here for oracle exactness; at
-100 TB carry ``xxhash64(gram)`` (8-byte keys, collision odds ~n²/2⁶⁵)
-through shuffles 1-2 and keep the string only where the output needs it
-(``dedup_substring_common``'s top-k projection re-reads just the winners).
+
+**Hashed-key scale tier (shipped r12, for the string-free outputs)** — in
+``spans`` and ``scrub`` the K-char gram STRING never crosses a shuffle:
+every wide stage is keyed on a 128-bit gram fingerprint (two independent
+``xxhash64`` words, computed scan-side in the same codegen projection as
+the ``substring``), so shuffle and cached rows carry 16-byte fixed-width
+keys instead of 40-char strings and the exchange sorts/compares longs, not
+UTF-8.  Collision contract: distinct grams colliding on BOTH words merge
+their counts; expected colliding pairs ≈ n²/2¹²⁹ — at 100 TB (~10¹⁴
+distinct grams) that is ~10⁻¹¹, i.e. zero in practice, whereas ONE 64-bit
+word collides ~n²/2⁶⁵ ≈ 10⁸ times at the same n (why the tier ships two
+words, not one).  Measured at the 10× replica: scrub 38.4 → 33.6 s (the
+cached gram-partitioned copy sheds its only wide column), spans ~flat
+(23.0 → 23.4 s — single-node shuffles land in the page cache, so key
+width is CPU-neutral there; the bytes argument is a network-shuffle one
+and the fingerprint costs nothing locally).  ``common`` alone keeps the
+string-keyed single pass: its OUTPUT is the gram string, and the measured
+re-read-the-winners variant regressed ~1.8× (numbers in its docstring).
+The oracle SQL is unchanged: hashing is plan-internal, the compare exact.
 
 No counterpart exists in the reference engine (its dedup surface is
 row-level DISTINCT — e.g. ``/root/reference/src/alertas/alerta_mvvd.py``);
@@ -44,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from alertas_spark.operators import memo
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -55,32 +71,55 @@ K = 40
 TOP_N = 100
 
 
+#: the two-word 128-bit gram fingerprint, computed in the SAME codegen
+#: projection as the substring — the string dies scan-side.  The second
+#: word salts the input with a literal so the words are independent hashes
+#: of the same gram (single-word collision odds n²/2⁶⁵ are NOT acceptable
+#: at 10¹⁴ grams; the pair's n²/2¹²⁹ is).
+_GH = "xxhash64(substring(text, i, {K}))"
+_GH2 = "xxhash64(substring(text, i, {K}), 'sub2')"
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """The K-window position stream: (doc_id, i, gh, gh2) — narrow (scan +
+    explode + codegen projection); the gram string dies inside the
+    projection, every shuffled consumer takes the 16-byte fingerprint."""
+    return (docs
+            .select("doc_id", "text",
+                    F.explode(F.expr(f"sequence(1, length(text) - {K - 1})"))
+                    .alias("i"))
+            .select("doc_id", "i",
+                    F.expr(_GH.format(K=K)).alias("gh"),
+                    F.expr(_GH2.format(K=K)).alias("gh2")))
+
+
+def _admissible_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull() & (F.length("text") >= K)))
+
+
 def _gram_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(gram, doc_id, cnt): occurrences of each K-gram within each document.
+    """(gh, gh2, doc_id, cnt): occurrences of each K-gram (by fingerprint)
+    within each document — ``spans``'s wide stage.
 
     The shingle explode is scan-side and narrow; the hash agg is the corpus-
-    character-sized shuffle, map-side combined so repeated windows collapse
-    before the exchange."""
-    docs = (load_table(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull() & (F.length("text") >= K)))
-    shingles = (docs
-                .select("doc_id", "text",
-                        F.explode(F.expr(f"sequence(1, length(text) - {K - 1})"))
-                        .alias("i"))
-                .select("doc_id",
-                        F.expr(f"substring(text, i, {K})").alias("gram")))
-    # ONE wide shuffle, keyed on gram alone: HashPartitioning(gram) satisfies
-    # clustering for the (gram, doc_id) agg, the gram window, AND the
-    # per-gram rollup downstream, so the 40-char gram strings cross the wire
-    # exactly once (the groupBy-first shape shuffled them twice — agg
-    # exchange on (gram, doc_id), window re-exchange on gram; measured
-    # 4.4 -> 3.0 s at sf0.1 and 35.4 -> 22.9 s at the 10x replica, which
-    # also pulls the 10x ratio back under linear).  Map-side combine is not
-    # lost in any way that matters: K-gram keys are near-unique per doc, so
-    # the partial agg collapsed almost nothing.
+    character-sized shuffle — keyed on the 16-byte fingerprint, so the
+    40-char strings never cross the wire at all (measured ~CPU-neutral on
+    single-node page-cache shuffle, 23.0 vs 23.4 s at the 10× replica; the
+    win is shuffle BYTES, which a network cluster pays for and a local
+    probe cannot see)."""
+    shingles = _shingles(_admissible_docs(spark, sf_dir))
+    # ONE wide shuffle, keyed on the fingerprint alone: HashPartitioning
+    # (gh, gh2) satisfies clustering for the (gram, doc_id) agg, the gram
+    # window, AND the per-gram rollup downstream (the groupBy-first shape
+    # shuffled twice — agg exchange on (gram, doc_id), window re-exchange
+    # on gram; measured 4.4 -> 3.0 s at sf0.1 on the string tier).
+    # Map-side combine is not lost in any way that matters: K-gram keys are
+    # near-unique per doc, so the partial agg collapsed almost nothing.
     n = shingles.sparkSession.sparkContext.defaultParallelism
-    return (shingles.repartition(n, "gram")
-            .groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("cnt")))
+    return (shingles.repartition(n, "gh", "gh2")
+            .groupBy("gh", "gh2", "doc_id")
+            .agg(F.count(F.lit(1)).alias("cnt")))
 
 
 @declare(
@@ -111,7 +150,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-engine compare never crosses a float seam).  Documents shorter
     than {K} chars have no window and are excluded."""
     pg = _gram_doc_counts(spark, sf_dir)
-    tot = F.sum("cnt").over(W.partitionBy("gram"))
+    tot = F.sum("cnt").over(W.partitionBy("gh", "gh2"))
     return (pg.withColumn("tot", tot)
             .groupBy("doc_id")
             .agg(F.sum("cnt").cast("bigint").alias("n_pos"),
@@ -144,9 +183,36 @@ def dedup_substring_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate / license-block / template discovery: what you grep the
     corpus for before writing removal rules).  Deterministic: ordered by
     total occurrences then gram; grams are unique post-aggregation, so the
-    LIMIT is a total order.  The global top-k is a TakeOrderedAndProject —
-    per-partition heaps, only {TOP_N} rows cross the final exchange."""
-    pg = _gram_doc_counts(spark, sf_dir)
+    LIMIT is a total order.
+
+    Scale shape — the one query in the family whose OUTPUT is the gram
+    string, and (measured, r12) the one that keeps the STRING-keyed
+    single-pass: the fingerprint-tier alternative (rollup on (gh, gh2), a
+    broadcast 1-row threshold join selecting every fingerprint tying the
+    {TOP_N}-th total, then a second narrow scan re-deriving strings for
+    just the winners) was built and probed — 2.6 → 5.1 s at 1× and
+    21.1 → 37.6 s at the 10× replica, a ~1.8× REGRESSION: on a single node
+    the re-read's second explode+hash pass costs a full scan-CPU pass while
+    the narrower shuffle keys save little (shuffle spills hit the page
+    cache, not a network).  Since this query's downstream IS the string,
+    one string-keyed pass is the honest shape; the string-free siblings
+    (spans, scrub) ship the fingerprint tier where the cached/shuffled
+    relations genuinely shed their widest column.  On a real network
+    cluster the trade can reverse — the re-read variant lives in git
+    history (r12) with both measurements if a deployment wants it.
+    The global top-k is a TakeOrderedAndProject — per-partition heaps,
+    only {TOP_N} rows cross the final exchange."""
+    docs = _admissible_docs(spark, sf_dir)
+    shingles = (docs
+                .select("doc_id", "text",
+                        F.explode(F.expr(
+                            f"sequence(1, length(text) - {K - 1})"))
+                        .alias("i"))
+                .select("doc_id",
+                        F.expr(f"substring(text, i, {K})").alias("gram")))
+    n = shingles.sparkSession.sparkContext.defaultParallelism
+    pg = (shingles.repartition(n, "gram")
+          .groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("cnt")))
     return (pg.groupBy("gram")
             .agg(F.sum("cnt").cast("bigint").alias("occurrences"),
                  F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -259,12 +325,7 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("text").isNotNull() & (F.length("text") > 0))
             .select("doc_id", "text",
                     F.length("text").cast("bigint").alias("n")))
-    sh = (docs.filter(F.col("n") >= K)
-          .select("doc_id", "text",
-                  F.explode(F.expr(f"sequence(1, length(text) - {K - 1})"))
-                  .alias("i"))
-          .select("doc_id", "i",
-                  F.expr(f"substring(text, i, {K})").alias("gram")))
+    sh = _shingles(docs.filter(F.col("n") >= K))
     # keep-first WITHOUT a rank window: "occurrence is removed iff its gram
     # occurs >= 2 times and it is not the lexicographic-min (doc_id, i)" is
     # the same set row_number()-over-gram selects, but min(struct) is a
@@ -273,22 +334,22 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one boilerplate string) into one SORTING task; here the mega-gram
     # streams through a hash-join probe, linear and spill-free.  Structs
     # compare field-by-field, so min(struct(doc_id, i)) IS the keep-first
-    # occurrence.  The shingle table is repartitioned on gram ONCE and
-    # materialized through the tracked cache: both the stats agg and the
-    # join stream read the same HashPartitioning(gram) copy, so neither
-    # needs another exchange and the explode never re-runs (an uncached
-    # shape re-computed the scan+explode per consumer and shuffled the wide
-    # grams twice — measured 12.6 s vs ~5 s at sf0.1).
-    from alertas_spark.operators import memo
-
+    # occurrence.  The shingle table is repartitioned on the fingerprint
+    # ONCE and materialized through the tracked cache — a 24-byte
+    # (doc_id, i, gh, gh2) row, no string column at all since r12 — so both
+    # the stats agg and the join stream read the same HashPartitioning
+    # (gh, gh2) copy: neither needs another exchange and the explode never
+    # re-runs (an uncached shape re-computed the scan+explode per consumer
+    # and shuffled the grams twice — measured 12.6 s vs ~5 s at sf0.1 on
+    # the string tier).
     shc = memo.cached(
         sh.repartition(sh.sparkSession.sparkContext.defaultParallelism,
-                       "gram"))
-    gstats = (shc.groupBy("gram")
+                       "gh", "gh2"))
+    gstats = (shc.groupBy("gh", "gh2")
               .agg(F.count(F.lit(1)).alias("cnt"),
                    F.min(F.struct("doc_id", "i")).alias("first"))
               .filter(F.col("cnt") >= 2))
-    dup = (shc.join(gstats, "gram")
+    dup = (shc.join(gstats, ["gh", "gh2"])
            .filter(F.struct("doc_id", "i") != F.col("first"))
            .select("doc_id", "i", (F.col("i") + (K - 1)).alias("e")))
     # gaps-and-islands: an interval starts a new island iff it begins past

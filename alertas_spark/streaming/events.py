@@ -34,17 +34,24 @@ from alertas_spark.functions.numeric import dsum
 from alertas_spark.operators.sessionize import SESSION_GAP_S, WINDOW
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-streaming source over the events table (schema from a batch peek —
-    metadata only, no scan)."""
-    path = f"{sf_dir}/events.parquet"
-    # the file stream source requires a DIRECTORY — expose the single-file table
-    # through a symlink dir (repo-local scratch)
+def _stream_source_dir(sf_dir: str, table: str) -> tuple[str, str]:
+    """(stream_dir, source_path) for a file-stream source over one table.
+
+    The file stream source requires a DIRECTORY and globs every parquet file
+    in it, so each table gets its OWN scratch subdir (events and documents
+    sharing one dir would cross-read each other's files) holding a symlink to
+    the single-file fixture table.  A table that is ALREADY a directory of
+    part files streams straight from its own path — no scratch dir (a
+    symlinked subdirectory inside one would be skipped by the file lister,
+    which only globs files)."""
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        return path, path
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     stream_dir = os.path.join(repo_root, ".fixtures", "stream",
-                              os.path.basename(os.path.normpath(sf_dir)))
+                              os.path.basename(os.path.normpath(sf_dir)), table)
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
+    link = os.path.join(stream_dir, f"{table}.parquet")
     # lexists + retarget: a stale run can leave a DANGLING symlink here (its
     # tmp fixture dir is gone), which os.path.exists reports as absent while
     # os.symlink still collides; same-basename fixtures may also need the
@@ -53,6 +60,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.remove(link)
     if not os.path.lexists(link):
         os.symlink(path, link)
+    return stream_dir, path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-streaming source over the events table (schema from a batch peek —
+    metadata only, no scan).
+
+    Table-scoped scratch subdirs keep any other streamed table's files out of
+    this source's glob (a sibling file would cross-read; a sibling SUBDIR
+    would read as a partition directory)."""
+    stream_dir, path = _stream_source_dir(sf_dir, "events")
     # events.ts encoding varies by testdata round (nanos-as-long / NTZ micros /
     # plain timestamp) — same dtype dispatch as the batch loader.
     from alertas_spark.sources.catalog import normalize_event_ts
@@ -61,6 +79,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     return normalize_event_ts(stream)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-streaming source over the documents table — the corpus-ingest
+    seam: the same parquet relation the batch cleaning operators read, driven
+    incrementally (no time encoding to normalize; documents carry no event
+    time)."""
+    stream_dir, path = _stream_source_dir(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(stream_dir)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -223,3 +223,69 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     )
     counts = stream.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return ev.run_to_memory(counts, shuffle_partitions=8)
+
+
+@declare(
+    "streaming_clean_corpus",
+    oracle="""
+    WITH gated AS (
+        SELECT lang,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS BIGINT) AS n_tok
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  BETWEEN 30 AND 2000
+          AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+              / GREATEST(length(text), 1) < 0.2
+    ), kept AS (
+        SELECT lang, norm, MIN(n_tok) AS n_tok FROM gated GROUP BY lang, norm
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def streaming_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning pipeline under INCREMENTAL execution — the batch
+    tier's quality gate (text_quality's Gopher/C4 pass rule) and exact dedup
+    (dedup_exact's normalize→md5 identity) composed into one streaming query
+    over a documents file stream: stateless scan-side gate → stateful
+    ``dropDuplicates`` on (lang, content_hash) → running per-lang corpus
+    totals.  Pins that the batch operators' column expressions survive
+    micro-batch planning unchanged — the cleaning logic is the SAME code
+    shape, only the source/sink differ.
+
+    Determinism across the dedup winner: every aggregated value is derived
+    from the lowercased token stream or the dedup key itself, and documents
+    sharing a normalized text share those exactly — so which copy survives a
+    racy first-seen dedup cannot change the output (the oracle's MIN(n_tok)
+    is a constant within each group for the same reason).
+
+    Scale contract: the gate is stateless; dedup state is one ~16-byte md5
+    key per distinct (lang, normalized-text) — bounded by DISTINCT corpus
+    content, not stream length; the per-lang rollup state is lang-cardinality
+    rows.  A production deployment bounds the dedup state further with an
+    ingest-time watermark + ``dropDuplicatesWithinWatermark`` (the
+    ``streaming_dedup_within_watermark`` pattern); the fixture replay is one
+    availableNow micro-batch, where full-replay output definitionally equals
+    the batch aggregate — the oracle."""
+    from pyspark.sql import functions as F
+
+    docs = ev.read_documents_stream(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    n_tokens = F.size(toks).cast("bigint")
+    punct_len = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    gated = (docs
+             .filter(n_tokens.between(30, 2000)
+                     & (punct_len / F.greatest(F.length("text"), F.lit(1))
+                        < 0.2))
+             .select("lang", F.md5(norm).alias("content_hash"),
+                     n_tokens.alias("n_tok")))
+    kept = gated.dropDuplicates(["lang", "content_hash"])
+    out = (kept.groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens")))
+    return ev.run_to_memory(out, shuffle_partitions=8)

@@ -159,7 +159,10 @@ def main() -> None:
                         t = round(time.time() - t0, 3)
                         persistent[name] = min(persistent.get(name, t), t)
                 except Exception as ex:
-                    persistent[name] = -1.0
+                    # a transient second-pass failure must not erase a valid
+                    # first-pass sample already min()-ed into the dict
+                    if name not in persistent:
+                        persistent[name] = -1.0
                     print(f"# bench persistent error {name}: {ex}",
                           file=sys.stderr)
         finally:

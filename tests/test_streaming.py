@@ -142,3 +142,43 @@ def test_dedup_within_watermark_suppresses_duplicates(spark, tmp_path):
             .groupBy("event_type")
             .agg(F.countDistinct("event_id").alias("n_unique")).collect()}
     assert got == want
+
+
+def test_clean_corpus_doubled_source_dedups_and_gates(spark, tmp_path):
+    """streaming_clean_corpus's dedup must collapse a doubled documents
+    source back to the single-copy result, and the output must equal the
+    batch gate+dedup+rollup aggregate (the oracle shape) exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from alertas_spark.registry import load_all
+    from alertas_spark.streaming import events as ev
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    sf = tmp_path  # a fake sf_dir whose documents table is the doubled source
+    doubled = tmp_path / "documents.parquet"
+    doubled.mkdir()
+    os.symlink(src, doubled / "a.parquet")
+    os.symlink(src, doubled / "b.parquet")
+
+    got = {tuple(r) for r in
+           load_all()["streaming_clean_corpus"]
+           .builder(spark, str(sf)).collect()}
+
+    docs = spark.read.parquet(src)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    want = {tuple(r) for r in
+            docs.filter(F.size(toks).between(30, 2000)
+                        & (punct / F.greatest(F.length("text"), F.lit(1))
+                           < 0.2))
+            .select("lang", F.md5(norm).alias("h"),
+                    F.size(toks).cast("bigint").alias("n_tok"))
+            .dropDuplicates(["lang", "h"])
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"))
+            .collect()}
+    assert got == want and len(got) > 0
