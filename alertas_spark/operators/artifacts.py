@@ -71,6 +71,7 @@ PERSISTENT_QUERIES = frozenset({
     "bpe_train_merges",             # bpe.py trained merge table
     "bpe_token_count",              # applies the bpe_merges artifact
     "bpe_token_count_builtin",      # same artifact, codegen apply tier
+    "bpe_vocab_census",             # subword census over the same artifact
 })
 
 

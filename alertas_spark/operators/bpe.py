@@ -318,3 +318,67 @@ def bpe_token_count_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (pipes / F.lit(2)).cast("bigint") - F.lit(1)
 
     return _doc_token_counts(spark, sf_dir, ntok)
+
+
+#: census report size.
+CENSUS_TOP = 50
+
+@declare(
+    "bpe_vocab_census",
+    oracle=f"""
+    WITH {_train_ctes()},
+    {_apply_ctes()},
+    wf AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM docw GROUP BY word),
+    wt AS MATERIALIZED (
+        SELECT word, t.tok AS token
+        FROM (SELECT word, list_filter(string_split(s, '||'), x -> x <> '')
+                  AS tk FROM a{N_MERGES}),
+        LATERAL unnest(tk) AS t(tok))
+    SELECT wt.token,
+           CAST(sum(wf.freq) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT wt.word) AS BIGINT) AS n_words
+    FROM wt JOIN wf USING (word)
+    GROUP BY wt.token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {CENSUS_TOP}
+    """,
+)
+def bpe_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subword vocabulary the trained tokenizer actually EMITS on this
+    corpus — top {CENSUS_TOP} tokens by occurrence (weighted by word
+    frequency) with how many distinct words each appears in.  This is the
+    post-training inspection step a tokenizer pipeline runs before freezing a
+    vocab: it shows whether merges concentrated mass into real subwords or
+    left the distribution at the character floor.
+
+    Scale shape: tokenization again runs once per DISTINCT word (the
+    Arrow-batched apply tier, tokens returned as an array column and
+    exploded); word frequencies are one corpus hash agg; the weighted census
+    is a (token)-keyed agg over vocabulary×tokens-per-word rows — every
+    corpus-sized stage is a scan or a combinable agg, and the top-k is a
+    TakeOrderedAndProject.  (occurrences DESC, token) is a total order, so
+    the LIMIT is deterministic."""
+    merges = _merges_list(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(merges)
+
+    @F.pandas_udf("array<string>")
+    def toks(words: pd.Series) -> pd.Series:
+        ms = bc.value
+
+        def one(w: str) -> list[str]:
+            s = "||" + "||".join(w) + "||"
+            for lhs, rhs in ms:
+                s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
+            return s.split("||")[1:-1]
+
+        return words.map(one)
+
+    docw = _doc_words(spark, sf_dir)
+    wf = docw.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    wt = (wf.withColumn("token", F.explode(toks(F.col("word")))))
+    return (wt.groupBy("token")
+            .agg(F.sum("freq").cast("bigint").alias("n_occurrences"),
+                 F.count_distinct("word").cast("bigint").alias("n_words"))
+            .orderBy(F.desc("n_occurrences"), F.asc("token"))
+            .limit(CENSUS_TOP))

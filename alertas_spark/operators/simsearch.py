@@ -312,6 +312,13 @@ def simsearch_topk_ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the general design — dim > 64 packs into ceil(dim/32) words.
 _HAM_WORDS = ((1, 0), (33, 32))  # (1-based slice start, bit-offset base)
 
+#: Signature build as an interpreted HOF fold — MEASURED against the repo's
+#: codegen rule (r12): the codegen'd alternative (posexplode + bit_or hash
+#: agg, the fuzzy.py ``_gram_docs`` shape) pays a 64×-row SHUFFLE for its
+#: codegen and loses — 0.25 s vs 0.16 s min-of-3 at sf0.1, identical output.
+#: The ``_gram_docs`` lesson targets per-element STRING/hash work (~50 µs/
+#: element interpreted); this lambda is a float compare + shift (~ns), so
+#: scan-side interpretation is the cheaper side of the trade here.
 _HAM_SIG_SPARK = (
     "aggregate(zip_with(slice(emb, {start}, 32), sequence(0, 31), "
     "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, v) -> a | v)")

@@ -242,8 +242,16 @@ def main() -> None:
         "sf": sf,
         "protocol": ("per-query = min of 2 COLD passes (trained-artifact memo "
                      "cleared before every timed run, so min-of-2 is purely a "
-                     "machine-noise guard — observed ±12% whole-corpus swings on "
-                     "unchanged code between rounds); "
+                     "machine-noise guard).  MEASURED whole-corpus noise band "
+                     "on unchanged code + byte-identical fixtures: up to 1.25x "
+                     "total wall-clock between runs under differing background "
+                     "load (r11: builder-at-head 204.2s vs driver 164.2s, same "
+                     "commit, same fingerprints) — so compare rounds by the "
+                     "per-query GEOMEAN ratio over common queries, never by "
+                     "the totals, and treat any single-query swing without a "
+                     "code-level mover as load noise until it repeats across "
+                     "two rounds (the r10->r11 postmortems both followed this "
+                     "rule); "
                      "queries_warm_shared_artifacts = same query re-timed with "
                      "its session memo live (multi-query-session marginal cost), "
                      "disclosed separately and excluded from the headline; "

@@ -65,6 +65,10 @@ def test_train_query_and_token_tiers_hand_computed(spark, tmp_path):
         out = {r["doc_id"]: (r["n_words"], r["n_tokens"])
                for r in reg[tier].builder(spark, sf).collect()}
         assert out == {1: (3, 3), 2: (3, 3)}, tier
+    # census: both words collapse to single tokens; (occ DESC, token) order
+    census = [tuple(r) for r in
+              reg["bpe_vocab_census"].builder(spark, sf).collect()]
+    assert census == [("abab", 3, 1), ("cd", 3, 1)]
 
 
 def test_tiers_agree_on_testdata(spark):

@@ -52,6 +52,11 @@ QUERIES = [
     "dedup_substring_scrub",       # keep-first span removal (r11)
     "source_quality_gate",         # scan-side text scoring + gate join
     "perplexity_unigram",          # quantized-ln unigram LM scoring (r11)
+    "bpe_train_merges",            # corpus word-freq agg + driver BPE loop (r12)
+    "bpe_token_count",             # broadcast merges + Arrow apply over vocab (r12)
+    "bpe_token_count_builtin",     # same contract, codegen replace chain (r12)
+    "bpe_vocab_census",            # weighted subword census, vocab-sized apply (r12)
+    "streaming_clean_corpus",      # gate + dedup + rollup under micro-batch (r12)
     "tfidf_top_terms",             # df join-back on term + window top-n
     "profile_columns",             # exact distinct + quantiles (two-pass)
     "profile_columns_approx",      # sketch profiling (documents ×N)
@@ -302,9 +307,72 @@ def timed(spark, builder, sf_dir: str) -> tuple[float, int]:
     return dt, _ROWS_CACHE[key]
 
 
+def timed_alert_batch(spark, inputs_dir: str) -> tuple[float, dict[str, float]]:
+    """One cold full-batch run — every ACTIVE alert computed, staged and
+    published through the engine (the reference's nightly generateAlertas
+    unit of work, including the shared documentos_ativos base views and the
+    S7-S11 publication sinks) — over a fresh temp warehouse whose input
+    schemas are symlinked from ``inputs_dir``.  Returns (total_seconds,
+    per-phase timings)."""
+    import shutil
+    import tempfile
+
+    from alertas_spark.framework import engine
+    from alertas_spark.framework.context import AlertContext
+    from alertas_spark.testing.fixtures import AS_OF
+
+    wh = tempfile.mkdtemp(prefix="probe_wh_")
+    try:
+        for schema in os.listdir(inputs_dir):
+            if schema != "alertas" and os.path.isdir(os.path.join(inputs_dir, schema)):
+                os.symlink(os.path.join(inputs_dir, schema),
+                           os.path.join(wh, schema))
+        os.makedirs(os.path.join(wh, "alertas"))
+        spark.catalog.clearCache()
+        ctx = AlertContext(spark=spark, warehouse=wh, as_of=AS_OF)
+        t0 = time.time()
+        phases = engine.run_all(ctx, quiet=True)
+        total = round(time.time() - t0, 2)
+        return total, phases
+    finally:
+        spark.catalog.clearCache()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def alert_batch_probe(n: int) -> int:
+    """The full-caseload scale question: the nightly 20-alert batch at 1x vs
+    the n x entity-chain replica, min of 2 cold passes each, with the
+    per-phase breakdown printed for both so growth attributes to named
+    alerts (shared base-view cost lands in the first alert that builds it)."""
+    from alertas_spark.plans.alert_corpus import FIXTURE_DIR
+    from alertas_spark.session import get_spark
+    from alertas_spark.testing.fixtures import ensure_fixtures
+
+    ensure_fixtures(FIXTURE_DIR)
+    spark = get_spark("scale-probe-batch")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    big = build_alert_replica(n)
+    results = {}
+    for label, src in (("1x", FIXTURE_DIR), (f"{n}x", big)):
+        best_total, best_phases = None, None
+        for _ in range(2):
+            total, phases = timed_alert_batch(spark, src)
+            if best_total is None or total < best_total:
+                best_total, best_phases = total, phases
+        results[label] = (best_total, best_phases)
+        print(f"alert_batch {label}: {best_total:.2f}s")
+        for phase, secs in sorted(best_phases.items(), key=lambda kv: -kv[1]):
+            print(f"  {phase:28s} {secs:7.2f}s")
+    t1, tn = results["1x"][0], results[f"{n}x"][0]
+    print(f"alert_batch ratio: {round(tn / t1, 2)} ({t1:.2f}s -> {tn:.2f}s at {n}x)")
+    return 0
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]
+    if only == ["alert_batch"]:
+        return alert_batch_probe(n)
     from alertas_spark.registry import load_all
     from alertas_spark.session import get_spark
 
