@@ -72,6 +72,7 @@ PERSISTENT_QUERIES = frozenset({
     "bpe_token_count",              # applies the bpe_merges artifact
     "bpe_token_count_builtin",      # same artifact, codegen apply tier
     "bpe_vocab_census",             # subword census over the same artifact
+    "pack_sequences_bpe",           # packing on the artifact's token counts
 })
 
 

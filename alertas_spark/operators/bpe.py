@@ -86,6 +86,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alertas_spark.operators.artifacts import persistent_artifact
+from alertas_spark.operators.packing import PACK_BUDGET as _PACK_BUDGET
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -382,3 +383,59 @@ def bpe_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_distinct("word").cast("bigint").alias("n_words"))
             .orderBy(F.desc("n_occurrences"), F.asc("token"))
             .limit(CENSUS_TOP))
+
+
+@declare(
+    "pack_sequences_bpe",
+    oracle=f"""
+    WITH {_train_ctes()},
+    {_apply_ctes()},
+    dt AS MATERIALIZED (
+        SELECT docw.doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM docw JOIN tokc USING (word) GROUP BY docw.doc_id),
+    ds AS (SELECT d.doc_id, d.source, dt.n_tokens
+           FROM documents d JOIN dt USING (doc_id))
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {_PACK_BUDGET} AS INTEGER) AS pack_id
+    FROM ds
+    """,
+)
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on SUBWORD counts — ``pack_sequences`` composed with
+    the trained tokenizer: real dataloaders cut packs by the tokens a model
+    consumes, not regex words, so the budget arithmetic runs on
+    ``bpe_token_count``'s per-document totals (the two queries' n_tokens
+    differ exactly by the merge table's compression).  Same scale shape as
+    ``pack_sequences``: per-source shard windows (never one global cumsum —
+    thousands of independent packing streams in production), plus the
+    vocabulary-sized tokenize-and-join-back from the bpe tier.  Documents
+    with no ``[a-z0-9]+`` word have no token count and are excluded (the
+    bpe_token_count contract)."""
+    from pyspark.sql import Window
+
+    merges = _merges_list(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(merges)
+
+    @F.pandas_udf("bigint")
+    def ntok(words: pd.Series) -> pd.Series:
+        ms = bc.value
+
+        def one(w: str) -> int:
+            s = "||" + "||".join(w) + "||"
+            for lhs, rhs in ms:
+                s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
+            return s.count("|") // 2 - 1
+
+        return words.map(one)
+
+    per_doc = _doc_token_counts(spark, sf_dir, ntok).select("doc_id", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (docs.join(per_doc, "doc_id")
+            .withColumn("pack_id",
+                        F.floor(cum_before / _PACK_BUDGET).cast("int")))

@@ -398,3 +398,88 @@ def simsearch_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", F.col("vec_id").alias("cand_id"),
                     F.col("rnk").cast("int").alias("rnk"),
                     F.col("hamming").cast("int").alias("hamming")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: every DECON_MOD-th vector stands in for the benchmark/eval embedding set
+#: (same stand-in convention as decontaminate_overlap's n-gram eval split).
+DECON_MOD = 50
+#: the eval stand-in is additionally CAPPED to a fixed id range: real
+#: benchmark sets are fixed-size — they do not grow with the training corpus
+#: — so the probe replica (ids shifted far past the cap) grows only the
+#: training side and the measured scaling is the production shape (an
+#: uncapped modulo slice grew BOTH sides: 100× pair work at the 10× replica,
+#: measured 45× time before the cap).
+DECON_EVAL_CAP = 5000
+#: cosine threshold above which a training vector counts as contaminated —
+#: the semantic-dedup cut used when n-gram overlap misses paraphrases.
+DECON_TAU = 0.9
+
+
+@declare(
+    "decontaminate_embedding",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE {EMB_VALID_SQL}),
+    n AS (SELECT vec_id, emb, sqrt({_DUCK_NORM2.format(a="emb")}) AS nrm FROM v),
+    bench AS (SELECT vec_id AS eval_id, emb AS bemb, nrm AS bnrm FROM n
+              WHERE vec_id % {DECON_MOD} = 0 AND vec_id < {DECON_EVAL_CAP}),
+    train AS (SELECT vec_id, emb, nrm FROM n
+              WHERE vec_id % {DECON_MOD} != 0 OR vec_id >= {DECON_EVAL_CAP}),
+    scored AS (
+        SELECT t.vec_id, b.eval_id,
+               {_DUCK_DOT.format(a="t.emb", b="b.bemb")} / (t.nrm * b.bnrm) AS cos
+        FROM train t JOIN bench b ON TRUE
+    ), ranked AS (
+        SELECT vec_id, eval_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, eval_id) AS rnk
+        FROM scored
+    )
+    SELECT vec_id, eval_id, ROUND(cos, 6) AS score,
+           CAST(CASE WHEN cos >= {DECON_TAU} THEN 1 ELSE 0 END AS INTEGER)
+               AS contaminated
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination in EMBEDDING space — the semantic sibling of
+    ``decontaminate_overlap``: an n-gram screen misses paraphrased eval
+    leakage, so corpora are additionally swept by nearest-eval-vector cosine
+    and vectors above ``DECON_TAU`` are dropped or flagged.  Output: each
+    training vector's nearest eval vector (ties by eval_id), its cosine, and
+    the contamination flag — the flag is computed from the UNROUNDED cosine
+    on both engines (the sequential-fold dot is bit-equal), so the threshold
+    is not a float seam.
+
+    Scale shape: the eval set is tiny by nature (benchmarks are thousands of
+    rows) — its vectors BROADCAST, the 100 TB training side streams through
+    one scan with zero shuffle of the big side (same plan class as the
+    brute-force ANN tier at |queries| = |eval|); the top-1-per-vector rank is
+    the two-phase exact top-k, never a full-corpus sort.  At billions of
+    training vectors × large eval sets, the blocked/IVF tiers
+    (``dedup_embedding_cosine_blocked``, ``simsearch_topk_ivf``) are the
+    candidate-pruning upgrades — same contract, bucketed candidates."""
+    from alertas_spark.operators.topk import ranked_topk
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+         .withColumn("nrm", F.sqrt(_norm2(F.col("emb"))))
+         .filter(valid_nrm(F.col("nrm"))))
+    is_eval = ((F.col("vec_id") % DECON_MOD == 0)
+               & (F.col("vec_id") < DECON_EVAL_CAP))
+    bench = (v.filter(is_eval)
+             .select(F.col("vec_id").alias("eval_id"),
+                     F.col("emb").alias("bemb"), F.col("nrm").alias("bnrm")))
+    train = v.filter(~is_eval)
+    scored = (train.crossJoin(F.broadcast(bench))
+              .withColumn("cos", _dot(F.col("emb"), F.col("bemb"))
+                          / (F.col("nrm") * F.col("bnrm"))))
+    return (ranked_topk(scored.select("vec_id", "eval_id", "cos"),
+                        "vec_id", "cos", "eval_id", 1, ascending=False)
+            .select("vec_id", "eval_id", F.round("cos", 6).alias("score"),
+                    F.when(F.col("cos") >= DECON_TAU, 1).otherwise(0)
+                    .cast("int").alias("contaminated")))

@@ -133,3 +133,32 @@ def test_vocab_cutoff_is_deterministic_under_partitioning(spark, tmp_path, n):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         memo.clear()
+
+
+def test_pack_sequences_bpe_consistent_with_token_counts(spark):
+    """pack_sequences_bpe's n_tokens must equal bpe_token_count's per doc,
+    never exceed the regex word count (merges only shrink), and pack_id must
+    be the floor-bucket of the running per-source total."""
+    from collections import defaultdict
+
+    from alertas_spark.operators.packing import PACK_BUDGET
+    from alertas_spark.registry import load_all
+
+    reg = load_all()
+    packs = reg["pack_sequences_bpe"].builder(spark, SF).collect()
+    counts = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+              for r in reg["bpe_token_count"].builder(spark, SF).collect()}
+    assert {r["doc_id"] for r in packs} == set(counts)
+    per_source = defaultdict(list)
+    for r in packs:
+        n_words, n_tokens = counts[r["doc_id"]]
+        assert r["n_tokens"] == n_tokens
+        # each word is >= 1 token, so the subword total bounds below by words
+        assert 1 <= n_words <= n_tokens
+        per_source[r["source"]].append((r["doc_id"], n_tokens, r["pack_id"]))
+    for rows in per_source.values():
+        rows.sort()
+        cum = 0
+        for _, n_tokens, pack_id in rows:
+            assert pack_id == cum // PACK_BUDGET
+            cum += n_tokens

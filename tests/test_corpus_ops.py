@@ -499,3 +499,26 @@ def test_hamming_identical_vector_is_rank_one(spark, tmp_path):
            .filter("query_id = 0").orderBy("rnk").collect()]
     assert out[0] == (20, 0)
     assert out[1] == (21, 1)
+
+
+def test_decontaminate_embedding_partition_and_flag(spark):
+    """Eval vectors never appear as training rows, every valid training
+    vector appears exactly once, and the contamination flag is exactly
+    (score's unrounded cosine >= DECON_TAU) — spot-checked via the rounded
+    score being consistent with the flag outside the rounding band."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.simsearch import (DECON_EVAL_CAP, DECON_MOD,
+                                                   DECON_TAU)
+    from alertas_spark.registry import load_all
+
+    rows = (load_all()["decontaminate_embedding"]
+            .builder(spark, SF).collect())
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert not (r["vec_id"] % DECON_MOD == 0 and r["vec_id"] < DECON_EVAL_CAP)
+        assert r["eval_id"] % DECON_MOD == 0 and r["eval_id"] < DECON_EVAL_CAP
+        assert -1.000001 <= r["score"] <= 1.000001
+        if abs(r["score"] - DECON_TAU) > 1e-5:  # outside the rounding band
+            assert r["contaminated"] == int(r["score"] >= DECON_TAU)

@@ -56,6 +56,8 @@ QUERIES = [
     "bpe_token_count",             # broadcast merges + Arrow apply over vocab (r12)
     "bpe_token_count_builtin",     # same contract, codegen replace chain (r12)
     "bpe_vocab_census",            # weighted subword census, vocab-sized apply (r12)
+    "pack_sequences_bpe",          # packing on subword counts (r12)
+    "decontaminate_embedding",     # broadcast eval set × corpus cosine sweep (r12)
     "streaming_clean_corpus",      # gate + dedup + rollup under micro-batch (r12)
     "tfidf_top_terms",             # df join-back on term + window top-n
     "profile_columns",             # exact distinct + quantiles (two-pass)
