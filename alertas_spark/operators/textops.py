@@ -701,3 +701,141 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("dc").cast("bigint").alias("n_tokens"),
                  F.round(F.sum("term").cast("double")
                          / F.sum("dc") / 1e9, 6).alias("cross_entropy_nats")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity with stupid backoff (held-out reference split)
+# ---------------------------------------------------------------------------
+
+#: every PPL_REF_MOD-th document is HELD OUT of the reference LM and scored
+#: against it — so the backoff path is genuinely exercised (a self-trained
+#: corpus never backs off: every bigram it contains is in-model).
+PPL_REF_MOD = 10
+#: Q(ln(1/alpha)) for stupid-backoff alpha = 0.4, quantized at 1e9 like every
+#: ln in this module — a BAKED integer literal on both engines (computing it
+#: per-engine would be a libm seam): round(ln(2.5) * 1e9).
+PPL_QLN_BACKOFF = 916290732
+
+
+@declare(
+    "perplexity_bigram_backoff",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, tk[CAST(p.i AS INT)] AS t, CAST(p.i AS BIGINT) AS pos
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents WHERE text IS NOT NULL)
+        CROSS JOIN LATERAL unnest(range(1, len(tk) + 1)) AS p(i)
+    ), seq AS (
+        SELECT doc_id, t,
+               LAG(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM tok
+    ), du AS (  -- reference unigram counts
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS cu FROM tok
+        WHERE doc_id % {PPL_REF_MOD} != 0 GROUP BY t
+    ), db AS (  -- reference bigram counts
+        SELECT prev, t, CAST(COUNT(*) AS BIGINT) AS cb FROM seq
+        WHERE prev IS NOT NULL AND doc_id % {PPL_REF_MOD} != 0
+        GROUP BY prev, t
+    ), g AS (
+        SELECT CAST(ROUND(LN(SUM(cu)) * 1e9) AS BIGINT) AS qln_n FROM du
+    ), terms AS (
+        SELECT s.doc_id,
+               CASE
+                 WHEN s.prev IS NULL THEN
+                   g.qln_n - CAST(ROUND(LN(GREATEST(COALESCE(u.cu, 0), 1))
+                                  * 1e9) AS BIGINT)
+                 WHEN b.cb IS NOT NULL THEN
+                   CAST(ROUND(LN(GREATEST(COALESCE(up.cu, 0), 1)) * 1e9)
+                        AS BIGINT)
+                   - CAST(ROUND(LN(b.cb) * 1e9) AS BIGINT)
+                 ELSE
+                   {PPL_QLN_BACKOFF} + g.qln_n
+                   - CAST(ROUND(LN(GREATEST(COALESCE(u.cu, 0), 1)) * 1e9)
+                          AS BIGINT)
+               END AS qterm,
+               CASE WHEN s.prev IS NOT NULL AND b.cb IS NULL
+                    THEN 1 ELSE 0 END AS backoff
+        FROM seq s
+        LEFT JOIN du u  ON u.t = s.t
+        LEFT JOIN du up ON up.t = s.prev
+        LEFT JOIN db b  ON b.prev = s.prev AND b.t = s.t
+        CROSS JOIN g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           ROUND(CAST(CAST(SUM(CAST(qterm AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) / 1e9, 6) AS cross_entropy_nats
+    FROM terms GROUP BY doc_id
+    """,
+)
+def perplexity_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a bigram LM with stupid backoff
+    (Brants et al., EMNLP 2007) trained on a held-out REFERENCE split — the
+    next tier above ``perplexity_unigram`` and the same filter shape CCNet
+    runs with KenLM: train the LM on in-domain reference text, score the
+    whole corpus, flag outliers.  Every {PPL_REF_MOD}-th document is held out
+    of the reference counts, so held-out documents genuinely hit the backoff
+    path (a corpus scored against itself never backs off) — ``n_backoff``
+    reports how often.
+
+    Per position: first token scores ln N − ln ĉ(t); a reference bigram
+    scores ln ĉ(prev) − ln c(prev,t); an unseen bigram backs off to
+    ln(1/α) + ln N − ln ĉ(t), α = 0.4 — with ĉ = max(count, 1) as the
+    unseen-token floor.  Every ln is quantized to a 1e9 fixed-point bigint
+    before any arithmetic (the ``perplexity_unigram`` /
+    ``event_type_entropy_per_user`` idiom), the backoff constant is a baked
+    integer literal, and the per-doc sum is integer — cross-engine exact
+    under any partitioning; one float division at the very end.
+
+    Scale shape: the position stream is a narrow posexplode; ``prev`` is a
+    doc-keyed LAG window (partitions bounded by document length); reference
+    unigram/bigram tables are map-side-combined hash aggs joined back by
+    token keys (vocabulary/bigram-vocabulary sized — AQE-broadcastable on
+    natural corpora, shuffle joins at web scale); the global N is a 1-row
+    broadcast crossJoin, no driver collect."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.filter(F.col("text").isNotNull())
+           .select("doc_id",
+                   F.posexplode(F.regexp_extract_all(
+                       F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
+                   .alias("pos", "t")))
+    seq = tok.withColumn(
+        "prev", F.lag("t").over(Window.partitionBy("doc_id").orderBy("pos")))
+    ref = F.col("doc_id") % PPL_REF_MOD != 0
+    du = (tok.filter(ref).groupBy("t")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cu")))
+    db = (seq.filter(ref & F.col("prev").isNotNull())
+          .groupBy("prev", "t")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cb")))
+    g = du.agg(F.round(F.log(F.sum("cu")) * 1e9).cast("bigint").alias("qln_n"))
+
+    def qln(c):
+        return F.round(F.log(F.greatest(F.coalesce(c, F.lit(0)), F.lit(1)))
+                       * 1e9).cast("bigint")
+
+    joined = (seq
+              .join(du.select(F.col("t"), F.col("cu")), "t", "left")
+              .join(du.select(F.col("t").alias("prev"),
+                              F.col("cu").alias("cup")), "prev", "left")
+              .join(db, ["prev", "t"], "left")
+              .crossJoin(F.broadcast(g)))
+    qterm = (F.when(F.col("prev").isNull(),
+                    F.col("qln_n") - qln(F.col("cu")))
+             .when(F.col("cb").isNotNull(),
+                   qln(F.col("cup")) - F.round(F.log("cb") * 1e9).cast("bigint"))
+             .otherwise(F.lit(PPL_QLN_BACKOFF) + F.col("qln_n")
+                        - qln(F.col("cu"))))
+    backoff = F.when(F.col("prev").isNotNull() & F.col("cb").isNull(), 1) \
+        .otherwise(0)
+    return (joined
+            .select("doc_id", qterm.cast("decimal(38,0)").alias("qterm"),
+                    backoff.alias("backoff"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum("backoff").cast("bigint").alias("n_backoff"),
+                 F.round(F.sum("qterm").cast("double")
+                         / F.count(F.lit(1)) / 1e9, 6)
+                 .alias("cross_entropy_nats")))

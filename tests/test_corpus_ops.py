@@ -522,3 +522,40 @@ def test_decontaminate_embedding_partition_and_flag(spark):
         assert -1.000001 <= r["score"] <= 1.000001
         if abs(r["score"] - DECON_TAU) > 1e-5:  # outside the rounding band
             assert r["contaminated"] == int(r["score"] >= DECON_TAU)
+
+
+def test_perplexity_bigram_backoff_branches_hand_computed(spark, tmp_path):
+    """All three scoring branches pinned on a crafted corpus: doc 10 is held
+    out (doc_id % 10 == 0) and contains a bigram absent from the reference,
+    so it must hit the backoff path; reference docs never back off; and the
+    quantized term algebra reproduces the hand-computed entropy."""
+    import math
+
+    import pandas as pd
+
+    from alertas_spark.operators.textops import PPL_QLN_BACKOFF
+    from alertas_spark.registry import load_all
+
+    # reference (ids 1,2): "aa bb" x 2 -> unigrams aa:2 bb:2, bigram (aa,bb):2
+    # held out (id 10): "aa bb" (all in-model) + "bb aa" (unseen bigram)
+    pd.DataFrame({
+        "doc_id": [1, 2, 10],
+        "text": ["aa bb", "aa bb", "aa bb aa"],
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+        "n_chars": [5, 5, 8],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in
+           load_all()["perplexity_bigram_backoff"]
+           .builder(spark, str(tmp_path)).collect()}
+    q = lambda x: round(math.log(x) * 1e9)
+    N = 4  # reference tokens: aa,bb,aa,bb
+    # doc 1/2: pos1 unigram aa -> qN - q(2); bigram (aa,bb) -> q(cu aa)=q2 - q(cb)=q2
+    t_ref = (q(N) - q(2)) + (q(2) - q(2))
+    assert out[1]["n_backoff"] == 0 == out[2]["n_backoff"]
+    assert out[1]["cross_entropy_nats"] == round(t_ref / 2 / 1e9, 6)
+    # doc 10: pos1 aa (qN - q2); (aa,bb) in-model (q2 - q2);
+    # (bb,aa) UNSEEN -> backoff: qln(1/0.4) + qN - q(cu aa)=q2
+    t10 = (q(N) - q(2)) + (q(2) - q(2)) + (PPL_QLN_BACKOFF + q(N) - q(2))
+    assert out[10]["n_backoff"] == 1
+    assert out[10]["n_tokens"] == 3
+    assert out[10]["cross_entropy_nats"] == round(t10 / 3 / 1e9, 6)

@@ -52,6 +52,7 @@ QUERIES = [
     "dedup_substring_scrub",       # keep-first span removal (r11)
     "source_quality_gate",         # scan-side text scoring + gate join
     "perplexity_unigram",          # quantized-ln unigram LM scoring (r11)
+    "perplexity_bigram_backoff",   # held-out bigram LM + stupid backoff (r12)
     "bpe_train_merges",            # corpus word-freq agg + driver BPE loop (r12)
     "bpe_token_count",             # broadcast merges + Arrow apply over vocab (r12)
     "bpe_token_count_builtin",     # same contract, codegen replace chain (r12)
