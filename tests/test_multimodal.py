@@ -334,3 +334,59 @@ def test_wav_payload_is_a_real_riff_file(spark):
         with wave.open(io.BytesIO(buf), "rb") as w:   # stdlib parser accepts it
             assert w.getframerate() == 16000
             assert w.getnchannels() == 1 and w.getsampwidth() == 2
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI video codec
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_and_validation():
+    """Writer -> parser round-trips frames exactly; the parser REJECTS
+    malformed containers rather than guessing."""
+    import pytest
+
+    from alertas_spark.operators.avi_codec import avi_parse, avi_write
+
+    frames = [bytes(range(256)), bytes(255 - i for i in range(256))]
+    buf = avi_write(frames, 16, 16, 10)
+    w, h, fps, got = avi_parse(buf)
+    assert (w, h, fps) == (16, 16, 10) and got == frames
+    for bad in (b"", b"RIFF\x04\x00\x00\x00WAVE", buf[:40], buf[:-3],
+                buf.replace(b"AVI ", b"AVI!", 1)):
+        with pytest.raises(ValueError):
+            avi_parse(bad)
+    with pytest.raises(ValueError):
+        avi_write([b"\x00" * 255], 16, 16, 10)  # wrong frame size
+
+
+def test_video_features_hand_computed(spark, tmp_path):
+    """Partial-frame drop, dark-frame counting, motion, and the md5 key all
+    pinned on a crafted corpus: doc 1 = one dark frame ('0' pixels, 48*256 <
+    the dark threshold) + one bright frame ('z') + a dropped partial tail;
+    doc 2 is sub-frame-length and must be excluded."""
+    import hashlib
+
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    t1 = "0" * 256 + "z" * 256 + "abc"  # 2 full frames + dropped tail
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [t1, "short"],
+        "lang": ["en"] * 2, "source": ["t"] * 2,
+        "n_chars": [len(t1), 5],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            load_all()["multimodal_video_features"]
+            .builder(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert (r["width"], r["height"], r["n_frames"]) == (16, 16, 2)
+    assert r["duration_ms"] == 200.0
+    assert r["peak_luma"] == ord("z")
+    assert r["luma_sum"] == 256 * (48 + 122)
+    assert r["motion_sum"] == 256 * (122 - 48)
+    assert r["n_dark_frames"] == 1  # 48*256 = 12288 < 16384; 'z' frame is not
+    assert r["first_frame_md5"] == hashlib.md5(b"0" * 256).hexdigest()

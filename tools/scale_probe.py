@@ -49,6 +49,7 @@ QUERIES = [
     "dedup_substring_common",      # duplicated-window heavy hitters (r11)
     "split_leakage_safe",          # cluster-granular train/val/test (r11)
     "multimodal_audio_features",   # real WAV synth + stdlib decode (r11)
+    "multimodal_video_features",   # real RIFF/AVI demux + frame stats (r12)
     "dedup_substring_scrub",       # keep-first span removal (r11)
     "source_quality_gate",         # scan-side text scoring + gate join
     "perplexity_unigram",          # quantized-ln unigram LM scoring (r11)
