@@ -40,6 +40,13 @@ QUERIES = [
     "sample_weighted_topk",              # quantized-ln A-ES priorities + topk
     "small_quantity_order_revenue",  # decimal-avg correlated threshold
     "ivm_incremental_revenue",       # unrounded-decimal partial merge
+    "bpe_train_merges",              # trainer cutoff + merge tie-breaks (r12)
+    "bpe_token_count",               # Arrow apply + vocab join-back (r12)
+    "pack_sequences_bpe",            # subword-budget window cumsum (r12)
+    "perplexity_bigram_backoff",     # quantized-ln bigram term algebra (r12)
+    "decontaminate_embedding",       # sequential-fold cosine + top-1 rank (r12)
+    "dedup_substring_scrub",         # fingerprint keep-first + islands (r12)
+    "multimodal_video_features",     # per-row codec passes, no shuffle (r12)
 ]
 
 
