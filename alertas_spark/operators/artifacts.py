@@ -73,6 +73,7 @@ PERSISTENT_QUERIES = frozenset({
     "bpe_token_count_builtin",      # same artifact, codegen apply tier
     "bpe_vocab_census",             # subword census over the same artifact
     "pack_sequences_bpe",           # packing on the artifact's token counts
+    "pipeline_corpus_to_batches",   # capstone: gate→dedup→tokenize→pack
 })
 
 

@@ -152,6 +152,27 @@ def trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "documents", build)
 
 
+def ntok_udf(spark: SparkSession, sf_dir: str):
+    """The Arrow-batched token-count UDF over the trained merge table
+    (broadcast), shared by every subword-count consumer (token counts,
+    packing, the corpus-to-batches pipeline)."""
+    bc = spark.sparkContext.broadcast(_merges_list(spark, sf_dir))
+
+    @F.pandas_udf("bigint")
+    def ntok(words: pd.Series) -> pd.Series:
+        ms = bc.value
+
+        def one(w: str) -> int:
+            s = "||" + "||".join(w) + "||"
+            for lhs, rhs in ms:
+                s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
+            return s.count("|") // 2 - 1
+
+        return words.map(one)
+
+    return ntok
+
+
 def _merges_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     """Rank-ordered (lhs, rhs) pairs, driver-side — a ≤ N_MERGES-row read of
     the artifact relation (broadcast/codegen tiers need the literals)."""
@@ -281,22 +302,7 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     production tier: merges ride an ``sc.broadcast`` into an Arrow-batched
     pandas UDF that runs once per DISTINCT word (vocabulary-sized Python,
     corpus-sized work stays in codegen'd explode/join/agg)."""
-    merges = _merges_list(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(merges)
-
-    @F.pandas_udf("bigint")
-    def ntok(words: pd.Series) -> pd.Series:
-        ms = bc.value
-
-        def one(w: str) -> int:
-            s = "||" + "||".join(w) + "||"
-            for lhs, rhs in ms:
-                s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
-            return s.count("|") // 2 - 1
-
-        return words.map(one)
-
-    return _doc_token_counts(spark, sf_dir, ntok)
+    return _doc_token_counts(spark, sf_dir, ntok_udf(spark, sf_dir))
 
 
 @declare("bpe_token_count_builtin", oracle=_TOKEN_COUNT_ORACLE)
@@ -416,22 +422,8 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_token_count contract)."""
     from pyspark.sql import Window
 
-    merges = _merges_list(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(merges)
-
-    @F.pandas_udf("bigint")
-    def ntok(words: pd.Series) -> pd.Series:
-        ms = bc.value
-
-        def one(w: str) -> int:
-            s = "||" + "||".join(w) + "||"
-            for lhs, rhs in ms:
-                s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
-            return s.count("|") // 2 - 1
-
-        return words.map(one)
-
-    per_doc = _doc_token_counts(spark, sf_dir, ntok).select("doc_id", "n_tokens")
+    per_doc = (_doc_token_counts(spark, sf_dir, ntok_udf(spark, sf_dir))
+               .select("doc_id", "n_tokens"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))

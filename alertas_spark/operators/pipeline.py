@@ -121,3 +121,77 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: dedup_cluster_representative(spark, sf_dir).localCheckpoint()
     ).select(F.col("rep_doc_id").alias("doc_id"), "cluster_size")
     return gated.join(reps, "doc_id").select("doc_id", "source", "cluster_size")
+
+
+def _oracle_v3() -> str:
+    from alertas_spark.operators.bpe import _apply_ctes, _train_ctes
+
+    return f"""
+    WITH {_train_ctes()},
+    {_apply_ctes()},
+    dt AS MATERIALIZED (
+        SELECT docw.doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM docw JOIN tokc USING (word) GROUP BY docw.doc_id),
+    gated AS (
+        SELECT doc_id, source,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  BETWEEN 30 AND 2000
+          AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+              / GREATEST(length(text), 1) < 0.2
+    ), kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY norm
+    ), ds AS (
+        SELECT g.doc_id, g.source, dt.n_tokens
+        FROM gated g JOIN kept USING (doc_id) JOIN dt USING (doc_id)
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 1024 AS INTEGER) AS pack_id
+    FROM ds
+    """
+
+
+@declare("pipeline_corpus_to_batches", oracle=_oracle_v3())
+def pipeline_corpus_to_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-to-TRAINING-BATCHES capstone — the r12 tiers composed into
+    the dataflow a pre-training dataloader actually consumes: quality gate
+    (text_quality's pass rule) → exact dedup, keep-FIRST (lowest doc_id per
+    normalized text — deterministic winner, unlike a racy first-seen) →
+    subword token counts under the TRAINED BPE merge table → per-source
+    sequence packing on those counts.  Output is the training-batch
+    manifest: (doc_id, source, n_tokens, pack_id).
+
+    Each stage is an independently-verified operator
+    (streaming_clean_corpus's gate, dedup_exact's identity,
+    bpe_token_count's apply, pack_sequences_bpe's budget window); this query
+    pins their COMPOSITION cross-engine.  Scale shape: gate + normalize are
+    scan-side; keep-first is one hash agg (min per content group — the
+    substring-scrub lesson: never a rank window over a mega-group); the
+    tokenizer runs once per distinct word (artifact-served merges); the one
+    ordered stage is the per-source packing window, sharded by construction."""
+    from alertas_spark.operators.bpe import _doc_token_counts, ntok_udf
+    from pyspark.sql import Window
+
+    ntok = ntok_udf(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    gated = (docs
+             .filter(F.size(toks).between(30, 2000)
+                     & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.2))
+             .select("doc_id", "source", F.md5(norm).alias("h")))
+    kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    per_doc = (_doc_token_counts(spark, sf_dir, ntok)
+               .select("doc_id", "n_tokens"))
+    ds = (gated.join(kept.select("doc_id"), "doc_id")
+          .join(per_doc, "doc_id")
+          .select("doc_id", "source", "n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return ds.withColumn("pack_id", F.floor(cum_before / 1024).cast("int"))

@@ -72,6 +72,7 @@ QUERIES = [
     "pack_sequences",              # per-shard window cumsum packing
     "salted_skew_agg",             # two-stage salted aggregation (events ×N)
     "pipeline_clean_corpus_v2",    # composed multi-stage pipeline (documents ×N)
+    "pipeline_corpus_to_batches",  # capstone gate→dedup→tokenize→pack (r12)
     "running_total_per_customer",  # per-key frame window (orders ×N)
     "cube_priority_segment",       # Expand multi-set aggregation (orders ×N)
     "merge_upsert_customers",      # co-partitioned full-outer MERGE (orders ×N)
