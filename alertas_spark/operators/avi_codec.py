@@ -54,7 +54,7 @@ def avi_write(frames: list[bytes], width: int, height: int, fps: int) -> bytes:
         1_000_000 // fps,  # microseconds per frame
         fsize * fps,       # max bytes per second
         0,                 # padding granularity
-        0x10,              # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        0,                 # flags: no idx1 is written, so AVIF_HASINDEX must be off
         n,                 # total frames
         0, 1, fsize,       # initial frames, streams, suggested buffer
         width, height,
@@ -113,11 +113,15 @@ def avi_parse(buf: bytes) -> tuple[int, int, int, list[bytes]]:
             vals = struct.unpack_from("<IIIIIIIIII", buf, off)
             n_declared, width, height = vals[4], vals[8], vals[9]
         elif fourcc == b"strh":
+            if size < 28:
+                raise ValueError("short strh")
             scale, rate = struct.unpack_from("<II", buf, off + 20)
             if scale == 0 or rate % scale:
                 raise ValueError("non-integer frame rate")
             fps = rate // scale
         elif fourcc == b"strf":
+            if size < 20:
+                raise ValueError("short strf")
             bits, comp = struct.unpack_from("<HI", buf, off + 14)
             if bits != 8 or comp != 0:
                 raise ValueError("not 8-bit uncompressed DIB")

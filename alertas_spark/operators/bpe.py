@@ -152,6 +152,17 @@ def trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "documents", build)
 
 
+def _apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """THE merge-application algorithm — the single Python copy of the
+    double-delimiter replace contract the module docstring states; every
+    consumer (token counts, the census's token lists) calls this, so the
+    semantics cannot drift between them."""
+    s = "||" + "||".join(word) + "||"
+    for lhs, rhs in merges:
+        s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
+    return s.split("||")[1:-1]
+
+
 def ntok_udf(spark: SparkSession, sf_dir: str):
     """The Arrow-batched token-count UDF over the trained merge table
     (broadcast), shared by every subword-count consumer (token counts,
@@ -161,14 +172,7 @@ def ntok_udf(spark: SparkSession, sf_dir: str):
     @F.pandas_udf("bigint")
     def ntok(words: pd.Series) -> pd.Series:
         ms = bc.value
-
-        def one(w: str) -> int:
-            s = "||" + "||".join(w) + "||"
-            for lhs, rhs in ms:
-                s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
-            return s.count("|") // 2 - 1
-
-        return words.map(one)
+        return words.map(lambda w: len(_apply_merges(w, ms)))
 
     return ntok
 
@@ -286,7 +290,17 @@ def _doc_token_counts(spark: SparkSession, sf_dir: str,
     """Shared apply shape for both tiers: distinct-word tokenization via
     ``ntok_for`` (column-in → bigint-token-count-out), joined back to word
     occurrences, rolled up per document.  Documents with zero ``[a-z0-9]+``
-    words have nothing to tokenize and are excluded (oracle join semantics)."""
+    words have nothing to tokenize and are excluded (oracle join semantics).
+
+    ``docw`` feeds BOTH join sides (the distinct-word probe and the
+    occurrence stream) and Catalyst performs no subtree CSE, so the corpus
+    scan+explode runs twice — MEASURED as the cheaper shape: a
+    ``memo.cached(docw)`` variant timed 4.3-4.5 s vs 3.4-4.1 s uncached
+    (min-of-3 A/B at the 10× replica, r12): the recompute is a narrow
+    codegen'd scan, and materializing the wide word stream costs more than
+    re-running it.  The substring-scrub cache lesson applies to re-running
+    SHUFFLES, not scans — contrast substring.py, where the cached relation
+    feeds shuffle-consumers and caching measured 2.5× faster."""
     docw = _doc_words(spark, sf_dir)
     tokc = (docw.select("word").distinct()
             .withColumn("ntok", ntok_for(F.col("word"))))
@@ -372,14 +386,7 @@ def bpe_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("array<string>")
     def toks(words: pd.Series) -> pd.Series:
         ms = bc.value
-
-        def one(w: str) -> list[str]:
-            s = "||" + "||".join(w) + "||"
-            for lhs, rhs in ms:
-                s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
-            return s.split("||")[1:-1]
-
-        return words.map(one)
+        return words.map(lambda w: _apply_merges(w, ms))
 
     docw = _doc_words(spark, sf_dir)
     wf = docw.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))

@@ -125,6 +125,8 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_v3() -> str:
     from alertas_spark.operators.bpe import _apply_ctes, _train_ctes
+    from alertas_spark.operators.packing import PACK_BUDGET
+    from alertas_spark.operators.textops import QUALITY_GATE_SQL
 
     return f"""
     WITH {_train_ctes()},
@@ -136,10 +138,7 @@ def _oracle_v3() -> str:
         SELECT doc_id, source,
                regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
         FROM documents
-        WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                  BETWEEN 30 AND 2000
-          AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-              / GREATEST(length(text), 1) < 0.2
+        WHERE {QUALITY_GATE_SQL}
     ), kept AS (
         SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY norm
     ), ds AS (
@@ -150,7 +149,7 @@ def _oracle_v3() -> str:
            CAST(COALESCE(SUM(n_tokens) OVER (
                     PARTITION BY source ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                // 1024 AS INTEGER) AS pack_id
+                // {PACK_BUDGET} AS INTEGER) AS pack_id
     FROM ds
     """
 
@@ -174,16 +173,15 @@ def pipeline_corpus_to_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer runs once per distinct word (artifact-served merges); the one
     ordered stage is the per-source packing window, sharded by construction."""
     from alertas_spark.operators.bpe import _doc_token_counts, ntok_udf
+    from alertas_spark.operators.packing import PACK_BUDGET
+    from alertas_spark.operators.textops import quality_gate_cond
     from pyspark.sql import Window
 
     ntok = ntok_udf(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-    punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     gated = (docs
-             .filter(F.size(toks).between(30, 2000)
-                     & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.2))
+             .filter(quality_gate_cond())
              .select("doc_id", "source", F.md5(norm).alias("h")))
     kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     per_doc = (_doc_token_counts(spark, sf_dir, ntok)
@@ -194,4 +192,5 @@ def pipeline_corpus_to_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return ds.withColumn("pack_id", F.floor(cum_before / 1024).cast("int"))
+    return ds.withColumn("pack_id",
+                         F.floor(cum_before / PACK_BUDGET).cast("int"))

@@ -73,11 +73,16 @@ TOP_N = 100
 
 #: the two-word 128-bit gram fingerprint, computed in the SAME codegen
 #: projection as the substring — the string dies scan-side.  The second
-#: word salts the input with a literal so the words are independent hashes
-#: of the same gram (single-word collision odds n²/2⁶⁵ are NOT acceptable
-#: at 10¹⁴ grams; the pair's n²/2¹²⁹ is).
+#: word hashes the gram under a DIFFERENT effective seed (single-word
+#: collision odds n²/2⁶⁵ are NOT acceptable at 10¹⁴ grams; the pair's
+#: n²/2¹²⁹ is).  Argument order is load-bearing: Spark's multi-arg
+#: xxhash64 folds left-to-right with the running hash as the next seed, so
+#: the salt must come FIRST — xxhash64(salt, gram) = XXH64(gram, seed=
+#: XXH64(salt, 42)), an independent word, whereas xxhash64(gram, salt)
+#: would be XXH64(salt, seed=gh), a pure function of gh that adds ZERO
+#: collision resistance (any gh collision collides gh2 with probability 1).
 _GH = "xxhash64(substring(text, i, {K}))"
-_GH2 = "xxhash64(substring(text, i, {K}), 'sub2')"
+_GH2 = "xxhash64('sub2', substring(text, i, {K}))"
 
 
 def _shingles(docs: DataFrame) -> DataFrame:

@@ -24,6 +24,34 @@ LANG_MARKERS = {
     "de": ("der", "die", "und", "das"),
 }
 
+# ---------------------------------------------------------------------------
+# THE doc-level quality gate (Gopher/C4-style thresholds) — single definition
+# shared by text_quality, source_quality_gate, streaming_clean_corpus, and
+# pipeline_corpus_to_batches on BOTH engines, so a threshold tweak can never
+# leave one consumer (and its oracle, which drifts in lockstep) on old values.
+# ---------------------------------------------------------------------------
+
+GATE_MIN_TOKENS = 30
+GATE_MAX_TOKENS = 2000
+GATE_MAX_PUNCT_RATIO = 0.2
+
+QUALITY_GATE_SQL = (
+    f"len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    f" BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS}"
+    " AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+    f" / GREATEST(length(text), 1) < {GATE_MAX_PUNCT_RATIO}"
+)
+
+
+def quality_gate_cond():
+    """The gate as a Spark Column over a ``text`` column — the exact
+    predicate ``QUALITY_GATE_SQL`` states for the DuckDB side."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    return (F.size(toks).between(GATE_MIN_TOKENS, GATE_MAX_TOKENS)
+            & (punct / F.greatest(F.length("text"), F.lit(1))
+               < GATE_MAX_PUNCT_RATIO))
+
 
 @declare(
     "text_quality",
@@ -39,9 +67,7 @@ LANG_MARKERS = {
                AS stop_ratio,
            ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
                  / GREATEST(length(text), 1), 6) AS punct_ratio,
-           CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 30 AND 2000
-                 AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-                     / GREATEST(length(text), 1) < 0.2
+           CASE WHEN {QUALITY_GATE_SQL}
                 THEN 1 ELSE 0 END AS quality_ok
     FROM documents
     """,
@@ -56,9 +82,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct_len = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
     stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
     punct_ratio = F.round(punct_len / F.greatest(F.length("text"), F.lit(1)), 6)
-    quality_ok = F.when(
-        n_tokens.between(30, 2000)
-        & (punct_len / F.greatest(F.length("text"), F.lit(1)) < 0.2), 1).otherwise(0)
+    quality_ok = F.when(quality_gate_cond(), 1).otherwise(0)
     return docs.select(
         "doc_id",
         n_tokens.cast("int").alias("n_tokens"),
@@ -581,11 +605,7 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 SRC_PASS_THRESHOLD = 0.75  # keep sources whose doc-level pass rate reaches this
 
 #: doc-level pass flag — the text_quality `quality_ok` contract
-_QOK_DUCK = """CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                        BETWEEN 30 AND 2000
-                AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-                    / GREATEST(length(text), 1) < 0.2
-               THEN 1 ELSE 0 END"""
+_QOK_DUCK = f"CASE WHEN {QUALITY_GATE_SQL} THEN 1 ELSE 0 END"
 
 
 @declare(
@@ -619,11 +639,7 @@ def source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact-integer ratio (SUM of 0/1 over COUNT), so the threshold
     comparison is deterministic across engines and partitionings."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-    punct_len = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
-    qok = F.when(
-        F.size(toks).between(30, 2000)
-        & (punct_len / F.greatest(F.length("text"), F.lit(1)) < 0.2), 1).otherwise(0)
+    qok = F.when(quality_gate_cond(), 1).otherwise(0)
     q = docs.select("doc_id", "source", qok.alias("quality_ok"))
     s = (q.groupBy("source")
          .agg(F.count(F.lit(1)).alias("n_src_docs"),
@@ -802,10 +818,19 @@ def perplexity_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.posexplode(F.regexp_extract_all(
                        F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
                    .alias("pos", "t")))
+    # seq feeds THREE consumers (reference unigrams, reference bigrams, the
+    # scoring join) and Catalyst does not CSE identical subtrees, so the
+    # explode+window recomputes per consumer — MEASURED as the cheaper
+    # shape: a memo.cached(seq) variant timed 3.5-3.7 s vs 2.4-2.7 s
+    # uncached (min-of-3 A/B at the 10× replica, r12); doc-bounded window
+    # sorts re-run in codegen faster than the wide position stream
+    # materializes and re-scans.  du derives from seq (same rows, prev
+    # unused) so the window subtree at least stays byte-identical across
+    # consumers for the exchange reuse AQE can spot.
     seq = tok.withColumn(
         "prev", F.lag("t").over(Window.partitionBy("doc_id").orderBy("pos")))
     ref = F.col("doc_id") % PPL_REF_MOD != 0
-    du = (tok.filter(ref).groupBy("t")
+    du = (seq.filter(ref).groupBy("t")
           .agg(F.count(F.lit(1)).cast("bigint").alias("cu")))
     db = (seq.filter(ref & F.col("prev").isNotNull())
           .groupBy("prev", "t")

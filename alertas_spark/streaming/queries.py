@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from alertas_spark.functions.numeric import sql_dsum
+from alertas_spark.operators.textops import (QUALITY_GATE_SQL,
+                                             quality_gate_cond)
 from alertas_spark.registry import declare
 from alertas_spark.streaming import events as ev
 
@@ -227,17 +229,14 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
 @declare(
     "streaming_clean_corpus",
-    oracle="""
+    oracle=f"""
     WITH gated AS (
         SELECT lang,
                regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
                     AS BIGINT) AS n_tok
         FROM documents
-        WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                  BETWEEN 30 AND 2000
-          AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-              / GREATEST(length(text), 1) < 0.2
+        WHERE {QUALITY_GATE_SQL}
     ), kept AS (
         SELECT lang, norm, MIN(n_tok) AS n_tok FROM gated GROUP BY lang, norm
     )
@@ -276,12 +275,9 @@ def streaming_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.read_documents_stream(spark, sf_dir)
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     n_tokens = F.size(toks).cast("bigint")
-    punct_len = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     gated = (docs
-             .filter(n_tokens.between(30, 2000)
-                     & (punct_len / F.greatest(F.length("text"), F.lit(1))
-                        < 0.2))
+             .filter(quality_gate_cond())
              .select("lang", F.md5(norm).alias("content_hash"),
                      n_tokens.alias("n_tok")))
     kept = gated.dropDuplicates(["lang", "content_hash"])
