@@ -100,11 +100,16 @@ def avi_parse(buf: bytes) -> tuple[int, int, int, list[bytes]]:
     """Parse an AVI byte string -> (width, height, fps, frames).
 
     Validates the RIFF/'AVI ' magic, the 8-bit uncompressed DIB format, and
-    every frame chunk's size against the header geometry."""
+    every frame chunk's size against the header geometry.  The stream layout
+    is validated too: exactly one ``'vids'`` ``strh`` and exactly one
+    ``strf`` must appear — a second stream (whose scale/rate would silently
+    clobber fps) or a missing ``strf`` (whose absence would skip the DIB
+    format check entirely) raises, mirroring the missing-avih/strh check."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     width = height = fps = None
     n_declared = None
+    n_strf = 0
     frames: list[bytes] = []
     for fourcc, off, size in _walk(buf, 12, len(buf)):
         if fourcc == b"avih":
@@ -115,6 +120,11 @@ def avi_parse(buf: bytes) -> tuple[int, int, int, list[bytes]]:
         elif fourcc == b"strh":
             if size < 28:
                 raise ValueError("short strh")
+            if buf[off:off + 4] != b"vids":
+                raise ValueError("unsupported stream type (single-'vids' "
+                                 "container contract)")
+            if fps is not None:
+                raise ValueError("multiple 'vids' streams")
             scale, rate = struct.unpack_from("<II", buf, off + 20)
             if scale == 0 or rate % scale:
                 raise ValueError("non-integer frame rate")
@@ -122,6 +132,7 @@ def avi_parse(buf: bytes) -> tuple[int, int, int, list[bytes]]:
         elif fourcc == b"strf":
             if size < 20:
                 raise ValueError("short strf")
+            n_strf += 1
             bits, comp = struct.unpack_from("<HI", buf, off + 14)
             if bits != 8 or comp != 0:
                 raise ValueError("not 8-bit uncompressed DIB")
@@ -131,6 +142,8 @@ def avi_parse(buf: bytes) -> tuple[int, int, int, list[bytes]]:
             frames.append(buf[off:off + size])
     if width is None or fps is None:
         raise ValueError("missing avih/strh headers")
+    if n_strf != 1:
+        raise ValueError(f"expected exactly one strf, found {n_strf}")
     if n_declared != len(frames):
         raise ValueError(f"header declares {n_declared} frames, "
                          f"found {len(frames)}")

@@ -819,8 +819,15 @@ def avi_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 @declare(
     "multimodal_video_features",
-    # character-based oracle == byte-based operator only on ASCII fixtures;
-    # see the ASCII note above multimodal_decode_features
+    # The byte-level operator and the character-level oracle agree only on
+    # ASCII text, so BOTH sides restrict to ASCII documents explicitly
+    # (Spark: octet_length = length; DuckDB: strlen = length — byte count
+    # equals char count iff the string is pure ASCII).  On today's all-ASCII
+    # fixtures the filter is a no-op; a future non-ASCII fixture excludes
+    # those docs IDENTICALLY on both engines instead of silently hash-
+    # mismatching on shifted frame boundaries.  (The byte-native tokenizer
+    # tier — operators/bpe_bytes.py — is where non-ASCII text is a
+    # first-class citizen.)
     oracle=f"""
     WITH px AS (
         SELECT doc_id, CAST(t.i AS BIGINT) AS i,
@@ -829,6 +836,7 @@ def avi_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
              unnest(range(1, (length(text) // {VID_FRAME}) * {VID_FRAME} + 1))
                  AS t(i)
         WHERE text IS NOT NULL AND length(text) >= {VID_FRAME}
+          AND strlen(text) = length(text)
     ), fr AS (
         SELECT doc_id, (i - 1) // {VID_FRAME} AS f, SUM(p) AS fsum
         FROM px GROUP BY doc_id, (i - 1) // {VID_FRAME}
@@ -881,6 +889,9 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine compare has no float seam."""
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("text").isNotNull())
+            # ASCII-only contract, enforced identically in the oracle —
+            # see the note on the @declare block above
+            .filter(F.octet_length("text") == F.length("text"))
             .select("doc_id", "text"))
     media = docs.repartition(
         spark.sparkContext.defaultParallelism).mapInPandas(
