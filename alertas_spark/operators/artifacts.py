@@ -72,6 +72,10 @@ PERSISTENT_QUERIES = frozenset({
     "bpe_token_count",              # applies the bpe_merges artifact
     "bpe_token_count_builtin",      # same artifact, codegen apply tier
     "bpe_vocab_census",             # subword census over the same artifact
+    "bpe_bytes_train_merges",       # bpe_bytes.py byte-fallback merge table
+    "bpe_bytes_token_count",        # applies the bpe_bytes_merges artifact
+    "bpe_bytes_token_count_builtin",  # same artifact, codegen apply tier
+    "bpe_bytes_vocab_census",       # byte-subword census, same artifact
     "pack_sequences_bpe",           # packing on the artifact's token counts
     "pipeline_corpus_to_batches",   # capstone: gate→dedup→tokenize→pack
 })

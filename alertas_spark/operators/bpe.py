@@ -14,7 +14,10 @@ Deterministic contract (both engines, all tiers, bit-for-bit):
 
 * **pre-tokenization** — words are ``[a-z0-9]+`` runs of ``lower(text)``, the
   corpus convention every green textops query shares; merges never cross word
-  boundaries.
+  boundaries.  This tier is ASCII-by-convention; the BYTE-FALLBACK tier
+  (operators/bpe_bytes.py) reuses this module's trainer/apply/oracle core
+  with UTF-8-byte atoms and a full-domain ``\\S+`` pre-tokenizer, so every
+  string — any script — tokenizes there.
 * **training** — vocabulary = top ``VOCAB_TOP`` words by (freq DESC, word ASC);
   each of ``N_MERGES`` rounds counts freq-weighted adjacent token pairs
   (all adjacent index pairs, overlaps included) and merges the (count DESC,
@@ -104,13 +107,20 @@ _WORD_RE = "[a-z0-9]+"
 # trainer
 # ---------------------------------------------------------------------------
 
-def _train_merges_py(words: list[tuple[str, int]]) -> list[tuple[int, str, str, int]]:
+def _train_merges_py(words: list[tuple[str, int]],
+                     atoms: Callable[[str], list[str]] = list,
+                     n_merges: int = N_MERGES,
+                     ) -> list[tuple[int, str, str, int]]:
     """The driver-side BPE loop over the (word, freq) vocabulary — the exact
     contract the module docstring states.  O(VOCAB_TOP · N_MERGES · len(word));
-    microseconds at fixture scale, <1 s at production knobs."""
-    st = [("||" + "||".join(w) + "||", f) for w, f in words]
+    microseconds at fixture scale, <1 s at production knobs.
+
+    ``atoms`` maps a word to its initial token list — characters here (the
+    ASCII tier's unit), UTF-8 bytes as hex pairs in the byte-fallback tier
+    (operators/bpe_bytes.py); the merge loop itself is unit-agnostic."""
+    st = [("||" + "||".join(atoms(w)) + "||", f) for w, f in words]
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, N_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         cnt: dict[tuple[str, str], int] = {}
         for s, f in st:
             toks = s.split("||")[1:-1]
@@ -152,12 +162,13 @@ def trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "documents", build)
 
 
-def _apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+def _apply_merges(word: str, merges: list[tuple[str, str]],
+                  atoms: Callable[[str], list[str]] = list) -> list[str]:
     """THE merge-application algorithm — the single Python copy of the
     double-delimiter replace contract the module docstring states; every
-    consumer (token counts, the census's token lists) calls this, so the
-    semantics cannot drift between them."""
-    s = "||" + "||".join(word) + "||"
+    consumer (token counts, the census's token lists, the byte tier's hex
+    atoms) calls this, so the semantics cannot drift between them."""
+    s = "||" + "||".join(atoms(word)) + "||"
     for lhs, rhs in merges:
         s = s.replace(f"|{lhs}||{rhs}|", f"|{lhs}{rhs}|")
     return s.split("||")[1:-1]
@@ -188,22 +199,36 @@ def _merges_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
 # oracle SQL (DuckDB) — replicates the trainer, then the apply
 # ---------------------------------------------------------------------------
 
-def _train_ctes() -> str:
+#: DuckDB expression (over a ``word`` column) for the initial delimited token
+#: state — the ASCII tier's character atoms.  The byte tier substitutes its
+#: hex-pair expression (bpe_bytes._STATE_BYTES_SQL).
+_STATE_CHAR_SQL = """'||' || list_aggr(string_split(word, ''), 'string_agg', '||')
+                    || '||'"""
+
+def _train_ctes(w0_body: str | None = None, state_sql: str = _STATE_CHAR_SQL,
+                n_merges: int = N_MERGES) -> str:
     """The unrolled training loop as materialized CTEs ending in ``merges``.
 
     MATERIALIZED is load-bearing: each step references the previous state up
     to three times (pair count + two scalar subqueries); inlined CTEs would
-    re-evaluate the chain exponentially."""
-    parts = [f"""w0 AS MATERIALIZED (
+    re-evaluate the chain exponentially.
+
+    Parameterized for the byte-fallback tier (operators/bpe_bytes.py):
+    ``w0_body`` is the vocabulary query (word, freq, cutoff-ordered),
+    ``state_sql`` maps a word to its initial delimited token state — the
+    merge rounds themselves are unit-agnostic (they only see '||'-delimited
+    tokens, and '|' occurs in no token alphabet of either tier)."""
+    if w0_body is None:
+        w0_body = f"""
         SELECT t.w AS word, CAST(count(*) AS BIGINT) AS freq FROM documents,
         LATERAL unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS t(w)
-        GROUP BY t.w ORDER BY count(*) DESC, t.w LIMIT {VOCAB_TOP})""",
-             """s0 AS MATERIALIZED (
+        GROUP BY t.w ORDER BY count(*) DESC, t.w LIMIT {VOCAB_TOP}"""
+    parts = [f"""w0 AS MATERIALIZED ({w0_body})""",
+             f"""s0 AS MATERIALIZED (
         SELECT word, freq,
-               '||' || list_aggr(string_split(word, ''), 'string_agg', '||')
-                    || '||' AS s
+               {state_sql} AS s
         FROM w0)"""]
-    for t in range(1, N_MERGES + 1):
+    for t in range(1, n_merges + 1):
         parts.append(f"""b{t} AS MATERIALIZED (
         SELECT {t} AS rank, z.pr[1] AS lhs, z.pr[2] AS rhs,
                CAST(sum(freq) AS BIGINT) AS cnt
@@ -222,23 +247,28 @@ def _train_ctes() -> str:
         FROM s{t - 1})""")
     parts.append("merges AS ("
                  + " UNION ALL ".join(f"SELECT * FROM b{t}"
-                                      for t in range(1, N_MERGES + 1)) + ")")
+                                      for t in range(1, n_merges + 1)) + ")")
     return ",\n".join(parts)
 
 
-def _apply_ctes() -> str:
+def _apply_ctes(docw_body: str | None = None,
+                state_sql: str = _STATE_CHAR_SQL,
+                n_merges: int = N_MERGES) -> str:
     """Tokenize every DISTINCT corpus word with the trained merges (the same
     vocabulary-not-corpus shape the Spark tiers use), ending in
-    ``tokc(word, ntok)`` and ``docw(doc_id, word)``."""
-    parts = [f"""docw AS MATERIALIZED (
+    ``tokc(word, ntok)`` and ``docw(doc_id, word)``.  Parameterized for the
+    byte tier exactly like :func:`_train_ctes` (``docw_body`` is the word-
+    occurrence stream; ``state_sql`` the initial token state)."""
+    if docw_body is None:
+        docw_body = f"""
         SELECT doc_id, t.w AS word FROM documents,
-        LATERAL unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS t(w))""",
-             """a0 AS MATERIALIZED (
+        LATERAL unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS t(w)"""
+    parts = [f"""docw AS MATERIALIZED ({docw_body})""",
+             f"""a0 AS MATERIALIZED (
         SELECT DISTINCT word,
-               '||' || list_aggr(string_split(word, ''), 'string_agg', '||')
-                    || '||' AS s
+               {state_sql} AS s
         FROM docw)"""]
-    for t in range(1, N_MERGES + 1):
+    for t in range(1, n_merges + 1):
         parts.append(f"""a{t} AS MATERIALIZED (
         SELECT word,
         replace(s,
@@ -251,7 +281,7 @@ def _apply_ctes() -> str:
         SELECT word,
                CAST(len(list_filter(string_split(s, '||'), x -> x <> ''))
                     AS BIGINT) AS ntok
-        FROM a{N_MERGES})""")
+        FROM a{n_merges})""")
     return ",\n".join(parts)
 
 
@@ -286,11 +316,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_token_counts(spark: SparkSession, sf_dir: str,
-                      ntok_for: Callable) -> DataFrame:
+                      ntok_for: Callable,
+                      docw: DataFrame | None = None) -> DataFrame:
     """Shared apply shape for both tiers: distinct-word tokenization via
     ``ntok_for`` (column-in → bigint-token-count-out), joined back to word
     occurrences, rolled up per document.  Documents with zero ``[a-z0-9]+``
     words have nothing to tokenize and are excluded (oracle join semantics).
+    ``docw`` overrides the word-occurrence stream (the byte tier passes its
+    full-domain ``\\S+`` stream; default is this tier's ASCII word stream).
 
     ``docw`` feeds BOTH join sides (the distinct-word probe and the
     occurrence stream) and Catalyst performs no subtree CSE, so the corpus
@@ -301,7 +334,8 @@ def _doc_token_counts(spark: SparkSession, sf_dir: str,
     re-running it.  The substring-scrub cache lesson applies to re-running
     SHUFFLES, not scans — contrast substring.py, where the cached relation
     feeds shuffle-consumers and caching measured 2.5× faster."""
-    docw = _doc_words(spark, sf_dir)
+    if docw is None:
+        docw = _doc_words(spark, sf_dir)
     tokc = (docw.select("word").distinct()
             .withColumn("ntok", ntok_for(F.col("word"))))
     return (docw.join(tokc, "word")

@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.pq",
     "alertas_spark.operators.textops",
     "alertas_spark.operators.bpe",
+    "alertas_spark.operators.bpe_bytes",
     "alertas_spark.operators.sessionize",
     "alertas_spark.operators.asof",
     "alertas_spark.operators.multimodal",
