@@ -16,8 +16,17 @@ next-round #7).
 
 Because the raster is a deterministic function of the document bytes, the
 whole pipeline is oracle-checkable: DuckDB reproduces width/height/checksums
-straight from the text column (valid while fixtures are ASCII — pinned by
-test_multimodal.py::test_fixture_text_is_ascii).
+straight from the text column.  The byte-level operators and the
+character-level oracles agree only on ASCII text, so EVERY such query pair
+restricts to ASCII documents EXPLICITLY and symmetrically — Spark through
+:func:`ascii_docs` (octet_length = length), DuckDB through
+``ASCII_DOCS_SQL`` (strlen = length) — rather than relying on the fixture
+happening to be all-ASCII (it is, pinned by
+test_multimodal.py::test_fixture_text_is_ascii, making the filter a no-op
+today; a future non-ASCII fixture excludes those docs IDENTICALLY on both
+engines instead of silently hash-mismatching on shifted byte boundaries).
+Non-ASCII text is a first-class citizen in the byte-native tokenizer tier
+(operators/bpe_bytes.py), not here.
 """
 
 from __future__ import annotations
@@ -38,6 +47,20 @@ from alertas_spark.sources.catalog import load_table
 
 #: Raster width for the text→PNG payload used by every declared query.
 PNG_W = 16
+
+#: DuckDB side of the ASCII contract (byte count == char count iff pure
+#: ASCII; NULL text is excluded by the NULL comparison on both engines).
+#: Spark twin: :func:`ascii_docs`.
+ASCII_DOCS_SQL = "strlen(text) = length(text)"
+
+
+def ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table restricted to the byte≡character (pure-ASCII)
+    domain — the shared Spark side of the module's ASCII contract (see the
+    module docstring).  Every byte-level operator with a character-level
+    oracle starts from this relation; the oracle carries ``ASCII_DOCS_SQL``."""
+    return (load_table(spark, sf_dir, "documents")
+            .filter(F.octet_length("text") == F.length("text")))
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -217,11 +240,10 @@ def decode_features(media: DataFrame, decoder=None,
 
 
 #: The multimodal oracles recompute the codec pipeline's BYTE-level results
-#: with DuckDB's CHARACTER-level strlen/substring, which agree only because
-#: the fixture text is pure ASCII (pinned by tests/test_multimodal.py::
-#: test_fixture_text_is_ascii — this DuckDB build has no BLOB substring/md5,
-#: so the oracle cannot be expressed byte-based directly).  Any multi-byte
-#: character would shift frame boundaries and lengths.
+#: with DuckDB's CHARACTER-level strlen/substring (this DuckDB build has no
+#: BLOB substring/md5, so the oracle cannot be expressed byte-based
+#: directly), so both sides restrict to the ASCII domain explicitly —
+#: ascii_docs / ASCII_DOCS_SQL, the module-wide contract.
 
 @declare(
     "multimodal_decode_features",
@@ -238,7 +260,7 @@ def decode_features(media: DataFrame, decoder=None,
                           i -> ascii(substring(text, CAST(i AS INTEGER), 1))))
                      AS DOUBLE) / strlen(text) END AS px_mean,
            CAST(strlen(text) AS INTEGER) AS n_source_bytes
-    FROM documents
+    FROM documents WHERE {ASCII_DOCS_SQL}
     """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,8 +271,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode→Arrow→decode round-trip byte-for-byte; ``px_mean`` is an exact
     integer sum over the valid bytes with one final double division, so it is
     engine- and partitioning-independent."""
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_features(with_png_media(docs))
+    return decode_features(with_png_media(ascii_docs(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -316,14 +337,14 @@ def sample_frames(media: DataFrame, sampler=None,
 
 @declare(
     "multimodal_frame_sample",
-    # character-based oracle == byte-based operator only on ASCII fixtures; see
-    # the ASCII note above multimodal_decode_features
+    # byte operator + character oracle -> explicit symmetric ASCII contract
+    # (ascii_docs / ASCII_DOCS_SQL; see the module docstring)
     oracle=f"""
     WITH idx AS (
         SELECT doc_id, text,
                unnest(range(0, CAST(greatest(1, ceil(strlen(text) / {PNG_W}.0))
                                AS BIGINT))) AS frame_idx
-        FROM documents
+        FROM documents WHERE {ASCII_DOCS_SQL}
     ), frames AS (
         SELECT doc_id, frame_idx,
                substring(text, CAST(frame_idx * {PNG_W} + 1 AS INTEGER),
@@ -342,8 +363,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanline becomes its own frame row (1→N mapInPandas, partition-preserving,
     no shuffle).  The oracle reconstructs each sampled scanline's valid bytes
     from the source text."""
-    docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(with_png_media(docs))
+    return sample_frames(with_png_media(ascii_docs(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -425,8 +445,8 @@ def resize_media(media: DataFrame, resizer=None,
 
 @declare(
     "multimodal_resize",
-    # character-based oracle == byte-based operator only on ASCII fixtures; see
-    # the ASCII note above multimodal_decode_features
+    # byte operator + character oracle -> explicit symmetric ASCII contract
+    # (ascii_docs / ASCII_DOCS_SQL; see the module docstring)
     oracle=f"""
     SELECT doc_id,
            CAST(strlen(text) AS INTEGER) AS orig_bytes,
@@ -437,7 +457,7 @@ def resize_media(media: DataFrame, resizer=None,
                          i -> substring(text,
                               CAST((i * strlen(text)) // {TARGET_BYTES} AS INTEGER) + 1,
                               1)), '') END) AS resized_md5
-    FROM documents
+    FROM documents WHERE {ASCII_DOCS_SQL}
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,8 +465,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode → nearest-neighbor resample of the valid bytes to {TARGET_BYTES} →
     re-encode as a real PNG.  The oracle reconstructs the same resample
     character-wise from the source text and checks the pixel-content md5."""
-    docs = load_table(spark, sf_dir, "documents")
-    resized = resize_media(with_png_media(docs))
+    resized = resize_media(with_png_media(ascii_docs(spark, sf_dir)))
     return resized.select("doc_id", "orig_bytes", "resized_bytes",
                           "resized_md5")
 
@@ -543,7 +562,7 @@ def _png_decode_verify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
            'L' AS mode,
            CAST(strlen(text) AS INTEGER) AS n_source_bytes,
            true AS roundtrip_ok
-    FROM documents
+    FROM documents WHERE {ASCII_DOCS_SQL}
     """,
 )
 def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,7 +579,7 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for full-format production decoding, but the engine-side contract is now
     proven with a genuine binary format in-container.  Both stages are
     partition-preserving (no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ascii_docs(spark, sf_dir).select("doc_id", "text")
     # repartition: one parquet file → one input partition would serialize all
     # codec CPU onto one core (see with_png_media)
     media = docs.repartition(
@@ -668,15 +687,15 @@ def wav_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 @declare(
     "multimodal_audio_features",
-    # character-based oracle == byte-based operator only on ASCII fixtures; see
-    # the ASCII note above multimodal_decode_features
+    # byte operator + character oracle -> explicit symmetric ASCII contract
+    # (ascii_docs / ASCII_DOCS_SQL; see the module docstring)
     oracle=f"""
     WITH ch AS (
         SELECT doc_id, CAST(t.i AS BIGINT) AS i,
                (unicode(substr(text, CAST(t.i AS INT), 1)) - 128) * 256 AS s
         FROM documents CROSS JOIN LATERAL
              unnest(range(1, length(text) + 1)) AS t(i)
-        WHERE text IS NOT NULL AND length(text) > 0
+        WHERE text IS NOT NULL AND length(text) > 0 AND {ASCII_DOCS_SQL}
     ), win AS (
         SELECT doc_id, (i - 1) // {WAV_WIN} AS w, MAX(ABS(s)) AS wpeak
         FROM ch GROUP BY doc_id, (i - 1) // {WAV_WIN}
@@ -714,9 +733,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     does (single-file scan would serialize it).  Zero-length documents have
     no samples and are excluded (documented domain contract, same as the
     token-less exclusion in ``perplexity_unigram``)."""
-    docs = (load_table(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull())
-            .select("doc_id", "text"))
+    docs = ascii_docs(spark, sf_dir).select("doc_id", "text")
     media = docs.repartition(
         spark.sparkContext.defaultParallelism).mapInPandas(
         _wav_media_batch, schema=_WAV_MEDIA_SCHEMA)
@@ -836,7 +853,7 @@ def avi_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
              unnest(range(1, (length(text) // {VID_FRAME}) * {VID_FRAME} + 1))
                  AS t(i)
         WHERE text IS NOT NULL AND length(text) >= {VID_FRAME}
-          AND strlen(text) = length(text)
+          AND {ASCII_DOCS_SQL}
     ), fr AS (
         SELECT doc_id, (i - 1) // {VID_FRAME} AS f, SUM(p) AS fsum
         FROM px GROUP BY doc_id, (i - 1) // {VID_FRAME}
@@ -887,12 +904,9 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-function injection as the image tier.  All emitted stats are
     integers or exact multiples (duration = frames x 100 ms), so the
     cross-engine compare has no float seam."""
-    docs = (load_table(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull())
-            # ASCII-only contract, enforced identically in the oracle —
-            # see the note on the @declare block above
-            .filter(F.octet_length("text") == F.length("text"))
-            .select("doc_id", "text"))
+    # ASCII contract enforced identically in the oracle (ascii_docs /
+    # ASCII_DOCS_SQL; see the module docstring and the @declare note above)
+    docs = ascii_docs(spark, sf_dir).select("doc_id", "text")
     media = docs.repartition(
         spark.sparkContext.defaultParallelism).mapInPandas(
         _avi_media_batch, schema=_VID_MEDIA_SCHEMA)

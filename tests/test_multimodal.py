@@ -97,6 +97,38 @@ def test_fixture_text_is_ascii(spark):
         assert n_non_ascii == 0, f"{sf}: {n_non_ascii} non-ASCII documents"
 
 
+def test_ascii_contract_symmetric_exclusion(spark, tmp_path):
+    """A non-ASCII document is excluded IDENTICALLY by the Spark builder and
+    the DuckDB oracle for every byte-operator/character-oracle pair — the
+    module-wide ascii_docs / ASCII_DOCS_SQL contract (not just the video
+    tier), so a future non-ASCII fixture shifts coverage symmetrically
+    instead of hash-mismatching on byte-boundary drift."""
+    import duckdb
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    texts = ["plain ascii doc " * 20,      # 320 chars: covers the video tier
+             "héllo wörld 中文 😀 " * 20]   # multi-byte: must drop everywhere
+    pd.DataFrame({
+        "doc_id": [1, 2], "text": texts, "lang": ["en", "en"],
+        "source": ["t", "t"], "n_chars": [len(t) for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet'")
+    reg = load_all()
+    for name in ("multimodal_decode_features", "multimodal_frame_sample",
+                 "multimodal_resize", "multimodal_png_roundtrip",
+                 "multimodal_audio_features", "multimodal_video_features"):
+        got = {r["doc_id"] for r in reg[name].builder(spark, sf).collect()}
+        want = {r[0] for r in con.execute(
+            f"SELECT DISTINCT doc_id FROM ({reg[name].oracle})").fetchall()}
+        assert got == want == {1}, (name, got, want)
+
+
 def test_resize_is_exact_target_size_and_composes_with_decode(spark):
     # binary→binary: every non-empty payload resamples to exactly TARGET_BYTES
     # pixels re-encoded as a REAL PNG, empty stays empty, and the output feeds
@@ -358,6 +390,51 @@ def test_avi_roundtrip_and_validation():
             avi_parse(bad)
     with pytest.raises(ValueError):
         avi_write([b"\x00" * 255], 16, 16, 10)  # wrong frame size
+
+
+def test_avi_stream_layout_validation():
+    """The r13 stream-layout raises each get a failing-input container:
+    a non-'vids' stream, a second 'vids' stream (whose scale/rate would
+    silently clobber fps), a MISSING strf (skips the DIB format check), and
+    a duplicated strf.  Containers are rebuilt from a valid buffer's own
+    chunk payloads via the writer's helpers, so the only difference from a
+    well-formed file is the layout under test — proven by the control
+    container parsing back exactly."""
+    import pytest
+
+    from alertas_spark.operators import avi_codec as av
+
+    frames = [bytes(range(256)), bytes(255 - i for i in range(256))]
+    buf = av.avi_write(frames, 16, 16, 10)
+    payload = {fcc: buf[off:off + size]
+               for fcc, off, size in av._walk(buf, 12, len(buf))
+               if fcc in (b"avih", b"strh", b"strf")}
+    movi = av._list(b"movi",
+                    b"".join(av._chunk(b"00db", f) for f in frames))
+
+    def container(strl_body: bytes) -> bytes:
+        hdrl = av._list(b"hdrl", av._chunk(b"avih", payload[b"avih"])
+                        + av._list(b"strl", strl_body))
+        return av._chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+    strh = av._chunk(b"strh", payload[b"strh"])
+    strf = av._chunk(b"strf", payload[b"strf"])
+    # control: the rebuilt well-formed container round-trips
+    _, _, fps, got = av.avi_parse(container(strh + strf))
+    assert fps == 10 and got == frames
+    # non-'vids' stream type
+    auds = av._chunk(b"strh", b"auds" + payload[b"strh"][4:])
+    with pytest.raises(ValueError, match="unsupported stream type"):
+        av.avi_parse(container(auds + strf))
+    # a second 'vids' strh
+    with pytest.raises(ValueError, match="multiple 'vids' streams"):
+        av.avi_parse(container(strh + strf + strh))
+    # deleted strf
+    with pytest.raises(ValueError, match="exactly one strf"):
+        av.avi_parse(container(strh))
+    # duplicated strf
+    with pytest.raises(ValueError, match="exactly one strf"):
+        av.avi_parse(container(strh + strf + strf))
 
 
 def test_video_features_hand_computed(spark, tmp_path):
