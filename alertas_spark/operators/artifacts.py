@@ -78,6 +78,8 @@ PERSISTENT_QUERIES = frozenset({
     "bpe_bytes_vocab_census",       # byte-subword census, same artifact
     "pack_sequences_bpe",           # packing on the artifact's token counts
     "pipeline_corpus_to_batches",   # capstone: gate→dedup→tokenize→pack
+    "perplexity_unigram",           # textops.py lm_unigram count table
+    "perplexity_bigram_backoff",    # lm_bigram_uni + lm_bigram_bi tables
 })
 
 

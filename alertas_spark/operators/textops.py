@@ -659,6 +659,29 @@ def source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unigram-LM perplexity scoring (CCNet-style quality filter)
 # ---------------------------------------------------------------------------
 
+#: bump when the LM count-table derivations change — artifact version key.
+LM_CODE_VERSION = "lm-r14a"
+
+
+def _lm_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus unigram LM table (t, c) through the persistent artifact
+    store — the same train-once lifecycle as the BPE merge table and the
+    PQ codebooks: the counts are a deterministic function of the corpus
+    snapshot, so later sessions score documents against the persisted
+    relation instead of re-aggregating the corpus."""
+    from alertas_spark.operators.artifacts import persistent_artifact
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (docs.filter(F.col("text").isNotNull())
+                .select(F.explode(F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t"))
+                .groupBy("t")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+
+    return persistent_artifact(spark, sf_dir, "lm_unigram",
+                               LM_CODE_VERSION, "documents", build)
+
 
 @declare(
     "perplexity_unigram",
@@ -700,14 +723,18 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vocabulary-sized join back (AQE-broadcastable on natural corpora), a
     1-row global crossJoin broadcast (no driver collect), and one final
     per-doc agg.  Zero-token documents have no rows and are excluded (no
-    distribution to score; documented domain contract)."""
+    distribution to score; documented domain contract).  The LM table ``ct``
+    rides the persistent artifact store (:func:`_lm_unigram_counts`): with a
+    store configured, scoring sessions read the vocabulary-sized parquet
+    relation instead of re-aggregating the corpus — the same cross-session
+    win as the trained tokenizer (bench's queries_warm_persistent tier)."""
     docs = load_table(spark, sf_dir, "documents")
     d = (docs.filter(F.col("text").isNotNull())
          .select("doc_id",
                  F.explode(F.regexp_extract_all(
                      F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t"))
          .groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("dc")))
-    ct = d.groupBy("t").agg(F.sum("dc").alias("c"))
+    ct = _lm_unigram_counts(spark, sf_dir)
     g = ct.agg(F.round(F.log(F.sum("c")) * 1e9).cast("bigint").alias("qln_n"))
     qc = F.round(F.log("c") * 1e9).cast("bigint")
     return (d.join(ct, "t").crossJoin(F.broadcast(g))
@@ -731,6 +758,54 @@ PPL_REF_MOD = 10
 #: ln in this module — a BAKED integer literal on both engines (computing it
 #: per-engine would be a libm seam): round(ln(2.5) * 1e9).
 PPL_QLN_BACKOFF = 916290732
+
+
+def _ppl_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, t): the corpus position stream — narrow posexplode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.filter(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.posexplode(F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
+                    .alias("pos", "t")))
+
+
+def _ppl_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, t, prev): the position stream with its LAG context —
+    doc-keyed window, partitions bounded by document length."""
+    from pyspark.sql import Window
+
+    return _ppl_tok(spark, sf_dir).withColumn(
+        "prev", F.lag("t").over(Window.partitionBy("doc_id").orderBy("pos")))
+
+
+def _lm_bigram_tables(spark: SparkSession,
+                      sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The reference-split LM count tables — unigram (t, cu) and bigram
+    (prev, t, cb) — through the persistent artifact store, the same
+    train-once lifecycle as :func:`_lm_unigram_counts`: both are
+    deterministic functions of the corpus snapshot and
+    vocabulary-/bigram-vocabulary-sized, so scoring sessions load two small
+    parquet relations instead of re-running the corpus explode + window."""
+    from alertas_spark.operators.artifacts import persistent_artifact
+
+    ref = F.col("doc_id") % PPL_REF_MOD != 0
+
+    def build_du() -> DataFrame:
+        return (_ppl_tok(spark, sf_dir).filter(ref).groupBy("t")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cu")))
+
+    def build_db() -> DataFrame:
+        return (_ppl_seq(spark, sf_dir)
+                .filter(ref & F.col("prev").isNotNull())
+                .groupBy("prev", "t")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cb")))
+
+    du = persistent_artifact(spark, sf_dir, "lm_bigram_uni",
+                             LM_CODE_VERSION, "documents", build_du)
+    db = persistent_artifact(spark, sf_dir, "lm_bigram_bi",
+                             LM_CODE_VERSION, "documents", build_db)
+    return du, db
 
 
 @declare(
@@ -809,32 +884,15 @@ def perplexity_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram/bigram tables are map-side-combined hash aggs joined back by
     token keys (vocabulary/bigram-vocabulary sized — AQE-broadcastable on
     natural corpora, shuffle joins at web scale); the global N is a 1-row
-    broadcast crossJoin, no driver collect."""
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
-    tok = (docs.filter(F.col("text").isNotNull())
-           .select("doc_id",
-                   F.posexplode(F.regexp_extract_all(
-                       F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
-                   .alias("pos", "t")))
-    # seq feeds THREE consumers (reference unigrams, reference bigrams, the
-    # scoring join) and Catalyst does not CSE identical subtrees, so the
-    # explode+window recomputes per consumer — MEASURED as the cheaper
-    # shape: a memo.cached(seq) variant timed 3.5-3.7 s vs 2.4-2.7 s
-    # uncached (min-of-3 A/B at the 10× replica, r12); doc-bounded window
-    # sorts re-run in codegen faster than the wide position stream
-    # materializes and re-scans.  du derives from seq (same rows, prev
-    # unused) so the window subtree at least stays byte-identical across
-    # consumers for the exchange reuse AQE can spot.
-    seq = tok.withColumn(
-        "prev", F.lag("t").over(Window.partitionBy("doc_id").orderBy("pos")))
-    ref = F.col("doc_id") % PPL_REF_MOD != 0
-    du = (seq.filter(ref).groupBy("t")
-          .agg(F.count(F.lit(1)).cast("bigint").alias("cu")))
-    db = (seq.filter(ref & F.col("prev").isNotNull())
-          .groupBy("prev", "t")
-          .agg(F.count(F.lit(1)).cast("bigint").alias("cb")))
+    broadcast crossJoin, no driver collect.  Since r14 the du/db count
+    tables ride the persistent artifact store (:func:`_lm_bigram_tables`):
+    with a store configured, scoring sessions read two small parquet
+    relations and the corpus explode + window runs ONLY for the scoring
+    stream ``seq`` — training never repeats across sessions.  (The r12
+    measured no-cache decision for ``seq`` stands: it now feeds one
+    consumer, so there is nothing left to share.)"""
+    seq = _ppl_seq(spark, sf_dir)
+    du, db = _lm_bigram_tables(spark, sf_dir)
     g = du.agg(F.round(F.log(F.sum("cu")) * 1e9).cast("bigint").alias("qln_n"))
 
     def qln(c):

@@ -207,3 +207,29 @@ def test_two_separate_sessions_second_skips_training(tmp_path):
     assert any("_artifacts" in s for s in second["ivf_plan_sources"])
     assert not any("embeddings.parquet" in s
                    for s in second["ivf_plan_sources"])
+
+
+def test_lm_tables_roundtrip_identical_scores(spark, tmp_path):
+    """The r14 LM persistence pin: for both perplexity queries, the scores
+    computed memo-only, on the store-building first run, and on a
+    memo-cold store-warm run are cell-identical — persisting the count
+    tables changes WHERE the LM lives, never what it says."""
+    from alertas_spark.operators import artifacts, memo
+    from alertas_spark.registry import load_all
+
+    reg = load_all()
+    for name in ("perplexity_unigram", "perplexity_bigram_backoff"):
+        memo.clear()
+        base = sorted(map(tuple, reg[name].builder(spark, SF).collect()))
+        spark.conf.set(artifacts.CONF_KEY, str(tmp_path / name))
+        try:
+            memo.clear()
+            first = sorted(map(tuple,
+                               reg[name].builder(spark, SF).collect()))
+            memo.clear()  # simulated new session: memo cold, store warm
+            warm = sorted(map(tuple,
+                              reg[name].builder(spark, SF).collect()))
+        finally:
+            spark.conf.unset(artifacts.CONF_KEY)
+            memo.clear()
+        assert base == first == warm and len(base) > 0, name
