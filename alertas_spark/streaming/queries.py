@@ -9,6 +9,7 @@ aggregation.  ``streaming_user_totals`` exercises the custom stateful operator
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from alertas_spark.functions.numeric import sql_dsum
@@ -285,3 +286,116 @@ def streaming_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                 F.sum("n_tok").cast("bigint").alias("n_tokens")))
     return ev.run_to_memory(out, shuffle_partitions=8)
+
+
+@declare(
+    "streaming_corpus_manifest",
+    oracle=None,  # set below — needs the BPE trainer CTEs (import-order)
+)
+def streaming_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-to-batches capstone's FRONT HALF under incremental
+    execution: quality gate → trained-BPE token-count ENRICHMENT → exact
+    content dedup, emitting an append-only manifest row per distinct clean
+    content — (lang, content_hash, n_tokens), the relation the batch back
+    half packs into training batches.
+
+    **Artifact-served merges on the stream**: the trained merge table is
+    loaded from the persistent artifact store batch-side BEFORE the stream
+    starts (``bpe._merges_list`` — the sanctioned ≤16-row read) and rides an
+    ``sc.broadcast`` into an Arrow-batched pandas UDF that tokenizes each
+    document's normalized words directly.  The batch tier's
+    distinct-word-then-join-back shape needs a corpus-wide DISTINCT — an
+    unbounded-state shuffle a stream cannot do incrementally — so the
+    streaming tier pays per-document tokenization instead (cost ∝ the
+    document's own words: the standard streaming-enrichment trade, same as
+    a KenLM scorer in a streaming CCNet pipeline).
+
+    **Why pack_id stays in the batch back half**: pack assignment is a
+    per-source cumulative token sum in doc_id order — row N's pack_id
+    depends on EVERY earlier document in its shard, so one late-arriving
+    document with a smaller doc_id (or any upstream retraction) shifts
+    every subsequent pack boundary in that shard.  An incremental operator
+    would have to either re-emit unbounded retractions or freeze arrival
+    order (making output depend on micro-batch timing, not data).  The
+    manifest is therefore the streaming/batch seam: the stream maintains it
+    append-only; ``pipeline_corpus_to_batches`` cuts packs from a manifest
+    SNAPSHOT, where the cumsum is a deterministic per-source window.
+
+    Determinism across the dedup winner: every emitted column is derived
+    from the dedup key itself (lang, normalized text) — token counts are
+    computed from the NORMALIZED text, which duplicates share by
+    definition — so which physical copy survives ``dropDuplicates`` cannot
+    change the manifest.  State contract: one ~16-byte md5 key per distinct
+    (lang, content); production bounds it with an ingest-time watermark +
+    ``dropDuplicatesWithinWatermark`` (the tested pattern above).  Full
+    replay over the fixture is one availableNow micro-batch, so the output
+    equals the batch front half — the oracle (which retrains the tokenizer
+    in unrolled SQL, the bpe contract)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.bpe import _apply_merges, _merges_list
+
+    merges = _merges_list(spark, sf_dir)  # artifact-served, batch-side
+    bc = spark.sparkContext.broadcast(merges)
+    word_re = _re.compile("[a-z0-9]+")
+
+    @F.pandas_udf("bigint")
+    def ntok_doc(norms: pd.Series) -> pd.Series:
+        ms = bc.value
+        return norms.map(lambda s: sum(
+            len(_apply_merges(w, ms)) for w in word_re.findall(s)))
+
+    docs = ev.read_documents_stream(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    gated = (docs
+             .filter(quality_gate_cond())
+             .select("lang", F.md5(norm).alias("content_hash"),
+                     ntok_doc(norm).alias("n_tokens")))
+    manifest = gated.dropDuplicates(["lang", "content_hash"])
+    return ev.run_to_memory(manifest, output_mode="append",
+                            shuffle_partitions=8)
+
+
+def _manifest_oracle() -> str:
+    """Batch front half in DuckDB: gate → distinct (lang, norm) → retrain
+    the BPE merges (unrolled CTEs) → tokenize each distinct content's words
+    → per-(lang, hash) token totals."""
+    from alertas_spark.operators.bpe import _apply_ctes, _train_ctes
+
+    docw_body = """
+        SELECT md5(norm) AS doc_id, t.w AS word FROM kept,
+        LATERAL unnest(regexp_extract_all(norm, '[a-z0-9]+')) AS t(w)"""
+    return f"""
+    WITH gated AS MATERIALIZED (
+        SELECT lang,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+        WHERE {QUALITY_GATE_SQL}
+    ), kept AS MATERIALIZED (
+        SELECT DISTINCT lang, norm FROM gated
+    ),
+    {_train_ctes()},
+    {_apply_ctes(docw_body=docw_body)},
+    kw AS (
+        SELECT lang, md5(norm) AS content_hash, t.w AS word FROM kept,
+        LATERAL unnest(regexp_extract_all(norm, '[a-z0-9]+')) AS t(w)
+    )
+    SELECT kw.lang, kw.content_hash,
+           CAST(sum(tokc.ntok) AS BIGINT) AS n_tokens
+    FROM kw JOIN tokc USING (word)
+    GROUP BY kw.lang, kw.content_hash
+    """
+
+
+# late oracle attach: REGISTRY entries are frozen dataclasses, so rebuild the
+# row with the composed SQL (the decorator ran with oracle=None above purely
+# to keep the declaration adjacent to the builder)
+from alertas_spark.registry import REGISTRY as _REG  # noqa: E402
+from alertas_spark.registry import DeclaredQuery as _DQ  # noqa: E402
+
+_q = _REG["streaming_corpus_manifest"]
+_REG["streaming_corpus_manifest"] = _DQ(
+    _q.name, _q.builder, _manifest_oracle(), _q.doc, _q.late)
+del _q

@@ -182,3 +182,46 @@ def test_clean_corpus_doubled_source_dedups_and_gates(spark, tmp_path):
                  F.sum("n_tok").cast("bigint").alias("n_tokens"))
             .collect()}
     assert got == want and len(got) > 0
+
+
+def test_corpus_manifest_doubled_source_dedups_and_enriches(spark, tmp_path):
+    """streaming_corpus_manifest (the capstone's streamed front half) must
+    collapse a doubled documents source to ONE manifest row per distinct
+    (lang, content) and enrich each with the trained-BPE token count of the
+    NORMALIZED text — checked cell-for-cell against a driver-side batch
+    recomputation using the same artifact-served merges."""
+    import hashlib
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.bpe import _apply_merges, _merges_list
+    from alertas_spark.registry import load_all
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    sf = tmp_path  # fake sf_dir whose documents table is the doubled source
+    doubled = tmp_path / "documents.parquet"
+    doubled.mkdir()
+    os.symlink(src, doubled / "a.parquet")
+    os.symlink(src, doubled / "b.parquet")
+
+    rows = (load_all()["streaming_corpus_manifest"]
+            .builder(spark, str(sf)).collect())
+    got = {(r["lang"], r["content_hash"], r["n_tokens"]) for r in rows}
+    assert len(rows) == len(got), "duplicate manifest rows emitted"
+
+    merges = _merges_list(spark, str(sf))
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    kept = (spark.read.parquet(src)
+            .filter(F.size(toks).between(30, 2000)
+                    & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.2))
+            .select("lang", norm.alias("norm")).distinct().collect())
+    want = {(r["lang"],
+             hashlib.md5(r["norm"].encode()).hexdigest(),
+             sum(len(_apply_merges(w, merges))
+                 for w in re.findall("[a-z0-9]+", r["norm"])))
+            for r in kept}
+    assert got == want and len(got) > 0
