@@ -357,10 +357,13 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_token_count_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as ``bpe_token_count``, zero Python on the data path:
     the merge chain unrolls into N_MERGES codegen'd ``replace`` calls over the
-    delimited state string (state init is one ``regexp_replace``).  Viable
-    exactly while the merge table is expression-sized; the pandas tier is the
-    unbounded-table path — the module's measured built-in/UDF pair, like
-    ``trimmed_mean_order_value`` vs ``_builtin``."""
+    delimited state string (state init is one ``regexp_replace``).  MEASURED
+    ceiling (tools/codegen_ceiling.py, sf0.1, r14): parity with the pandas
+    tier through ~64 merges, 1.6× slower at 256 (plan-build time doubles),
+    and a hard wall at 512 — the driver-side column→expression conversion
+    overflows the JVM stack before codegen runs.  Production merge tables
+    (32k) are pandas-tier territory; full table + growth terms in
+    SCALING.md §"Codegen ceiling"."""
     merges = _merges_list(spark, sf_dir)
 
     def ntok(word):
