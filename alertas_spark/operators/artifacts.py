@@ -76,6 +76,7 @@ PERSISTENT_QUERIES = frozenset({
     "bpe_bytes_token_count",        # applies the bpe_bytes_merges artifact
     "bpe_bytes_token_count_builtin",  # same artifact, codegen apply tier
     "bpe_bytes_vocab_census",       # byte-subword census, same artifact
+    "pack_sequences_bpe_bytes",     # packing on byte-token counts
     "pack_sequences_bpe",           # packing on the artifact's token counts
     "pipeline_corpus_to_batches",   # capstone: gate→dedup→tokenize→pack
     "perplexity_unigram",           # textops.py lm_unigram count table

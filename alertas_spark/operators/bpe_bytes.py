@@ -67,6 +67,7 @@ from alertas_spark.operators.artifacts import persistent_artifact
 from alertas_spark.operators.bpe import (CENSUS_TOP, _apply_ctes,
                                          _apply_merges, _doc_token_counts,
                                          _train_ctes, _train_merges_py)
+from alertas_spark.operators.packing import PACK_BUDGET as _PACK_BUDGET
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -333,3 +334,47 @@ def bpe_bytes_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("token", "n_bytes", "n_occurrences", "n_words")
             .orderBy(F.desc("n_occurrences"), F.asc("token"))
             .limit(CENSUS_TOP))
+
+
+@declare(
+    "pack_sequences_bpe_bytes",
+    oracle=f"""
+    WITH {_MDOCS_CTE},
+    {_TRAIN},
+    {_APPLY},
+    dt AS MATERIALIZED (
+        SELECT docw.doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM docw JOIN tokc USING (word) GROUP BY docw.doc_id),
+    ds AS (SELECT d.doc_id, d.source, dt.n_tokens
+           FROM documents d JOIN dt USING (doc_id))
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {_PACK_BUDGET} AS INTEGER) AS pack_id
+    FROM ds
+    """,
+)
+def pack_sequences_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on BYTE-BPE counts — the full-domain sibling of
+    ``pack_sequences_bpe``, closing the original gap end-to-end: with the
+    ASCII tier, a non-Latin document contributed ZERO tokens to its pack's
+    budget (its pack absorbed it for free, silently overstuffing the batch);
+    under the byte tier every document budgets by its real post-merge byte
+    tokens.  Same scale shape as ``pack_sequences``: per-source shard
+    windows — never one global cumsum — plus the vocabulary-sized
+    tokenize-and-join-back.  Documents with no ``\\S+`` word (whitespace-only
+    text) have no token count and are excluded (the bpe_bytes_token_count
+    contract)."""
+    from pyspark.sql import Window
+
+    per_doc = (_doc_token_counts(spark, sf_dir, ntok_udf(spark, sf_dir),
+                                 docw=_doc_words(spark, sf_dir))
+               .select("doc_id", "n_tokens"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (docs.join(per_doc, "doc_id")
+            .withColumn("pack_id",
+                        F.floor(cum_before / _PACK_BUDGET).cast("int")))

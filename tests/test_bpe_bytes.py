@@ -150,3 +150,44 @@ def test_token_counts_bounded_by_bytes(spark, tmp_path):
         n_bytes = sum(len(w.encode("utf-8")) for w in words)
         assert out[i]["n_words"] == len(words)
         assert len(words) <= out[i]["n_tokens"] <= n_bytes
+
+
+def test_pack_sequences_bpe_bytes_budgets_full_domain(spark):
+    """Byte-tier packing budgets every document by its REAL byte-token count
+    — n_tokens matches bpe_bytes_token_count per doc, byte counts dominate
+    the ASCII tier's on non-en (marker-suffixed) docs, and pack_id is the
+    floor-bucket of the running per-source total."""
+    from collections import defaultdict
+
+    from alertas_spark.operators.packing import PACK_BUDGET
+    from alertas_spark.registry import load_all
+
+    reg = load_all()
+    packs = reg["pack_sequences_bpe_bytes"].builder(spark, SF).collect()
+    counts = {r["doc_id"]: r["n_tokens"]
+              for r in reg["bpe_bytes_token_count"]
+              .builder(spark, SF).collect()}
+    assert {r["doc_id"] for r in packs} == set(counts)
+    ascii_counts = {r["doc_id"]: r["n_tokens"]
+                    for r in reg["bpe_token_count"]
+                    .builder(spark, SF).collect()}
+    per_source = defaultdict(list)
+    dominates = 0
+    for r in packs:
+        assert r["n_tokens"] == counts[r["doc_id"]]
+        # the byte domain is a superset: byte tokens >= ASCII tokens would
+        # not hold in general (different merges), but every doc must budget
+        # SOMETHING and the derived multilingual docs must budget MORE under
+        # bytes than the ASCII tier saw (their suffixes are invisible there)
+        assert r["n_tokens"] >= 1
+        if r["n_tokens"] > ascii_counts.get(r["doc_id"], 0):
+            dominates += 1
+        per_source[r["source"]].append(
+            (r["doc_id"], r["n_tokens"], r["pack_id"]))
+    assert dominates > 0
+    for rows in per_source.values():
+        rows.sort()
+        cum = 0
+        for _, n_tokens, pack_id in rows:
+            assert pack_id == cum // PACK_BUDGET
+            cum += n_tokens

@@ -60,6 +60,8 @@ QUERIES = [
     "bpe_vocab_census",            # weighted subword census, vocab-sized apply (r12)
     "bpe_bytes_train_merges",      # byte-fallback BPE trainer, hex atoms (r14)
     "bpe_bytes_token_count",       # byte-BPE apply over full \S+ domain (r14)
+    "pack_sequences_bpe_bytes",    # packing on byte-token counts (r14)
+    "streaming_corpus_manifest",   # streamed capstone front half (r14)
     "pack_sequences_bpe",          # packing on subword counts (r12)
     "decontaminate_embedding",     # broadcast eval set × corpus cosine sweep (r12)
     "streaming_clean_corpus",      # gate + dedup + rollup under micro-batch (r12)
