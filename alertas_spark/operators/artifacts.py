@@ -77,6 +77,9 @@ PERSISTENT_QUERIES = frozenset({
     "bpe_bytes_token_count_builtin",  # same artifact, codegen apply tier
     "bpe_bytes_vocab_census",       # byte-subword census, same artifact
     "pack_sequences_bpe_bytes",     # packing on byte-token counts
+    "bpe_bytes_detokenize_roundtrip",  # lossless-detok proof, same artifact
+    "bpe_bytes_fertility",          # per-lang tokens/word, same artifact
+    "ccnet_perplexity_buckets",     # head/middle/tail over lm_unigram
     "pack_sequences_bpe",           # packing on the artifact's token counts
     "pipeline_corpus_to_batches",   # capstone: gate→dedup→tokenize→pack
     "perplexity_unigram",           # textops.py lm_unigram count table

@@ -378,3 +378,96 @@ def pack_sequences_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.join(per_doc, "doc_id")
             .withColumn("pack_id",
                         F.floor(cum_before / _PACK_BUDGET).cast("int")))
+
+
+@declare(
+    "bpe_bytes_detokenize_roundtrip",
+    oracle=f"""
+    WITH {_MDOCS_CTE},
+    {_TRAIN},
+    {_APPLY}
+    SELECT docw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           true AS roundtrip_ok
+    FROM docw JOIN tokc USING (word)
+    GROUP BY docw.doc_id
+    """,
+)
+def bpe_bytes_detokenize_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Detokenization is byte-LOSSLESS — the property that makes byte-level
+    BPE safe to train on (an ASCII tokenizer's unknown-token fallback loses
+    text; byte fallback by construction cannot): every distinct word is
+    tokenized in Python (Arrow UDF), then REASSEMBLED on the JVM —
+    ``concat_ws`` over the hex tokens → ``unhex`` → UTF-8 decode — and
+    compared against the original word; per-document ``roundtrip_ok`` is the
+    conjunction over its words.  The Python↔JVM seam is the point: the UDF's
+    merge application and Spark's hex/encode must agree byte-for-byte, the
+    same cross-implementation shape as ``multimodal_png_roundtrip`` (whose
+    oracle likewise recomputes geometry and DEMANDS roundtrip_ok on every
+    row, so a lossy merge table fails the hash, not just a unit test).
+    Scale shape: identical to ``bpe_bytes_token_count`` — tokenize once per
+    DISTINCT word, join back, one per-doc agg."""
+    merges = _merges_list(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(merges)
+
+    @F.pandas_udf("array<string>")
+    def toks(words: pd.Series) -> pd.Series:
+        ms = bc.value
+        return words.map(lambda w: _apply_merges(w, ms, atoms=_hex_atoms))
+
+    docw = _doc_words(spark, sf_dir)
+    per_word = (docw.select("word").distinct()
+                .withColumn("tokens", toks(F.col("word")))
+                .select("word",
+                        F.size("tokens").cast("bigint").alias("ntok"),
+                        (F.decode(F.unhex(F.concat_ws("", F.col("tokens"))),
+                                  "UTF-8") == F.col("word")).alias("ok")))
+    return (docw.join(per_word, "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("ntok").cast("bigint").alias("n_tokens"),
+                 F.bool_and("ok").alias("roundtrip_ok")))
+
+
+@declare(
+    "bpe_bytes_fertility",
+    oracle=f"""
+    WITH {_MDOCS_CTE},
+    {_TRAIN},
+    {_APPLY},
+    dl AS (SELECT doc_id, lang FROM documents)
+    SELECT dl.lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           ROUND(sum(ntok) * 1.0 / count(*), 6) AS fertility
+    FROM docw JOIN tokc USING (word) JOIN dl USING (doc_id)
+    GROUP BY dl.lang
+    """,
+)
+def bpe_bytes_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — mean subword tokens per word, THE
+    standard multilingual-tokenizer health metric (a tokenizer trained on
+    English-dominant data shows inflated fertility on other scripts because
+    their byte sequences never won merges; e.g. an un-merged 3-byte CJK char
+    costs 3 tokens).  On the derived corpus this query makes the byte
+    tier's trade visible: non-en languages carry the multi-byte marker
+    words, so their fertility sits measurably above en's — exactly the
+    signal a production pipeline watches to decide when to retrain the
+    tokenizer with more of a language's data.
+
+    Scale shape: the vocabulary-sized tokenize + join-back, one (doc→lang)
+    dim join, one lang-keyed hash agg — every corpus-sized stage map-side
+    combinable.  The single float division happens once per lang row,
+    rounded at 6 decimals on both engines (the perplexity idiom)."""
+    docw = _doc_words(spark, sf_dir)
+    tokc = (docw.select("word").distinct()
+            .withColumn("ntok", ntok_udf(spark, sf_dir)(F.col("word"))))
+    dl = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (docw.join(tokc, "word").join(dl, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("ntok").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum("ntok") * 1.0 / F.count(F.lit(1)), 6)
+                 .alias("fertility")))

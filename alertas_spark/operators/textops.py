@@ -683,10 +683,10 @@ def _lm_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                LM_CODE_VERSION, "documents", build)
 
 
-@declare(
-    "perplexity_unigram",
-    oracle="""
-    WITH tok AS (
+#: the unigram scorer's CTE chain ending in ``scored(doc_id, n_tokens,
+#: cross_entropy_nats)`` — shared by the perplexity query and the CCNet
+#: bucket query so the two oracles cannot drift.
+_UNIGRAM_SCORED_CTES = """tok AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
         FROM documents WHERE text IS NOT NULL
     ), d AS (
@@ -695,7 +695,7 @@ def _lm_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT t, SUM(dc) AS c FROM d GROUP BY t
     ), g AS (
         SELECT CAST(ROUND(LN(SUM(c)) * 1e9) AS BIGINT) AS qln_n FROM ct
-    )
+    ), scored AS (
     SELECT d.doc_id,
            CAST(SUM(d.dc) AS BIGINT) AS n_tokens,
            ROUND(CAST(CAST(SUM(CAST(d.dc AS HUGEINT)
@@ -704,6 +704,14 @@ def _lm_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cross_entropy_nats
     FROM d JOIN ct USING (t) CROSS JOIN g
     GROUP BY d.doc_id
+    )"""
+
+
+@declare(
+    "perplexity_unigram",
+    oracle=f"""
+    WITH {_UNIGRAM_SCORED_CTES}
+    SELECT doc_id, n_tokens, cross_entropy_nats FROM scored
     """,
 )
 def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,6 +736,13 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     store configured, scoring sessions read the vocabulary-sized parquet
     relation instead of re-aggregating the corpus — the same cross-session
     win as the trained tokenizer (bench's queries_warm_persistent tier)."""
+    return _unigram_scores(spark, sf_dir)
+
+
+def _unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy_nats) — the unigram scorer's body,
+    shared with :func:`ccnet_perplexity_buckets` (one Spark copy, mirroring
+    the shared ``_UNIGRAM_SCORED_CTES`` on the oracle side)."""
     docs = load_table(spark, sf_dir, "documents")
     d = (docs.filter(F.col("text").isNotNull())
          .select("doc_id",
@@ -744,6 +759,51 @@ def perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("dc").cast("bigint").alias("n_tokens"),
                  F.round(F.sum("term").cast("double")
                          / F.sum("dc") / 1e9, 6).alias("cross_entropy_nats")))
+
+
+@declare(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH {_UNIGRAM_SCORED_CTES},
+    lb AS (
+        SELECT s.doc_id, dd.lang, s.cross_entropy_nats,
+               NTILE(3) OVER (PARTITION BY dd.lang
+                              ORDER BY s.cross_entropy_nats, s.doc_id) AS nt
+        FROM scored s JOIN documents dd USING (doc_id)
+    )
+    SELECT doc_id, lang, cross_entropy_nats,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM lb
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., LREC 2020): within each
+    language, documents are ranked by LM cross-entropy and cut into terciles
+    — ``head`` (most in-domain) feeds training first, ``tail`` is the
+    down-weighted residue.  This is the DECISION stage the perplexity scores
+    exist for; per-lang partitioning matters because entropy scales are not
+    comparable across languages.
+
+    Determinism: the tercile cut is NTILE(3) over the total order
+    (cross_entropy_nats, doc_id) — both engines place remainder rows in the
+    earliest buckets, and the rounded-entropy + id tiebreak leaves no
+    ambiguity.  Scale shape: the scorer's aggs plus ONE per-lang window —
+    partitions are language-sized; a production corpus shards the window by
+    (lang, hash-bucket) exactly like ``pack_sequences``' per-source windows
+    if a single language outgrows an executor (documented seam, not needed
+    at fixture scale)."""
+    from pyspark.sql import Window
+
+    s = _unigram_scores(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("cross_entropy_nats", "doc_id")
+    return (s.join(docs, "doc_id")
+            .withColumn("nt", F.ntile(3).over(w))
+            .select("doc_id", "lang", "cross_entropy_nats",
+                    F.when(F.col("nt") == 1, "head")
+                    .when(F.col("nt") == 2, "middle")
+                    .otherwise("tail").alias("bucket")))
 
 
 # ---------------------------------------------------------------------------

@@ -191,3 +191,35 @@ def test_pack_sequences_bpe_bytes_budgets_full_domain(spark):
         for _, n_tokens, pack_id in rows:
             assert pack_id == cum // PACK_BUDGET
             cum += n_tokens
+
+
+def test_detokenize_roundtrip_lossless_on_nonascii(spark, tmp_path):
+    """Detokenization reassembles EVERY word byte-for-byte — on genuinely
+    non-ASCII raw text (CJK, diacritics, emoji, mixed scripts), across the
+    Python-apply/JVM-reassemble seam."""
+    from alertas_spark.registry import load_all
+
+    texts = ["héllo wörld tëst " * 10, "数据 管道 质量 数据 " * 10,
+             "mixed ascii 和 中文 😀 tokens " * 10]
+    sf = _write_docs(tmp_path, texts)
+    rows = (load_all()["bpe_bytes_detokenize_roundtrip"]
+            .builder(spark, sf).collect())
+    assert len(rows) == 3
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["n_tokens"] >= r["n_words"] >= 1 for r in rows)
+
+
+def test_fertility_higher_for_multibyte_langs(spark):
+    """On the derived corpus, every non-en lang carries multi-byte marker
+    words, so its bytes-per-word — and with a shared merge table its
+    tokens-per-word — must exceed en's: the fertility signal the metric
+    exists to surface."""
+    from alertas_spark.registry import load_all
+
+    rows = {r["lang"]: r for r in
+            load_all()["bpe_bytes_fertility"].builder(spark, SF).collect()}
+    assert set(rows) >= {"en", "zh", "es", "de", "fr"}
+    for lang in ("zh", "es", "de", "fr"):
+        assert rows[lang]["fertility"] > rows["en"]["fertility"], lang
+    for r in rows.values():
+        assert r["fertility"] >= 1.0  # every word costs >= 1 token

@@ -559,3 +559,29 @@ def test_perplexity_bigram_backoff_branches_hand_computed(spark, tmp_path):
     assert out[10]["n_backoff"] == 1
     assert out[10]["n_tokens"] == 3
     assert out[10]["cross_entropy_nats"] == round(t10 / 3 / 1e9, 6)
+
+
+def test_ccnet_buckets_are_per_lang_terciles(spark):
+    """ccnet_perplexity_buckets: within each lang the three buckets differ
+    in size by at most 1 (NTILE contract) and head entropy <= middle <=
+    tail at the boundaries (the ordering the cut is FOR)."""
+    from collections import defaultdict
+
+    from alertas_spark.registry import load_all
+
+    rows = (load_all()["ccnet_perplexity_buckets"]
+            .builder(spark, "/root/testdata/sf0.001").collect())
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]].append(r["cross_entropy_nats"])
+    assert len(by_lang) >= 2
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        sizes = [len(buckets[b]) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert max(buckets["head"]) <= min(buckets["middle"]) or \
+            any(abs(a - b) < 1e-12 for a in buckets["head"]
+                for b in buckets["middle"])
+        assert max(buckets["middle"]) <= min(buckets["tail"]) or \
+            any(abs(a - b) < 1e-12 for a in buckets["middle"]
+                for b in buckets["tail"])
