@@ -911,3 +911,110 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism).mapInPandas(
         _avi_media_batch, schema=_VID_MEDIA_SCHEMA)
     return media.mapInPandas(avi_feature_batch, schema=_VID_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: dHash over the real PNG decode path
+# ---------------------------------------------------------------------------
+
+#: dHash grid — (DHASH_W)×(DHASH_H) samples give DHASH_H rows of
+#: (DHASH_W - 1) horizontal-gradient bits = 64 bits.
+DHASH_W, DHASH_H = 9, 8
+
+_DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dhash", StringType()),
+])
+
+
+def png_dhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL perceptual-hash stage: decode the PNG payload (parse, CRC,
+    inflate, unfilter), nearest-neighbor-resample the valid pixels to the
+    {DHASH_W}×{DHASH_H} dHash grid, and emit the 64 horizontal-gradient bits
+    (``p[r][c] > p[r][c+1]``) as a 64-char bitstring — the standard
+    difference-hash (Krawetz, "Kind of Like That", 2013; the thumbnail
+    near-dup key image pipelines shard on).  The bitstring representation is
+    deliberate: a 64-bit integer would hit the BIGINT<<63 sign seam the
+    Hamming tier documented (simsearch_topk_hamming), and a group-by key
+    gains nothing from packing."""
+    import numpy as np
+
+    from alertas_spark.operators.png_codec import decode_png
+
+    n_samples = DHASH_W * DHASH_H
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, buf, ns in zip(pdf["doc_id"], pdf["media"],
+                                   pdf["n_source_bytes"]):
+            px = decode_png(bytes(buf))
+            valid = px.reshape(-1)[:int(ns)]
+            n = len(valid)
+            if n == 0:
+                continue  # no content to hash (excluded domain, both engines)
+            idx = (np.arange(n_samples, dtype=np.int64) * n) // n_samples
+            g = valid[idx].astype(np.int16).reshape(DHASH_H, DHASH_W)
+            bits = (g[:, :DHASH_W - 1] > g[:, 1:]).reshape(-1)
+            ids.append(doc_id)
+            hashes.append("".join("1" if b else "0" for b in bits))
+        yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+
+@declare(
+    "multimodal_dhash_neardup",
+    # byte operator + character oracle -> explicit symmetric ASCII contract
+    # (ascii_docs / ASCII_DOCS_SQL; see the module docstring)
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, strlen(text) AS n FROM documents
+        WHERE {ASCII_DOCS_SQL} AND length(text) >= 1
+    ), smp AS (
+        SELECT doc_id,
+               list_transform(range(0, {DHASH_W * DHASH_H}),
+                   k -> unicode(substr(text,
+                        CAST((k * n) // {DHASH_W * DHASH_H} AS INT) + 1,
+                        1))) AS s
+        FROM base
+    ), hb AS (
+        SELECT doc_id,
+               list_aggr(list_transform(range(0, 64),
+                   k -> CASE WHEN
+                            s[CAST((k // 8) * {DHASH_W} + (k % 8) + 1 AS INT)]
+                          > s[CAST((k // 8) * {DHASH_W} + (k % 8) + 2 AS INT)]
+                        THEN '1' ELSE '0' END), 'string_agg', '') AS dhash
+        FROM smp
+    )
+    SELECT doc_id, dhash,
+           CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_cluster,
+           MIN(doc_id) OVER (PARTITION BY dhash) AS rep_doc_id
+    FROM hb
+    """,
+)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup — each document's REAL PNG payload is decoded
+    and difference-hashed (:func:`png_dhash_batch`), then images are
+    clustered on the exact 64-bit dHash: (doc_id, dhash, cluster size,
+    representative = min doc_id).  This is the thumbnail-dedup stage of a
+    multimodal ingest pipeline: visually identical images collide on dHash
+    even when their container bytes differ (re-encode, metadata), which the
+    md5-of-container tier cannot see.
+
+    Scale shape: codec CPU spreads via the media tier's repartition; the
+    cluster stage shuffles only (dhash, doc_id) pairs — one exchange keyed
+    on the 64-bit hash, the same shape as ``dedup_exact``.  HAMMING-near
+    clustering (dHash distance ≤ k) is the documented next tier: band the
+    64 bits into 4×16-bit keys and verify within buckets — exactly the
+    ``simsearch_topk_hamming`` / LSH banding pattern already shipped; exact
+    dHash equality is the tier-1 operator pipelines run first because at
+    web scale most perceptual dupes are bit-identical under dHash.  The
+    oracle recomputes the resample + gradient bits character-wise (the
+    ``multimodal_resize`` idiom) and mirrors the window."""
+    from pyspark.sql import Window
+
+    docs = ascii_docs(spark, sf_dir).filter(F.length("text") >= 1)
+    media = with_png_media(docs)
+    hashed = media.mapInPandas(png_dhash_batch, schema=_DHASH_SCHEMA)
+    w = Window.partitionBy("dhash")
+    return hashed.select(
+        "doc_id", "dhash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_cluster"),
+        F.min("doc_id").over(w).alias("rep_doc_id"))

@@ -467,3 +467,47 @@ def test_video_features_hand_computed(spark, tmp_path):
     assert r["motion_sum"] == 256 * (122 - 48)
     assert r["n_dark_frames"] == 1  # 48*256 = 12288 < 16384; 'z' frame is not
     assert r["first_frame_md5"] == hashlib.md5(b"0" * 256).hexdigest()
+
+
+def test_dhash_neardup_clusters_identical_content(spark, tmp_path):
+    """dHash clusters visually identical payloads (duplicate texts) under
+    one representative, keeps distinct content apart, and emits well-formed
+    64-bit bitstrings; resample invariance: a doc with the same byte
+    PATTERN repeated scales to the same dHash grid."""
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    texts = ["abcd " * 60,          # doc 1
+             "abcd " * 60,          # doc 2: exact visual duplicate of 1
+             "zyxw " * 60,          # doc 3: different content
+             "abcd " * 60 + "!"]    # doc 4: near-dup — one trailing byte
+                                    # shifts only the tail of the resample
+                                    # grid, so most gradient bits survive
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4], "text": texts,
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": [len(t) for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+
+    rows = {r["doc_id"]: r for r in
+            load_all()["multimodal_dhash_neardup"]
+            .builder(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        assert len(r["dhash"]) == 64 and set(r["dhash"]) <= {"0", "1"}
+    assert rows[1]["dhash"] == rows[2]["dhash"]
+    assert rows[3]["dhash"] != rows[1]["dhash"]
+    assert rows[1]["rep_doc_id"] == rows[2]["rep_doc_id"] == 1
+    assert rows[1]["n_cluster"] >= 2
+    assert rows[3]["n_cluster"] == 1
+    # the near-dup is CLOSER in Hamming space than unrelated content (the
+    # banding tier's premise); one trailing byte drifts every nearest-
+    # neighbor index slightly, so exact equality is NOT expected — but the
+    # distance stays below the unrelated pair's and below the random-hash
+    # expectation (32 of 64 bits)
+    def ham(a, b):
+        return sum(x != y for x, y in zip(rows[a]["dhash"], rows[b]["dhash"]))
+
+    assert ham(1, 4) < ham(1, 3), (ham(1, 4), ham(1, 3))
+    assert ham(1, 4) < 32

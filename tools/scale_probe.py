@@ -62,6 +62,7 @@ QUERIES = [
     "bpe_bytes_token_count",       # byte-BPE apply over full \S+ domain (r14)
     "pack_sequences_bpe_bytes",    # packing on byte-token counts (r14)
     "streaming_corpus_manifest",   # streamed capstone front half (r14)
+    "multimodal_dhash_neardup",    # perceptual dHash dedup, real PNG decode (r14)
     "pack_sequences_bpe",          # packing on subword counts (r12)
     "decontaminate_embedding",     # broadcast eval set × corpus cosine sweep (r12)
     "streaming_clean_corpus",      # gate + dedup + rollup under micro-batch (r12)
