@@ -63,6 +63,7 @@ QUERIES = [
     "pack_sequences_bpe_bytes",    # packing on byte-token counts (r14)
     "streaming_corpus_manifest",   # streamed capstone front half (r14)
     "multimodal_dhash_neardup",    # perceptual dHash dedup, real PNG decode (r14)
+    "ccnet_perplexity_buckets",    # per-lang perplexity tercile cut (r14)
     "pack_sequences_bpe",          # packing on subword counts (r12)
     "decontaminate_embedding",     # broadcast eval set × corpus cosine sweep (r12)
     "streaming_clean_corpus",      # gate + dedup + rollup under micro-batch (r12)
