@@ -84,6 +84,7 @@ PERSISTENT_QUERIES = frozenset({
     "pipeline_corpus_to_batches",   # capstone: gate→dedup→tokenize→pack
     "perplexity_unigram",           # textops.py lm_unigram count table
     "perplexity_bigram_backoff",    # lm_bigram_uni + lm_bigram_bi tables
+    "streaming_corpus_manifest",    # stream enriched by the bpe_merges artifact
 })
 
 

@@ -7,10 +7,12 @@ byte-level BPE, SentencePiece's byte fallback) solve this by making the atom
 the UTF-8 BYTE: every string — any script, any symbol — decomposes into
 bytes, so every document tokenizes.  This module is that tier:
 
-* **pre-tokenization** — words are ``\\S+`` runs of the RAW text (no
-  lowercasing: case folding is locale-bearing outside ASCII and would be a
-  cross-engine seam; byte fidelity is the tier's whole point).  Merges never
-  cross word boundaries, same as the ASCII tier.
+* **pre-tokenization** — words are maximal non-whitespace runs of the RAW
+  text (``_WORD_RE``: an explicit character class, NOT ``\\S`` — Java and
+  RE2 disagree on U+000B; see the constant's note.  No lowercasing: case
+  folding is locale-bearing outside ASCII and would be a cross-engine
+  seam; byte fidelity is the tier's whole point).  Merges never cross word
+  boundaries, same as the ASCII tier.
 * **atoms** — each word's UTF-8 bytes, represented as UPPERCASE HEX PAIRS
   (``'é'`` → ``['C3', 'A9']``): Spark ``hex(encode(w,'UTF-8'))`` and DuckDB
   ``hex(encode(w))`` produce the identical uppercase hex string (verified:
@@ -77,11 +79,17 @@ N_MERGES = 16
 #: training vocabulary cutoff: top words by (freq DESC, word ASC).
 VOCAB_TOP = 256
 #: bump when trainer logic changes — part of the artifact version key.
-CODE_VERSION = "bpeb-r14b"
+CODE_VERSION = "bpeb-r14c"
 
 #: full-domain pre-tokenizer: any maximal run of non-whitespace — EVERY
-#: string with a non-space character yields at least one word.
-_WORD_RE = r"\S+"
+#: string with a non-space character yields at least one word.  The
+#: whitespace set is an EXPLICIT class, not ``\S``: Java's ``\s`` includes
+#: U+000B (vertical tab) while RE2/DuckDB's does not, so ``\S+`` tokenizes
+#: differently across engines on text containing ``\x0B`` — the one
+#: character in the two engines' ``\s`` symmetric difference.  The class
+#: below is Java's definition spelled out, verified to split identically
+#: on both engines (tests/test_bpe_bytes.py pins the ``\x0B`` input).
+_WORD_RE = r"[^\t\n\x0B\f\r ]+"
 
 #: per-lang characteristic multi-byte letter for the derived corpus view.
 _LANG_SUFFIX = {"zh": "的", "es": "é", "de": "ü", "fr": "è"}
@@ -210,6 +218,22 @@ def ntok_udf(spark: SparkSession, sf_dir: str):
     return ntok
 
 
+def toks_udf(spark: SparkSession, sf_dir: str):
+    """Arrow-batched TOKEN-LIST UDF over the trained merge table — the
+    array-valued sibling of :func:`ntok_udf`, shared by the census and the
+    detokenize-roundtrip query so the tokenizer exists in exactly one Python
+    copy per shape (the bpe._apply_merges single-copy rule) and the session
+    ships one broadcast of the merge list, not one per consumer."""
+    bc = spark.sparkContext.broadcast(_merges_list(spark, sf_dir))
+
+    @F.pandas_udf("array<string>")
+    def toks(words: pd.Series) -> pd.Series:
+        ms = bc.value
+        return words.map(lambda w: _apply_merges(w, ms, atoms=_hex_atoms))
+
+    return toks
+
+
 # ---------------------------------------------------------------------------
 # declared queries
 # ---------------------------------------------------------------------------
@@ -316,14 +340,7 @@ def bpe_bytes_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation on both engines: decoding merged byte sequences back to
     text is lossy at non-character boundaries (a CJK char's 3 bytes may merge
     across its middle), and hex is the seam-free cross-engine encoding."""
-    merges = _merges_list(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(merges)
-
-    @F.pandas_udf("array<string>")
-    def toks(words: pd.Series) -> pd.Series:
-        ms = bc.value
-        return words.map(lambda w: _apply_merges(w, ms, atoms=_hex_atoms))
-
+    toks = toks_udf(spark, sf_dir)
     docw = _doc_words(spark, sf_dir)
     wf = docw.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     wt = wf.withColumn("token", F.explode(toks(F.col("word"))))
@@ -409,14 +426,7 @@ def bpe_bytes_detokenize_roundtrip(spark: SparkSession,
     row, so a lossy merge table fails the hash, not just a unit test).
     Scale shape: identical to ``bpe_bytes_token_count`` — tokenize once per
     DISTINCT word, join back, one per-doc agg."""
-    merges = _merges_list(spark, sf_dir)
-    bc = spark.sparkContext.broadcast(merges)
-
-    @F.pandas_udf("array<string>")
-    def toks(words: pd.Series) -> pd.Series:
-        ms = bc.value
-        return words.map(lambda w: _apply_merges(w, ms, atoms=_hex_atoms))
-
+    toks = toks_udf(spark, sf_dir)
     docw = _doc_words(spark, sf_dir)
     per_word = (docw.select("word").distinct()
                 .withColumn("tokens", toks(F.col("word")))

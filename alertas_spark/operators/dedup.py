@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from alertas_spark.operators.embgate import EMB_VALID_SQL, np_valid_mask
+from alertas_spark.operators.textops import WS_RE
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -47,7 +48,7 @@ _SHINGLES_DUCK = """
 
 _DUCK_SHINGLE_CTE = f"""
     WITH tokd AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tok FROM documents
+        SELECT doc_id, regexp_split_to_array(lower(text), '{WS_RE}') AS tok FROM documents
     ), shing AS (
         SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM tokd
     )
@@ -57,8 +58,8 @@ _DUCK_SHINGLE_CTE = f"""
 @declare(
     "dedup_exact",
     late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
-    oracle="""
-    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+    oracle=f"""
+    SELECT md5(regexp_replace(trim(lower(text)), '{WS_RE}', ' ', 'g')) AS content_hash,
            MIN(doc_id) AS keeper_doc_id,
            COUNT(*) AS n_copies
     FROM documents
@@ -70,7 +71,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper = min(doc_id).  One shuffle on a 128-bit key; at 100 TB this is a plain
     hash-partitioned aggregation with map-side combine."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_RE, " ")
     return (
         docs.withColumn("content_hash", F.md5(norm))
         .groupBy("content_hash")
@@ -169,7 +170,7 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy("pos")
     return (
         docs.select("doc_id", F.posexplode(
-            F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "w"))
+            F.split(F.lower(F.col("text")), WS_RE)).alias("pos", "w"))
         .withColumn("w1", F.lead("w", 1).over(w))
         .withColumn("w2", F.lead("w", 2).over(w))
         .filter(F.col("w2").isNotNull())

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from alertas_spark.operators.dedup import dedup_minhash_lsh
 from alertas_spark.operators.memo import session_artifact
-from alertas_spark.operators.textops import text_quality
+from alertas_spark.operators.textops import WS_RE, text_quality
 from alertas_spark.registry import REGISTRY, declare
 from alertas_spark.sources.catalog import load_table
 
@@ -136,7 +136,7 @@ def _oracle_v3() -> str:
         FROM docw JOIN tokc USING (word) GROUP BY docw.doc_id),
     gated AS (
         SELECT doc_id, source,
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+               regexp_replace(trim(lower(text)), '{WS_RE}', ' ', 'g') AS norm
         FROM documents
         WHERE {QUALITY_GATE_SQL}
     ), kept AS (
@@ -179,7 +179,7 @@ def pipeline_corpus_to_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ntok = ntok_udf(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_RE, " ")
     gated = (docs
              .filter(quality_gate_cond())
              .select("doc_id", "source", F.md5(norm).alias("h")))

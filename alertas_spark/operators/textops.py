@@ -16,6 +16,24 @@ from alertas_spark.sources.catalog import load_table
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# ---------------------------------------------------------------------------
+# THE cross-engine whitespace set — Java's \s spelled out as an explicit
+# class.  Java \s = [ \t\n\x0B\f\r]; RE2 (DuckDB) \s = [ \t\n\f\r] — U+000B
+# (vertical tab) is the one-character symmetric difference, so any regex
+# using \s or \S on BOTH engines diverges on text containing \x0B (word
+# splits, whitespace normalization, the quality gate's punct class).  Every
+# corpus-facing regex spells the set out via these constants instead; the
+# escape sequences \t \n \x0B \f \r parse identically in Java regex and RE2.
+# Pinned corpus-wide by the \x0B document in tests/test_fixture_adversarial.
+# ---------------------------------------------------------------------------
+
+#: the escaped character set, for embedding inside larger classes.
+WS_CHARS = r"\t\n\x0B\f\r "
+#: ≙ ``\s+`` (one-or-more whitespace), both engines.
+WS_RE = rf"[{WS_CHARS}]+"
+#: ≙ ``\S+`` (a maximal non-whitespace run), both engines.
+NONWS_RE = rf"[^{WS_CHARS}]+"
+
 #: language marker words for the n-gram/stopword language-ID heuristic.
 LANG_MARKERS = {
     "en": ("the", "a", "and", "of"),
@@ -38,7 +56,7 @@ GATE_MAX_PUNCT_RATIO = 0.2
 QUALITY_GATE_SQL = (
     f"len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
     f" BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS}"
-    " AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))"
+    f" AND length(regexp_replace(text, '[a-zA-Z0-9{WS_CHARS}]', '', 'g'))"
     f" / GREATEST(length(text), 1) < {GATE_MAX_PUNCT_RATIO}"
 )
 
@@ -47,7 +65,8 @@ def quality_gate_cond():
     """The gate as a Spark Column over a ``text`` column — the exact
     predicate ``QUALITY_GATE_SQL`` states for the DuckDB side."""
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-    punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    punct = F.length(F.regexp_replace(F.col("text"),
+                                      rf"[a-zA-Z0-9{WS_CHARS}]", ""))
     return (F.size(toks).between(GATE_MIN_TOKENS, GATE_MAX_TOKENS)
             & (punct / F.greatest(F.length("text"), F.lit(1))
                < GATE_MAX_PUNCT_RATIO))
@@ -65,7 +84,7 @@ def quality_gate_cond():
                                  t -> t IN ({_STOP_SQL})))
                  / GREATEST(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 6)
                AS stop_ratio,
-           ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+           ROUND(length(regexp_replace(text, '[a-zA-Z0-9{WS_CHARS}]', '', 'g'))
                  / GREATEST(length(text), 1), 6) AS punct_ratio,
            CASE WHEN {QUALITY_GATE_SQL}
                 THEN 1 ELSE 0 END AS quality_ok
@@ -79,7 +98,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    punct_len = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    punct_len = F.length(F.regexp_replace(F.col("text"),
+                                          rf"[a-zA-Z0-9{WS_CHARS}]", ""))
     stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
     punct_ratio = F.round(punct_len / F.greatest(F.length("text"), F.lit(1)), 6)
     quality_ok = F.when(quality_gate_cond(), 1).otherwise(0)
@@ -150,10 +170,12 @@ def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "token_count",
     late=True,  # token counting overlaps text_quality's in-window n_tokens signal
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           CAST(len(regexp_extract_all(text, '{NONWS_RE}')) AS INTEGER)
+               AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                                       '[a-z]+|[0-9]+|[^a-z0-9{WS_CHARS}]'))
                 AS INTEGER) AS n_bpe_tokens,
            CAST(n_chars AS BIGINT) AS n_chars
     FROM documents
@@ -165,10 +187,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(NONWS_RE), 0))
         .cast("int").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.lower(F.col("text")),
-                                    F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+                                    F.lit(rf"[a-z]+|[0-9]+|[^a-z0-9{WS_CHARS}]"), 0))
         .cast("int").alias("n_bpe_tokens"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
@@ -177,19 +199,19 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "doc_fingerprint",
     late=True,  # double-pinned: green driver rows in r1+r2; slot rotated to first-time queries
-    oracle="""
+    oracle=f"""
     WITH tokd AS (
         SELECT doc_id, text,
-               regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+               regexp_split_to_array(trim(lower(text)), '{WS_RE}') AS tok
         FROM documents
     )
     SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_md5,
+           md5(regexp_replace(trim(lower(text)), '{WS_RE}', ' ', 'g')) AS content_md5,
            list_min(CASE WHEN len(tok) >= 5 THEN
                list_transform(generate_series(1, len(tok) - 4),
                    i -> md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
                             || tok[i+3] || ' ' || tok[i+4]))
-               ELSE [md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))] END)
+               ELSE [md5(regexp_replace(trim(lower(text)), '{WS_RE}', ' ', 'g'))] END)
                AS rolling_min_hash
     FROM tokd
     """,
@@ -198,9 +220,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content md5 + a rolling-window (5-gram) min-hash
     — the winnowing-style signature used for fast containment checks."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_RE, " ")
     out = (
-        docs.withColumn("tok", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        docs.withColumn("tok", F.split(F.trim(F.lower(F.col("text"))), WS_RE))
         .withColumn("content_md5", F.md5(norm))
         .withColumn(
             "rolling_min_hash",
@@ -673,11 +695,15 @@ def _lm_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
+        # localCheckpoint: session_artifact's eager-materialization
+        # contract (memo.py:35) — a lazy plan would re-run the corpus agg
+        # on every consumer action when no persistent store is configured
         return (docs.filter(F.col("text").isNotNull())
                 .select(F.explode(F.regexp_extract_all(
                     F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t"))
                 .groupBy("t")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+                .localCheckpoint())
 
     return persistent_artifact(spark, sf_dir, "lm_unigram",
                                LM_CODE_VERSION, "documents", build)
@@ -851,15 +877,19 @@ def _lm_bigram_tables(spark: SparkSession,
 
     ref = F.col("doc_id") % PPL_REF_MOD != 0
 
+    # localCheckpoint on both: the session_artifact eager contract
+    # (memo.py:35) — see _lm_unigram_counts
     def build_du() -> DataFrame:
         return (_ppl_tok(spark, sf_dir).filter(ref).groupBy("t")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("cu")))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+                .localCheckpoint())
 
     def build_db() -> DataFrame:
         return (_ppl_seq(spark, sf_dir)
                 .filter(ref & F.col("prev").isNotNull())
                 .groupBy("prev", "t")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("cb")))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+                .localCheckpoint())
 
     du = persistent_artifact(spark, sf_dir, "lm_bigram_uni",
                              LM_CODE_VERSION, "documents", build_du)

@@ -193,8 +193,25 @@ def window_order(names: list[str], hist: dict[str, tuple[int, bool]]) -> list[st
     return sorted(names, key=key)
 
 
+def _canonical_order() -> list[str]:
+    """Registry names in the DOCUMENTED module order: (position of the
+    declaring module in ``_QUERY_MODULES``, declaration order within the
+    module).  Raw dict-insertion order is NOT that invariant — a module that
+    imports another query module at load time (streaming_corpus_manifest's
+    oracle pulls in operators.bpe, which imports operators.packing)
+    registers the imported module's queries early, which r14's review
+    measured pushing dedup_exact outside the cold-start driver window — so
+    the order is reconstructed from each builder's ``__module__``."""
+    pos = {m: i for i, m in enumerate(_QUERY_MODULES)}
+    names = list(REGISTRY)
+    ins = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (
+        pos.get(REGISTRY[n].builder.__module__, len(_QUERY_MODULES)),
+        ins[n]))
+
+
 def load_all() -> dict[str, DeclaredQuery]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    ordered = window_order(list(REGISTRY), driver_history())
+    ordered = window_order(_canonical_order(), driver_history())
     return {n: REGISTRY[n] for n in ordered}

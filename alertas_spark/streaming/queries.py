@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from alertas_spark.functions.numeric import sql_dsum
-from alertas_spark.operators.textops import (QUALITY_GATE_SQL,
+from alertas_spark.operators.textops import (QUALITY_GATE_SQL, WS_RE,
                                              quality_gate_cond)
 from alertas_spark.registry import declare
 from alertas_spark.streaming import events as ev
@@ -233,7 +233,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     oracle=f"""
     WITH gated AS (
         SELECT lang,
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+               regexp_replace(trim(lower(text)), '{WS_RE}', ' ', 'g') AS norm,
                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
                     AS BIGINT) AS n_tok
         FROM documents
@@ -276,7 +276,7 @@ def streaming_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ev.read_documents_stream(spark, sf_dir)
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     n_tokens = F.size(toks).cast("bigint")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_RE, " ")
     gated = (docs
              .filter(quality_gate_cond())
              .select("lang", F.md5(norm).alias("content_hash"),
@@ -348,7 +348,7 @@ def streaming_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             len(_apply_merges(w, ms)) for w in word_re.findall(s)))
 
     docs = ev.read_documents_stream(spark, sf_dir)
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_RE, " ")
     gated = (docs
              .filter(quality_gate_cond())
              .select("lang", F.md5(norm).alias("content_hash"),
@@ -370,7 +370,7 @@ def _manifest_oracle() -> str:
     return f"""
     WITH gated AS MATERIALIZED (
         SELECT lang,
-               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+               regexp_replace(trim(lower(text)), '{WS_RE}', ' ', 'g') AS norm
         FROM documents
         WHERE {QUALITY_GATE_SQL}
     ), kept AS MATERIALIZED (

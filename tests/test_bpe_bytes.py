@@ -223,3 +223,27 @@ def test_fertility_higher_for_multibyte_langs(spark):
         assert rows[lang]["fertility"] > rows["en"]["fertility"], lang
     for r in rows.values():
         assert r["fertility"] >= 1.0  # every word costs >= 1 token
+
+
+def test_vertical_tab_splits_identically_cross_engine(spark, tmp_path):
+    """U+000B is the one character in Java's and RE2's \\s symmetric
+    difference; the explicit _WORD_RE class must make both engines split on
+    it identically — pinned by running the real oracle comparison on a
+    document containing a vertical tab."""
+    import duckdb
+
+    from alertas_spark.registry import load_all
+
+    sf = _write_docs(tmp_path, ["alpha\x0bbeta gamma", "plain words here"])
+    reg = load_all()
+    q = reg["bpe_bytes_token_count"]
+    got = sorted((r["doc_id"], r["n_words"], r["n_tokens"])
+                 for r in q.builder(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+    assert got == want
+    # Java \s would have made 'alpha\x0bbeta' two words; the explicit class
+    # splits it on BOTH engines (vtab is a separator in the unified set)
+    assert got[0][1] == 3

@@ -41,6 +41,10 @@ _ADV_DOCS = [
     ("spam " * 500, "en", "web"),            # one token repeated (rep. score)
     ("the the the the the and and and", "en", "web"),   # stopword-saturated
     ("word\ttab\tseparated\ttokens", "de", "web"),      # tabs
+    # U+000B: the ONE char in Java-vs-RE2 \s symmetric difference — splits,
+    # normalization, and the gate's punct class must treat it identically
+    # (textops.WS_CHARS spells the unified set; \s is banned corpus-wide)
+    ("vertical\x0btab body with thirty plus words " * 3, "en", "web"),
     ("Mixed CASE Text With Some Longer Tokens Here", None, "web"),  # NULL lang
     ("another plain document body", "en", None),        # NULL source
 ]

@@ -25,7 +25,8 @@ def _names():
 
 
 def test_order_is_deterministic_and_complete():
-    from alertas_spark.registry import REGISTRY, driver_history, window_order
+    from alertas_spark.registry import (REGISTRY, _canonical_order,
+                                        driver_history, window_order)
 
     names = _names()
     # never-driver-checked queries schedule ahead of every green row.  Their
@@ -38,8 +39,17 @@ def test_order_is_deterministic_and_complete():
     assert names[:len(red) + len(new)] == red + new
     assert len(set(names)) == len(names)
     assert sorted(names) == sorted(REGISTRY)
-    # recomputing the schedule reproduces the load order exactly
-    assert window_order(list(REGISTRY), driver_history()) == names
+    # recomputing the schedule reproduces the load order exactly — from the
+    # CANONICAL (module-position) order, not raw dict insertion: a query
+    # module importing another query module at load time (the r14 manifest
+    # oracle pulls in operators.bpe) must not scramble the tiebreak
+    assert window_order(_canonical_order(), driver_history()) == names
+    # and the canonical order's module blocks follow _QUERY_MODULES position
+    from alertas_spark.registry import _QUERY_MODULES
+    pos = {m: i for i, m in enumerate(_QUERY_MODULES)}
+    seq = [pos.get(REGISTRY[n].builder.__module__, len(_QUERY_MODULES))
+           for n in _canonical_order()]
+    assert all(a <= b for a, b in zip(seq, seq[1:]))
 
 
 def test_red_queries_rechecked_first():

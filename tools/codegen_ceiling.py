@@ -99,11 +99,16 @@ def main() -> None:
                     break
                 if total < best:
                     best, best_plan = total, plan
-            if err:
-                print(f"{n:>8} {tier:>8} FAILED   {err}", flush=True)
+            # a success is reported even when the OTHER pass failed (near
+            # the wall the overflow is stack-state dependent; discarding a
+            # real measurement would hide the exact point being probed) —
+            # FAILED only when no pass produced a number
+            if best != float("inf"):
+                flaky = "  (1 of 2 passes failed)" if err else ""
+                print(f"{n:>8} {tier:>8} {best:>8.2f} {best_plan:>7.2f}"
+                      f"{flaky}", flush=True)
             else:
-                print(f"{n:>8} {tier:>8} {best:>8.2f} {best_plan:>7.2f}",
-                      flush=True)
+                print(f"{n:>8} {tier:>8} FAILED   {err}", flush=True)
 
 
 if __name__ == "__main__":
