@@ -110,14 +110,29 @@ def declare(name: str, oracle: str | None = None,
 # driver's own CORRECTNESS_r*.json artifacts:
 #
 #   1. queries whose MOST RECENT driver row is red  (fix verification first),
-#   2. queries the driver has never checked          (new operators),
-#   3. everything else, stalest last-green round first,
+#   2. queries whose DECLARING MODULE changed since their last driver check
+#      (a green row against old code verifies nothing — r14 proved the gap:
+#      the whitespace-seam fix touched operators/pipeline.py but none of the
+#      three pipeline queries rotated into the r14 window), stalest first,
+#   3. queries the driver has never checked          (new operators),
+#   4. everything else, stalest last-green round first,
 #
 # with registry insertion order (product surface first) as the deterministic
 # tiebreak and the cold-start fallback when no artifacts exist.  Artifacts only
 # change between rounds, so the order is stable within a round and rotates by
 # itself across rounds — every query's driver row stays as fresh as a 50-slot
 # window over the corpus arithmetically allows.
+#
+# "Changed since" is decided from git, not mtimes (a fresh checkout resets
+# every mtime to clone time, which would mark the whole corpus touched): a
+# query is touched iff the last commit touching its builder's source file is
+# newer than the last commit touching the CORRECTNESS artifact of the round
+# that last checked it; files dirty in the working tree count as touched now.
+# Granularity is the DECLARING module — a query composing helpers from a
+# second module (pipeline → textops/dedup) is caught when that helper edit
+# lands, because real edits touch the composing module's round too (r14 did:
+# efe515e touched pipeline.py alongside textops/dedup) and the helper
+# module's own queries pin the shared expressions regardless.
 
 _DRIVER_WINDOW = 50
 
@@ -177,18 +192,86 @@ def driver_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
     return hist
 
 
-def window_order(names: list[str], hist: dict[str, tuple[int, bool]]) -> list[str]:
-    """Order ``names`` red-first, never-checked next, then stalest-green first;
-    ties keep the given (insertion) order."""
+def _git_file_times(root: str) -> dict[str, float]:
+    """Repo-relative path → last-touch time: the newest commit touching the
+    path, overridden by ``os.stat`` mtime for files dirty in the working tree
+    (an uncommitted edit is "touched now").  One ``git log`` pass for the
+    whole repo; ``{}`` when git is unavailable (callers fall back to the
+    no-touch-information ordering)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "log", "--pretty=format:%x00%ct",
+             "--name-only"],
+            capture_output=True, text=True, timeout=60, check=True).stdout
+    except (OSError, subprocess.SubprocessError):
+        return {}
+    times: dict[str, float] = {}
+    ct = 0.0
+    for line in out.splitlines():
+        if line.startswith("\x00"):
+            ct = float(line[1:])
+        elif line and line not in times:   # log is newest-first: first wins
+            times[line] = ct
+    try:
+        dirty = subprocess.run(
+            ["git", "-C", root, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=60, check=True).stdout
+        for line in dirty.splitlines():
+            p = line[3:].split(" -> ")[-1].strip().strip('"')
+            full = os.path.join(root, p)
+            if os.path.exists(full):
+                times[p] = os.stat(full).st_mtime
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return times
+
+
+def code_touched(hist: dict[str, tuple[int, bool]],
+                 root: str | None = None) -> set[str]:
+    """Registry names whose declaring module's source file changed after the
+    CORRECTNESS artifact of the round that last driver-checked them."""
+    import sys
+
+    root = root or _artifact_root()
+    times = _git_file_times(root)
+    if not times:
+        return set()
+    touched: set[str] = set()
+    for name, (rnd, _green) in hist.items():
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        mod = sys.modules.get(q.builder.__module__)
+        src = getattr(mod, "__file__", None)
+        if not src:
+            continue
+        mod_t = times.get(os.path.relpath(os.path.abspath(src), root))
+        art_t = times.get(f"CORRECTNESS_r{rnd:02d}.json",
+                          times.get(f"CORRECTNESS_r{rnd}.json"))
+        if mod_t is not None and art_t is not None and mod_t > art_t:
+            touched.add(name)
+    return touched
+
+
+def window_order(names: list[str], hist: dict[str, tuple[int, bool]],
+                 touched: frozenset[str] | set[str] = frozenset(),
+                 ) -> list[str]:
+    """Order ``names`` red-first, then code-touched-since-last-check (stalest
+    first), never-checked next, then stalest-green first; ties keep the given
+    (insertion) order."""
     pos = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
         h = hist.get(n)
         if h is not None and not h[1]:
             return (0, 0, pos[n])          # red at last check
+        if h is not None and n in touched:
+            return (1, h[0], pos[n])       # code changed since last check
         if h is None:
-            return (1, 0, pos[n])          # never driver-checked
-        return (2, h[0], pos[n])           # green: stalest round first
+            return (2, 0, pos[n])          # never driver-checked
+        return (3, h[0], pos[n])           # green: stalest round first
 
     return sorted(names, key=key)
 
@@ -213,5 +296,6 @@ def _canonical_order() -> list[str]:
 def load_all() -> dict[str, DeclaredQuery]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    ordered = window_order(_canonical_order(), driver_history())
+    hist = driver_history()
+    ordered = window_order(_canonical_order(), hist, code_touched(hist))
     return {n: REGISTRY[n] for n in ordered}

@@ -2,11 +2,15 @@
 
 The driver harness oracle-checks the FIRST 50 registry entries; the registry
 orders queries from the driver's own CORRECTNESS_r*.json history — red-at-last-
-check first, never-checked next, then stalest-green first (registry.window_order).
-These tests pin the scheduler's invariants rather than any round's hand-picked
-list, so the rotation self-corrects every round without edits:
+check first, code-touched-since-last-check next (a green row checked against
+old code verifies nothing — the r14 gap), never-checked next, then
+stalest-green first (registry.window_order).  These tests pin the scheduler's
+invariants rather than any round's hand-picked list, so the rotation
+self-corrects every round without edits:
 
 * a query the driver last saw FAILING is always re-checked next round;
+* a query whose declaring module changed after its last driver check is
+  re-checked before any untouched green rotates;
 * a newly declared query gets its first driver row immediately;
 * no green query is skipped in favor of one with a fresher driver row;
 * the full corpus stays locally exact-oracle-checked regardless of order
@@ -26,24 +30,29 @@ def _names():
 
 def test_order_is_deterministic_and_complete():
     from alertas_spark.registry import (REGISTRY, _canonical_order,
-                                        driver_history, window_order)
+                                        code_touched, driver_history,
+                                        window_order)
 
     names = _names()
-    # never-driver-checked queries schedule ahead of every green row.  Their
-    # COUNT is deliberately not pinned: it drops to zero the moment the
-    # round's CORRECTNESS artifact lands in the worktree, so only the ordering
-    # property (reds first, then never-checked, then greens) is asserted.
+    # class prefix: reds, then code-touched greens, then never-checked.  The
+    # COUNTS are deliberately not pinned: touched drops as driver rows land
+    # and new drops to zero the moment the round's CORRECTNESS artifact lands
+    # in the worktree, so only the ordering property is asserted.
     hist = driver_history()
+    touched = code_touched(hist)
     red = [n for n in names if n in hist and not hist[n][1]]
+    tch = [n for n in names
+           if n in hist and hist[n][1] and n in touched]
     new = [n for n in names if n not in hist]
-    assert names[:len(red) + len(new)] == red + new
+    head = len(red) + len(tch) + len(new)
+    assert names[:head] == red + tch + new
     assert len(set(names)) == len(names)
     assert sorted(names) == sorted(REGISTRY)
     # recomputing the schedule reproduces the load order exactly — from the
     # CANONICAL (module-position) order, not raw dict insertion: a query
     # module importing another query module at load time (the r14 manifest
     # oracle pulls in operators.bpe) must not scramble the tiebreak
-    assert window_order(_canonical_order(), driver_history()) == names
+    assert window_order(_canonical_order(), hist, touched) == names
     # and the canonical order's module blocks follow _QUERY_MODULES position
     from alertas_spark.registry import _QUERY_MODULES
     pos = {m: i for i, m in enumerate(_QUERY_MODULES)}
@@ -75,16 +84,42 @@ def test_new_queries_get_first_driver_row():
 
 
 def test_no_stale_query_skipped_for_a_fresher_one():
-    from alertas_spark.registry import driver_history
+    """Among UNTOUCHED greens the rotation is strictly stalest-first; a
+    touched green legitimately jumps the rotation (its old row verifies
+    nothing), so touched queries are excluded from the staleness check."""
+    from alertas_spark.registry import code_touched, driver_history
 
     names = _names()
     hist = driver_history()
-    in_green = [hist[n][0] for n in names[:WINDOW] if n in hist and hist[n][1]]
-    out_green = [hist[n][0] for n in names[WINDOW:] if n in hist and hist[n][1]]
+    touched = code_touched(hist)
+    in_green = [hist[n][0] for n in names[:WINDOW]
+                if n in hist and hist[n][1] and n not in touched]
+    out_green = [hist[n][0] for n in names[WINDOW:]
+                 if n in hist and hist[n][1] and n not in touched]
     if in_green and out_green:
         assert max(in_green) <= min(out_green), (
             "a fresher-checked query occupies a window slot while a staler one "
             "waits outside")
+
+
+def test_touched_greens_precede_untouched_greens():
+    """Every code-touched green schedules ahead of every untouched green —
+    the r14 gap (pipeline.py changed, its queries not rechecked) cannot
+    recur.  Ordering invariant only: whether touched fits the 50-slot window
+    depends on how much code a round touches."""
+    from alertas_spark.registry import code_touched, driver_history
+
+    names = _names()
+    hist = driver_history()
+    touched = code_touched(hist)
+    greens = [n for n in names if n in hist and hist[n][1]]
+    seen_untouched = False
+    for n in greens:
+        if n in touched:
+            assert not seen_untouched, (
+                f"touched query {n} scheduled after an untouched green")
+        else:
+            seen_untouched = True
 
 
 def test_window_order_unit():
@@ -101,6 +136,11 @@ def test_window_order_unit():
     assert window_order(names, hist) == ["c", "d", "b", "e", "a"]
     # no history → insertion order (cold-start fallback)
     assert window_order(names, {}) == names
+    # code-touched greens jump the rotation: after reds, before never-checked,
+    # stalest touched first; a red query stays in the red class even if its
+    # module was also touched
+    assert window_order(names, hist, touched={"a", "e", "c"}) == \
+        ["c", "e", "a", "d", "b"]
 
 
 def test_driver_history_reads_latest_row_per_query(tmp_path):
@@ -169,6 +209,50 @@ def test_scheduler_invariants_on_synthetic_history(tmp_path):
                      "q03", "q06", "q07",       # never checked
                      "q02", "q05",              # r1 greens (stalest)
                      "q00"]                     # r2 green (freshest)
+
+
+def test_git_file_times_orders_commits_and_dirty_files(tmp_path):
+    """_git_file_times: newest-commit time per path, dirty files at mtime."""
+    import subprocess
+
+    from alertas_spark.registry import _git_file_times
+
+    def git(*args, when=None):
+        env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+               "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+               "HOME": str(tmp_path), "PATH": "/usr/bin:/bin"}
+        if when:  # %ct is the COMMITTER time — set via env, not --date
+            env["GIT_COMMITTER_DATE"] = env["GIT_AUTHOR_DATE"] = when
+        subprocess.run(["git", "-C", str(tmp_path), *args],
+                       check=True, capture_output=True, env=env)
+
+    git("init", "-q")
+    (tmp_path / "mod.py").write_text("x = 1\n")
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    git("add", "."); git("commit", "-qm", "one",
+                         when="2026-01-01T00:00:00 +0000")
+    # artifact committed LATER than the module → module not touched
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{}")
+    git("add", "."); git("commit", "-qm", "two",
+                         when="2026-01-02T00:00:00 +0000")
+    times = _git_file_times(str(tmp_path))
+    assert times["mod.py"] < times["CORRECTNESS_r02.json"]
+    assert times["mod.py"] == times["CORRECTNESS_r01.json"]
+    # a dirty edit overrides the commit time with the (current) mtime
+    (tmp_path / "mod.py").write_text("x = 2\n")
+    times = _git_file_times(str(tmp_path))
+    assert times["mod.py"] > times["CORRECTNESS_r02.json"]
+
+
+def test_code_touched_live_subset():
+    """Live invariants: touched ⊆ (driver-checked ∩ registry), and a module
+    whose last git touch predates every artifact contributes nothing."""
+    from alertas_spark.registry import REGISTRY, code_touched, driver_history
+
+    _names()  # populate REGISTRY
+    hist = driver_history()
+    touched = code_touched(hist)
+    assert touched <= (set(hist) & set(REGISTRY))
 
 
 def test_all_queries_carry_oracles():
