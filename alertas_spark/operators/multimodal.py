@@ -1001,13 +1001,12 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: codec CPU spreads via the media tier's repartition; the
     cluster stage shuffles only (dhash, doc_id) pairs — one exchange keyed
     on the 64-bit hash, the same shape as ``dedup_exact``.  HAMMING-near
-    clustering (dHash distance ≤ k) is the documented next tier: band the
-    64 bits into 4×16-bit keys and verify within buckets — exactly the
-    ``simsearch_topk_hamming`` / LSH banding pattern already shipped; exact
-    dHash equality is the tier-1 operator pipelines run first because at
-    web scale most perceptual dupes are bit-identical under dHash.  The
-    oracle recomputes the resample + gradient bits character-wise (the
-    ``multimodal_resize`` idiom) and mirrors the window."""
+    clustering (dHash distance ≤ k) is the next tier, shipped as
+    ``multimodal_dhash_hamming_neardup`` below; exact dHash equality is the
+    tier-1 operator pipelines run first because at web scale most
+    perceptual dupes are bit-identical under dHash.  The oracle recomputes
+    the resample + gradient bits character-wise (the ``multimodal_resize``
+    idiom) and mirrors the window."""
     from pyspark.sql import Window
 
     docs = ascii_docs(spark, sf_dir).filter(F.length("text") >= 1)
@@ -1018,3 +1017,142 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "dhash",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_cluster"),
         F.min("doc_id").over(w).alias("rep_doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Hamming-NEAR perceptual clustering — tier 2 over the dHash signatures
+# ---------------------------------------------------------------------------
+
+#: Hamming radius for "visually the same image after small edits".  With the
+#: 64-bit dHash split into DHASH_BANDS band keys, pigeonhole guarantees EXACT
+#: recall for any radius < DHASH_BANDS: a pair within distance 3 differs in
+#: at most 3 of the 4 bands, so at least one band key collides and generates
+#: the candidate — the banded join loses nothing vs all-pairs.
+DHASH_HAM_T = 3
+DHASH_BANDS = 4
+_DHASH_BAND_BITS = 64 // DHASH_BANDS
+
+#: DuckDB character-wise Hamming distance between two 64-char bit strings.
+_DHASH_HAM_DUCK = ("length(list_filter(range(1, 65), "
+                   "i -> substr(a.dhash, CAST(i AS INT), 1) "
+                   "<> substr(b.dhash, CAST(i AS INT), 1)))")
+
+
+def dhash_near_components(hashed: DataFrame,
+                          t: int = DHASH_HAM_T) -> DataFrame:
+    """Cluster ``(doc_id, dhash)`` signatures by Hamming distance ≤ ``t``:
+    LSH-band the 64 bits into ``DHASH_BANDS`` {_DHASH_BAND_BITS}-bit keys,
+    self-join per band for candidates, verify with integer
+    ``bit_count(xor)`` on the packed 32-bit words (the
+    ``simsearch_topk_hamming`` arithmetic), and label connected components
+    (large-star/small-star, :func:`~alertas_spark.operators.dedup.
+    connected_components`).  Returns ``(doc_id, component)`` where component
+    is the minimum doc_id reachable through the near-pair graph.
+
+    Exactness: for ``t < DHASH_BANDS`` the banding has pigeonhole-perfect
+    recall, so the result equals the all-pairs definition the oracle
+    computes.  Scale shape: one exchange on the band key (never all-pairs);
+    candidate volume is Σ bucket² over 4×2¹⁶ buckets — at web scale widen
+    the band key (more bands of the same width over a longer perceptual
+    hash, or a second-level key) exactly as MinHash-LSH tunes its band
+    count; verify is two xor/popcount instructions per pair; the CC
+    contraction is O(log diameter) rounds.  Callers pass a materialized
+    ``hashed`` relation (the decode is the expensive stage and feeds both
+    join branches)."""
+    from alertas_spark.operators.dedup import connected_components
+
+    sig = hashed.select(
+        "doc_id",
+        F.conv(F.substring("dhash", 1, 32), 2, 10).cast("bigint").alias("lo"),
+        F.conv(F.substring("dhash", 33, 32), 2, 10).cast("bigint").alias("hi"),
+        F.posexplode(F.array(*[
+            F.substring("dhash", i * _DHASH_BAND_BITS + 1, _DHASH_BAND_BITS)
+            for i in range(DHASH_BANDS)])).alias("band_idx", "band_key"))
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("lo").alias("lo_a"),
+                   F.col("hi").alias("hi_a"), "band_idx", "band_key")
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("lo").alias("lo_b"),
+                   F.col("hi").alias("hi_b"), "band_idx", "band_key")
+    edges = (a.join(b, ["band_idx", "band_key"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+             .distinct()                      # multi-band collisions, once
+             .filter(F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+                     <= F.lit(t))
+             .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    return connected_components(hashed.select("doc_id"), edges)[0]
+
+
+@declare(
+    "multimodal_dhash_hamming_neardup",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text, strlen(text) AS n FROM documents
+        WHERE {ASCII_DOCS_SQL} AND length(text) >= 1
+    ), smp AS (
+        SELECT doc_id,
+               list_transform(range(0, {DHASH_W * DHASH_H}),
+                   k -> unicode(substr(text,
+                        CAST((k * n) // {DHASH_W * DHASH_H} AS INT) + 1,
+                        1))) AS s
+        FROM base
+    ), hb AS (
+        SELECT doc_id,
+               list_aggr(list_transform(range(0, 64),
+                   k -> CASE WHEN
+                            s[CAST((k // 8) * {DHASH_W} + (k % 8) + 1 AS INT)]
+                          > s[CAST((k // 8) * {DHASH_W} + (k % 8) + 2 AS INT)]
+                        THEN '1' ELSE '0' END), 'string_agg', '') AS dhash
+        FROM smp
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+        WHERE {_DHASH_HAM_DUCK} <= {DHASH_HAM_T}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), walk AS (
+        SELECT doc_id AS node, doc_id AS label FROM hb
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ), comp AS (
+        SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_cluster,
+           CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS INTEGER)
+               AS keep
+    FROM comp
+    """,
+)
+def multimodal_dhash_hamming_neardup(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Perceptual image dedup, tier 2: cluster images whose REAL-decode
+    dHashes are within Hamming distance {DHASH_HAM_T} — re-encodes, metadata
+    churn AND small pixel edits (crop jitter, light recompression) that flip
+    a few gradient bits, which the exact tier (``multimodal_dhash_neardup``)
+    cannot see.  Output per image: its component (min reachable doc_id = the
+    canonical representative), the cluster size, and the keep decision
+    (keep ⇔ representative) — the same keep/drop contract as
+    ``dedup_components``.
+
+    Plan: the PNG decode+hash runs ONCE (``localCheckpoint`` materializes
+    the signature relation; both branches of the band self-join and the CC
+    node set read it back); candidates come from the 4×16-bit LSH banding
+    (pigeonhole-exact at radius 3, see :func:`dhash_near_components`);
+    verification is integer xor/popcount; components are large-star/
+    small-star rounds.  The oracle recomputes the dHash character-wise and
+    clusters the ALL-PAIRS radius-3 graph with a recursive CTE — green means
+    the banded plan's recall is provably lossless, not just plausible."""
+    from pyspark.sql import Window
+
+    docs = ascii_docs(spark, sf_dir).filter(F.length("text") >= 1)
+    hashed = (with_png_media(docs)
+              .mapInPandas(png_dhash_batch, schema=_DHASH_SCHEMA)
+              .localCheckpoint())
+    comp = dhash_near_components(hashed)
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc_id", "component",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_cluster"),
+        (F.col("doc_id") == F.col("component")).cast("int").alias("keep"))

@@ -511,3 +511,59 @@ def test_dhash_neardup_clusters_identical_content(spark, tmp_path):
 
     assert ham(1, 4) < ham(1, 3), (ham(1, 4), ham(1, 3))
     assert ham(1, 4) < 32
+
+
+def _hashed(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, dhash string")
+
+
+def _bits(flips=(), base="0"):
+    """64-char bit string: `base` everywhere except flipped positions."""
+    other = "1" if base == "0" else "0"
+    return "".join(other if i in set(flips) else base for i in range(64))
+
+
+def test_dhash_hamming_clusters_within_radius(spark):
+    """Pairs at distance ≤ 3 cluster even when the flips span 3 DIFFERENT
+    bands (banding recall), and transitive chains merge into one component."""
+    from alertas_spark.operators.multimodal import dhash_near_components
+
+    rows = [
+        (1, _bits()),                 # anchor
+        (2, _bits({0, 16, 32})),      # d(1,2)=3, one flip in each of 3 bands
+        (3, _bits({0, 16, 32, 5})),   # d(2,3)=1 → chains into the component
+        (9, _bits({40, 41, 42, 43})), # d(·,1)=4 → separate
+    ]
+    got = {r["doc_id"]: r["component"]
+           for r in dhash_near_components(_hashed(spark, rows)).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_dhash_hamming_near_miss_and_band_collision(spark):
+    """Distance 4 NEVER clusters: neither when the flips spread so no band
+    collides (no candidate), nor when they concentrate so a band DOES
+    collide (candidate generated, verify rejects)."""
+    from alertas_spark.operators.multimodal import dhash_near_components
+
+    rows = [
+        (1, _bits()),
+        # one flip per band: candidates share no band key → never paired
+        (2, _bits({0, 16, 32, 48})),
+        # all 4 flips inside band 3: bands 0-2 collide with doc 1 → the pair
+        # IS a candidate, and the popcount verify must reject it
+        (3, _bits({48, 49, 50, 51})),
+    ]
+    got = {r["doc_id"]: r["component"]
+           for r in dhash_near_components(_hashed(spark, rows)).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_dhash_hamming_exact_duplicates_and_isolates(spark):
+    """Distance 0 (bit-identical) clusters — tier 2 subsumes tier 1 — and a
+    signature with no neighbor labels itself."""
+    from alertas_spark.operators.multimodal import dhash_near_components
+
+    rows = [(7, _bits({3})), (4, _bits({3})), (5, _bits(range(32)))]
+    got = {r["doc_id"]: r["component"]
+           for r in dhash_near_components(_hashed(spark, rows)).collect()}
+    assert got == {4: 4, 7: 4, 5: 5}
