@@ -157,14 +157,17 @@ _DUCK_TOPK_TRAINED = f"""
 """
 
 
-@declare("simsearch_topk_ivf_trained", oracle=_DUCK_TOPK_TRAINED)
-def simsearch_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full trained-ANN loop in one plan: k-means coarse quantizer (above) →
-    cluster-pruned cosine top-k.  Probe-1 over TRAINED cells — what a user gets
-    from `kmeans_assign` + `simsearch_topk_ivf` composed, oracle-checked end to end.
-    (late: the ANN capability rows in the driver window are ivf_assigned +
-    recall_eval; this pins the trained composition locally.)"""
-    from alertas_spark.operators.simsearch import N_QUERIES, TOP_K, _dot, _norm2
+def trained_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse-quantizer assignment ``(vec_id, emb, cid, nrm)``
+    through the persistent artifact store — this engine's IVF index.  Within
+    a session the Lloyd loop runs once per dataset (operators/memo.py); when
+    an artifact store is configured (spark.alertas.artifacts.dir /
+    ALERTAS_ARTIFACTS_DIR) the assignment persists as versioned parquet and
+    every LATER session loads it instead of re-scanning the corpus
+    (operators/artifacts.py; two-session proof in test_artifacts.py).
+    Consumers: the trained-IVF search below and the SemDeDup tier
+    (operators/semantic.py)."""
+    from alertas_spark.operators.simsearch import _norm2
 
     def train() -> DataFrame:
         v = valid_embeddings(load_table(spark, sf_dir, "embeddings")).select(
@@ -179,14 +182,21 @@ def simsearch_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.sqrt(_norm2(F.col("emb"))).alias("nrm")
                                ).localCheckpoint()
 
-    # trained-artifact tiers: within a session the Lloyd loop runs once per
-    # dataset (operators/memo.py); when an artifact store is configured
-    # (spark.alertas.artifacts.dir / ALERTAS_ARTIFACTS_DIR) the assignment
-    # table — this engine's IVF index — persists as versioned parquet and
-    # every LATER session loads it instead of re-scanning the corpus
-    # (operators/artifacts.py; two-session proof in test_artifacts.py)
-    n = persistent_artifact(spark, sf_dir, "kmeans_trained_assignment",
-                            code_version="1", table="embeddings", build=train)
+    return persistent_artifact(spark, sf_dir, "kmeans_trained_assignment",
+                               code_version="1", table="embeddings",
+                               build=train)
+
+
+@declare("simsearch_topk_ivf_trained", oracle=_DUCK_TOPK_TRAINED)
+def simsearch_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trained-ANN loop in one plan: k-means coarse quantizer (above) →
+    cluster-pruned cosine top-k.  Probe-1 over TRAINED cells — what a user gets
+    from `kmeans_assign` + `simsearch_topk_ivf` composed, oracle-checked end to end.
+    (late: the ANN capability rows in the driver window are ivf_assigned +
+    recall_eval; this pins the trained composition locally.)"""
+    from alertas_spark.operators.simsearch import N_QUERIES, TOP_K, _dot
+
+    n = trained_assignment(spark, sf_dir)
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"), F.col("cid").alias("qcid"))

@@ -45,6 +45,20 @@ def session_artifact(spark: SparkSession, key: tuple,
     return df
 
 
+_VALUES: dict[tuple, object] = {}
+
+
+def session_value(spark: SparkSession, key: tuple, build: Callable[[], object]):
+    """:func:`session_artifact` for non-DataFrame artifacts — e.g. the ONE
+    ``sc.broadcast`` of a trained merge list that several UDF constructors
+    share (building per constructor would ship one copy per consumer).  Same
+    ``applicationId`` keying, cleared by :func:`clear`."""
+    k = (spark.sparkContext.applicationId, *key)
+    if k not in _VALUES:
+        _VALUES[k] = build()
+    return _VALUES[k]
+
+
 _PERSISTED: list[DataFrame] = []
 
 
@@ -68,6 +82,7 @@ def clear() -> None:
     """Drop all memoized artifacts AND unpersist tracked operator caches
     (tests / bench / plan audits that need cold builds)."""
     _CACHE.clear()
+    _VALUES.clear()
     for df in _PERSISTED:
         try:
             df.unpersist()

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.substring",
     "alertas_spark.operators.simsearch",
     "alertas_spark.operators.kmeans",
+    "alertas_spark.operators.semantic",
     "alertas_spark.operators.pq",
     "alertas_spark.operators.textops",
     "alertas_spark.operators.bpe",

@@ -585,3 +585,54 @@ def test_ccnet_buckets_are_per_lang_terciles(spark):
         assert max(buckets["middle"]) <= min(buckets["tail"]) or \
             any(abs(a - b) < 1e-12 for a in buckets["middle"]
                 for b in buckets["tail"])
+
+
+def test_semantic_edges_within_cluster_only(spark):
+    """SemDeDup pins: (a) a ≥ tau pair in ONE cluster becomes an edge; (b) the
+    same geometry split ACROSS clusters is never scored (the paper's
+    documented recall trade); (c) a sub-tau within-cluster pair is rejected;
+    (d) an oversized cluster fails fast instead of going silently O(n²)."""
+    import pytest
+
+    from alertas_spark.operators import dedup
+    from alertas_spark.operators.semantic import semantic_edges
+
+    def row(vid, cid, x, y):
+        import math
+        return (vid, [x, y], cid, math.sqrt(x * x + y * y))
+
+    assigned = spark.createDataFrame(
+        [
+            row(1, 0, 1.0, 0.0), row(2, 0, 1.0, 0.05),   # cos≈0.999 ≥ tau
+            row(3, 0, 0.0, 1.0),                          # ⊥ to 1/2 → no edge
+            row(4, 1, 1.0, 0.0),                          # same dir as 1, other
+        ],                                                # cluster → unscored
+        "vec_id long, emb array<double>, cid long, nrm double")
+    got = {(r["src"], r["dst"]) for r in semantic_edges(assigned).collect()}
+    assert got == {(1, 2)}
+
+    big = spark.createDataFrame(
+        [row(i, 0, 1.0, 0.0) for i in range(4)],
+        "vec_id long, emb array<double>, cid long, nrm double")
+    with pytest.raises(Exception, match="retrain the quantizer"):
+        import unittest.mock as mock
+        with mock.patch.object(dedup, "BLOCK_MAX_ROWS", 2):
+            # the UDF closure reads semantic.BLOCK_MAX_ROWS (imported name)
+            from alertas_spark.operators import semantic
+            with mock.patch.object(semantic, "BLOCK_MAX_ROWS", 2):
+                semantic_edges(big).collect()
+
+
+def test_dedup_embedding_semantic_keep_is_min_per_group(spark):
+    """End-to-end invariants on the fixture: every group's keep row is its
+    minimum vec_id, exactly one keep per component, labels cover all valid
+    vectors, and group size matches the label multiplicity."""
+    from alertas_spark.operators.semantic import dedup_embedding_semantic
+
+    pdf = dedup_embedding_semantic(spark, "/root/testdata/sf0.001").toPandas()
+    assert (pdf.groupby("component")["keep"].sum() == 1).all()
+    grp = pdf.groupby("component")["vec_id"]
+    assert (grp.min() == grp.min().index).all()          # label = min member
+    sizes = pdf.groupby("component").size()
+    assert (pdf["n_group"] == pdf["component"].map(sizes)).all()
+    assert pdf["vec_id"].is_unique
