@@ -175,10 +175,15 @@ def _apply_merges(word: str, merges: list[tuple[str, str]],
 
 
 def ntok_udf(spark: SparkSession, sf_dir: str):
-    """The Arrow-batched token-count UDF over the trained merge table
-    (broadcast), shared by every subword-count consumer (token counts,
-    packing, the corpus-to-batches pipeline)."""
-    bc = spark.sparkContext.broadcast(_merges_list(spark, sf_dir))
+    """The Arrow-batched token-count UDF over the trained merge table,
+    shared by every subword-count consumer (token counts, packing, the
+    corpus-to-batches pipeline) — all over ONE session-memoized broadcast
+    of the merge list (the bpe_bytes.merges_broadcast pattern)."""
+    from alertas_spark.operators import memo
+
+    bc = memo.session_value(
+        spark, ("bpe_merges_bc", sf_dir),
+        lambda: spark.sparkContext.broadcast(_merges_list(spark, sf_dir)))
 
     @F.pandas_udf("bigint")
     def ntok(words: pd.Series) -> pd.Series:

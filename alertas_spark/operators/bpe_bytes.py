@@ -204,10 +204,24 @@ def _merges_list(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     return [(r["lhs"], r["rhs"]) for r in rows]
 
 
+def merges_broadcast(spark: SparkSession, sf_dir: str):
+    """The session's ONE broadcast of the trained byte-merge list, memoized
+    per (applicationId, corpus) — every UDF constructor below shares it, so
+    a session running the census, the roundtrip AND the token counts ships
+    the table to executors once (memo.session_value; pinned in
+    test_bpe_bytes.py)."""
+    from alertas_spark.operators import memo
+
+    return memo.session_value(
+        spark, ("bpe_bytes_merges_bc", sf_dir),
+        lambda: spark.sparkContext.broadcast(_merges_list(spark, sf_dir)))
+
+
 def ntok_udf(spark: SparkSession, sf_dir: str):
     """Arrow-batched byte-token-count UDF over the trained merge table
-    (broadcast) — the production apply tier, one call per DISTINCT word."""
-    bc = spark.sparkContext.broadcast(_merges_list(spark, sf_dir))
+    (shared broadcast) — the production apply tier, one call per DISTINCT
+    word."""
+    bc = merges_broadcast(spark, sf_dir)
 
     @F.pandas_udf("bigint")
     def ntok(words: pd.Series) -> pd.Series:
@@ -223,8 +237,9 @@ def toks_udf(spark: SparkSession, sf_dir: str):
     array-valued sibling of :func:`ntok_udf`, shared by the census and the
     detokenize-roundtrip query so the tokenizer exists in exactly one Python
     copy per shape (the bpe._apply_merges single-copy rule) and the session
-    ships one broadcast of the merge list, not one per consumer."""
-    bc = spark.sparkContext.broadcast(_merges_list(spark, sf_dir))
+    ships one broadcast of the merge list, not one per consumer
+    (:func:`merges_broadcast`)."""
+    bc = merges_broadcast(spark, sf_dir)
 
     @F.pandas_udf("array<string>")
     def toks(words: pd.Series) -> pd.Series:

@@ -247,3 +247,20 @@ def test_vertical_tab_splits_identically_cross_engine(spark, tmp_path):
     # Java \s would have made 'alpha\x0bbeta' two words; the explicit class
     # splits it on BOTH engines (vtab is a separator in the unified set)
     assert got[0][1] == 3
+
+
+def test_merge_broadcast_is_shared_across_udf_constructors(spark):
+    """ntok_udf + toks_udf (census, roundtrip, token counts) share ONE
+    sc.broadcast of the merge list per session per corpus — the
+    merges_broadcast contract."""
+    from alertas_spark.operators import memo
+    from alertas_spark.operators.bpe_bytes import merges_broadcast
+
+    sf = "/root/testdata/sf0.001"
+    a = merges_broadcast(spark, sf)
+    b = merges_broadcast(spark, sf)
+    assert a is b
+    # memo.clear() (bench cold protocol) releases it: the next constructor
+    # ships a fresh copy instead of resurrecting a cleared one
+    memo.clear()
+    assert merges_broadcast(spark, sf) is not a

@@ -30,7 +30,10 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-SWEEP = (16, 64, 256, 1024)
+#: includes 512 — the measured stack-overflow wall documented in SCALING.md
+#: (must be reproducible with the tool as shipped) — and 4096, the
+#: production-vocabulary point where only the pandas tier is viable.
+SWEEP = (16, 64, 256, 512, 1024, 4096)
 
 
 def main() -> None:

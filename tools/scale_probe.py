@@ -43,6 +43,8 @@ QUERIES = [
     "dedup_cluster_representative",  # pairs + star contraction + window
     "dedup_components",            # large-star/small-star label propagation
     "dedup_embedding_cosine_blocked",  # LSH-bucketed cosine (embeddings ×N)
+    "dedup_embedding_semantic",    # SemDeDup: trained cells + intra-cell pairs (r15)
+    "multimodal_dhash_hamming_neardup",  # banded Hamming-near dHash + CC (r15)
     "dedup_jaccard_prefix_filter",  # AllPairs prefix-filtered exact join (r6)
     "dedup_fuzzy_editdist",        # q-gram count-filtered edit-distance join (r10)
     "dedup_substring_spans",       # ExactSubstr K-shingle group-by (r11)
