@@ -174,6 +174,70 @@ def _apply_merges(word: str, merges: list[tuple[str, str]],
     return s.split("||")[1:-1]
 
 
+def _merge_ranks(
+        merges: list[tuple[str, str]]) -> dict[tuple[str, str], list[int]]:
+    """Pair → ASCENDING rank list for :func:`_apply_merges_ranked`.  A list,
+    not a scalar: the chain revisits a duplicated pair at each of its ranks,
+    and a pair inert at its first rank (its lhs not yet assembled) can fire
+    at a later duplicate — first-wins mapping diverged on exactly that shape
+    (caught by the randomized pin in tests/test_bpe.py).  Trained tables
+    never repeat a pair; this is for arbitrary/padded tables."""
+    ranks: dict[tuple[str, str], list[int]] = {}
+    for i, pr in enumerate(merges):
+        ranks.setdefault(pr, []).append(i)
+    return ranks
+
+
+def _apply_merges_ranked(word: str, merges: list[tuple[str, str]],
+                         ranks: dict[tuple[str, str], list[int]],
+                         atoms: Callable[[str], list[str]] = list) -> list[str]:
+    """Rank-count-INDEPENDENT equivalent of :func:`_apply_merges` — the
+    production apply at real vocabulary sizes.
+
+    The replace chain costs O(n_merges) string passes per word whether a
+    merge matches or not; tools/bpe_vocab_probe.py measured it at 0.09M
+    tokens/s with a genuine 4096-merge table (23 ms per distinct word — the
+    chain, not the data, is the cost).  This version simulates the chain
+    exactly without touching non-matching ranks: repeatedly find the
+    lowest-rank pair present among adjacent tokens — restricted to ranks
+    ABOVE the last applied one, which is precisely the chain's
+    already-passed-this-rank semantics, load-bearing for adversarial tables
+    where a LATER merge manufactures an EARLIER merge's pair — and run one
+    left-to-right non-overlapping merge pass (``str.replace``'s scan order).
+    Cost: O(applied · len) dict lookups per word, independent of table size.
+    Equivalence to the replace chain is pinned property-style in
+    tests/test_bpe.py over adversarial merge tables, both atom alphabets."""
+    from bisect import bisect_right
+
+    toks = atoms(word)
+    floor = -1
+    while len(toks) > 1:
+        best = None
+        for pair in zip(toks, toks[1:]):
+            rs = ranks.get(pair)
+            if rs:
+                j = bisect_right(rs, floor)   # lowest rank the chain has not
+                if j < len(rs):               # yet passed for this pair
+                    r = rs[j]
+                    if best is None or r < best:
+                        best = r
+        if best is None:
+            return toks
+        lhs, rhs = merges[best]
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == lhs and toks[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+        floor = best
+    return toks
+
+
 def ntok_udf(spark: SparkSession, sf_dir: str):
     """The Arrow-batched token-count UDF over the trained merge table,
     shared by every subword-count consumer (token counts, packing, the
@@ -188,7 +252,8 @@ def ntok_udf(spark: SparkSession, sf_dir: str):
     @F.pandas_udf("bigint")
     def ntok(words: pd.Series) -> pd.Series:
         ms = bc.value
-        return words.map(lambda w: len(_apply_merges(w, ms)))
+        rk = _merge_ranks(ms)
+        return words.map(lambda w: len(_apply_merges_ranked(w, ms, rk)))
 
     return ntok
 

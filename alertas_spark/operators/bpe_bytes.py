@@ -67,7 +67,8 @@ from pyspark.sql import functions as F
 
 from alertas_spark.operators.artifacts import persistent_artifact
 from alertas_spark.operators.bpe import (CENSUS_TOP, _apply_ctes,
-                                         _apply_merges, _doc_token_counts,
+                                         _apply_merges, _apply_merges_ranked,
+                                         _doc_token_counts, _merge_ranks,
                                          _train_ctes, _train_merges_py)
 from alertas_spark.operators.packing import PACK_BUDGET as _PACK_BUDGET
 from alertas_spark.registry import declare
@@ -226,8 +227,9 @@ def ntok_udf(spark: SparkSession, sf_dir: str):
     @F.pandas_udf("bigint")
     def ntok(words: pd.Series) -> pd.Series:
         ms = bc.value
+        rk = _merge_ranks(ms)
         return words.map(
-            lambda w: len(_apply_merges(w, ms, atoms=_hex_atoms)))
+            lambda w: len(_apply_merges_ranked(w, ms, rk, atoms=_hex_atoms)))
 
     return ntok
 
@@ -244,7 +246,9 @@ def toks_udf(spark: SparkSession, sf_dir: str):
     @F.pandas_udf("array<string>")
     def toks(words: pd.Series) -> pd.Series:
         ms = bc.value
-        return words.map(lambda w: _apply_merges(w, ms, atoms=_hex_atoms))
+        rk = _merge_ranks(ms)
+        return words.map(
+            lambda w: _apply_merges_ranked(w, ms, rk, atoms=_hex_atoms))
 
     return toks
 

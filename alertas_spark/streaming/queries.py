@@ -335,7 +335,8 @@ def streaming_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from alertas_spark.operators.bpe import _apply_merges, _merges_list
+    from alertas_spark.operators.bpe import (_apply_merges_ranked,
+                                              _merge_ranks, _merges_list)
 
     merges = _merges_list(spark, sf_dir)  # artifact-served, batch-side
     bc = spark.sparkContext.broadcast(merges)
@@ -344,8 +345,9 @@ def streaming_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("bigint")
     def ntok_doc(norms: pd.Series) -> pd.Series:
         ms = bc.value
+        rk = _merge_ranks(ms)
         return norms.map(lambda s: sum(
-            len(_apply_merges(w, ms)) for w in word_re.findall(s)))
+            len(_apply_merges_ranked(w, ms, rk)) for w in word_re.findall(s)))
 
     docs = ev.read_documents_stream(spark, sf_dir)
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_RE, " ")

@@ -162,3 +162,68 @@ def test_pack_sequences_bpe_consistent_with_token_counts(spark):
         for _, n_tokens, pack_id in rows:
             assert pack_id == cum // PACK_BUDGET
             cum += n_tokens
+
+
+# ---------------------------------------------------------------------------
+# ranked apply ≡ replace chain (the production-vocabulary fast path)
+# ---------------------------------------------------------------------------
+
+def _both(word, merges, atoms=list):
+    from alertas_spark.operators.bpe import (_apply_merges,
+                                             _apply_merges_ranked,
+                                             _merge_ranks)
+
+    slow = _apply_merges(word, merges, atoms=atoms)
+    fast = _apply_merges_ranked(word, merges, _merge_ranks(merges),
+                                atoms=atoms)
+    assert fast == slow, (word, merges, slow, fast)
+    return slow
+
+
+def test_ranked_apply_equals_chain_edge_shapes():
+    # overlap: left-to-right non-overlapping
+    assert _both("aaa", [("a", "a")]) == ["aa", "a"]
+    # consecutive occurrences both merge in one rank pass
+    assert _both("abab", [("a", "b")]) == ["ab", "ab"]
+    # cascade across ranks
+    assert _both("abc", [("a", "b"), ("ab", "c")]) == ["abc"]
+    # ADVERSARIAL: rank 0 references rank 1's product — the chain has already
+    # passed rank 0 when "cd" exists, so (cd, e) must NOT merge; the ranked
+    # apply's floor reproduces that (without the floor it would merge)
+    assert _both("cde", [("cd", "e"), ("c", "d")]) == ["cd", "e"]
+    # duplicate pair in a padded table: first rank wins, second is inert
+    assert _both("xy", [("x", "y"), ("x", "y")]) == ["xy"]
+    # non-matching filler ranks cost nothing and change nothing
+    fill = [(f"zz{i}", "qq") for i in range(50)]
+    assert _both("abab", fill + [("a", "b")] + fill) == ["ab", "ab"]
+
+
+def test_ranked_apply_equals_chain_property():
+    """Randomized sweep: arbitrary words over a pipe-free alphabet, merge
+    tables drawn from the word's own adjacent pairs (so merges actually fire)
+    plus noise pairs, both atom conventions (chars / UTF-8 hex pairs)."""
+    import random
+
+    from alertas_spark.operators.bpe_bytes import _hex_atoms
+
+    rng = random.Random(20260815)
+    alphabet = "abcd01"
+    for trial in range(300):
+        n = rng.randint(1, 12)
+        word = "".join(rng.choice(alphabet) for _ in range(n))
+        atoms = _hex_atoms if trial % 2 else list
+        toks = atoms(word)
+        pairs = list(zip(toks, toks[1:]))
+        merges = []
+        for _ in range(rng.randint(0, 8)):
+            if pairs and rng.random() < 0.7:
+                merges.append(rng.choice(pairs))
+            else:
+                merges.append((rng.choice(alphabet) * 2, rng.choice(alphabet)))
+            # occasionally a pair built from a possible FUTURE product, the
+            # floor-semantics shape
+            if merges and rng.random() < 0.3:
+                lhs, rhs = merges[-1]
+                merges.append((lhs + rhs, rng.choice(toks)))
+                rng.shuffle(merges)
+        _both(word, merges, atoms=atoms)
