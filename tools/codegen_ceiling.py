@@ -41,8 +41,9 @@ def main() -> None:
 
     from alertas_spark.operators import memo
     from alertas_spark.operators.bpe import (_apply_merges,
+                                             _apply_merges_ranked,
                                              _doc_token_counts,
-                                             _merges_list)
+                                             _merge_ranks, _merges_list)
     from alertas_spark.session import get_spark
 
     spark = get_spark("codegen-ceiling")
@@ -71,6 +72,25 @@ def main() -> None:
         return time.perf_counter() - t0, t_plan
 
     def run_pandas(merges):
+        """The SHIPPED Arrow tier: the rank-count-independent ranked apply."""
+        bc = spark.sparkContext.broadcast(merges)
+
+        @F.pandas_udf("bigint")
+        def ntok(words: pd.Series) -> pd.Series:
+            ms = bc.value
+            rk = _merge_ranks(ms)
+            return words.map(lambda w: len(_apply_merges_ranked(w, ms, rk)))
+
+        t0 = time.perf_counter()
+        df = _doc_token_counts(spark, SF_DIR, ntok)
+        df._jdf.queryExecution().executedPlan()
+        t_plan = time.perf_counter() - t0
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0, t_plan
+
+    def run_chain(merges):
+        """The r12-r14 Arrow tier (one replace pass per rank) — kept so the
+        O(n_merges)-per-word wall stays measured."""
         bc = spark.sparkContext.broadcast(merges)
 
         @F.pandas_udf("bigint")
@@ -88,7 +108,8 @@ def main() -> None:
     print(f"{'n_merges':>8} {'tier':>8} {'total_s':>8} {'plan_s':>7}")
     for n in SWEEP:
         ms = padded(n)
-        for tier, fn in (("builtin", run_builtin), ("pandas", run_pandas)):
+        for tier, fn in (("builtin", run_builtin), ("pandas", run_pandas),
+                         ("chain", run_chain)):
             best = best_plan = float("inf")
             err = None
             for _ in range(2):  # min of 2: machine-noise guard
