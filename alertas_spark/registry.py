@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.profiling",
     "alertas_spark.operators.skew_mitigation",
     "alertas_spark.operators.sampling",
+    "alertas_spark.operators.dsir",
     "alertas_spark.operators.packing",
     "alertas_spark.operators.pipeline",
     "alertas_spark.operators.graph",
