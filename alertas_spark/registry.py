@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.skew_mitigation",
     "alertas_spark.operators.sampling",
     "alertas_spark.operators.dsir",
+    "alertas_spark.operators.classifier",
     "alertas_spark.operators.packing",
     "alertas_spark.operators.pipeline",
     "alertas_spark.operators.graph",
