@@ -194,10 +194,18 @@ def persistent_artifact(spark: SparkSession, sf_dir: str, name: str,
     Session memo over the persistent store: ``(name, sf_dir)`` resolves to one
     DataFrame per session; on memo miss, the store is consulted (when
     configured) before the trainer runs.  ``table`` names the input relation
-    whose fingerprint keys the version."""
+    whose fingerprint keys the version.
+
+    ``build`` may return a LAZY plan — this tier owns materialization.  The
+    memo-only branch localCheckpoints it (session_artifact's eager contract,
+    memo.py:35); the store branch materializes through load_or_build's parquet
+    write + read-back, so a builder-side checkpoint there would run the
+    trainer TWICE (once into checkpoint blocks, once into the artifact file —
+    the r14 localCheckpoint double-materialization, removed r15)."""
     root = artifact_root(spark)
     if root is None:
-        return session_artifact(spark, (name, sf_dir), build)
+        return session_artifact(spark, (name, sf_dir),
+                                lambda: build().localCheckpoint())
     version = f"{code_version}-{dataset_fingerprint(sf_dir, table)}"
     return session_artifact(
         spark, (name, sf_dir, "persistent", version),

@@ -130,11 +130,9 @@ def _dsir_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         fb = _doc_buckets(load_table(spark, sf_dir, "documents"))
         dom = F.when(F.col("source").isin(*TARGET_SOURCES), "t").otherwise("r")
-        # localCheckpoint: session_artifact's eager-materialization contract
-        # (memo.py:35) — a lazy plan would re-scan the corpus per consumer.
+        # lazy: persistent_artifact owns materialization
         return (fb.groupBy(dom.alias("domain"), "b")
-                .agg(F.sum("db").cast("bigint").alias("c"))
-                .localCheckpoint())
+                .agg(F.sum("db").cast("bigint").alias("c")))
 
     return persistent_artifact(spark, sf_dir, "dsir_lm",
                                DSIR_CODE_VERSION, "documents", build)

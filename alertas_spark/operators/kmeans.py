@@ -178,9 +178,10 @@ def trained_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(ITERS - 1):
             centroids = _update(assigned).localCheckpoint()
             assigned = _assign(v, centroids)
+        # lazy: persistent_artifact owns materialization (per-iteration
+        # centroid checkpoints above already truncate the deep lineage)
         return assigned.select("vec_id", "emb", "cid",
-                               F.sqrt(_norm2(F.col("emb"))).alias("nrm")
-                               ).localCheckpoint()
+                               F.sqrt(_norm2(F.col("emb"))).alias("nrm"))
 
     return persistent_artifact(spark, sf_dir, "kmeans_trained_assignment",
                                code_version="1", table="embeddings",

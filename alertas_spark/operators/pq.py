@@ -555,7 +555,7 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             cw0.drop("cvec").join(mean1, ["m", "c"], "left")
             .join(cw0.select("m", "c", F.col("cvec").alias("seed")), ["m", "c"])
             .select("m", "c", F.coalesce("cvec", "seed").alias("cvec"))
-            .localCheckpoint()  # 64 tiny rows; truncate the trained-plan lineage
+            # 64 tiny rows; lazy — persistent_artifact owns materialization
         )
 
     # trained-artifact tiers: the Lloyd pass runs once per session per dataset
@@ -660,7 +660,7 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
               spark, sf_dir, "dashboard_bf_truth", code_version="1",
               table="embeddings",
               build=lambda: simsearch_topk_bruteforce(spark, sf_dir)
-              .select("query_id", "cand_id").localCheckpoint())
+              .select("query_id", "cand_id"))
           .crossJoin(F.broadcast(
               spark.createDataFrame([(m,) for m in methods], "method string"))))
     ap = None

@@ -695,15 +695,13 @@ def _lm_unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        # localCheckpoint: session_artifact's eager-materialization
-        # contract (memo.py:35) — a lazy plan would re-run the corpus agg
-        # on every consumer action when no persistent store is configured
+        # lazy: persistent_artifact owns materialization (checkpoint in the
+        # memo-only branch, parquet write in the store branch)
         return (docs.filter(F.col("text").isNotNull())
                 .select(F.explode(F.regexp_extract_all(
                     F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t"))
                 .groupBy("t")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-                .localCheckpoint())
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
 
     return persistent_artifact(spark, sf_dir, "lm_unigram",
                                LM_CODE_VERSION, "documents", build)
@@ -877,19 +875,17 @@ def _lm_bigram_tables(spark: SparkSession,
 
     ref = F.col("doc_id") % PPL_REF_MOD != 0
 
-    # localCheckpoint on both: the session_artifact eager contract
-    # (memo.py:35) — see _lm_unigram_counts
+    # lazy on both: persistent_artifact owns materialization — see
+    # _lm_unigram_counts
     def build_du() -> DataFrame:
         return (_ppl_tok(spark, sf_dir).filter(ref).groupBy("t")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
-                .localCheckpoint())
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cu")))
 
     def build_db() -> DataFrame:
         return (_ppl_seq(spark, sf_dir)
                 .filter(ref & F.col("prev").isNotNull())
                 .groupBy("prev", "t")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
-                .localCheckpoint())
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cb")))
 
     du = persistent_artifact(spark, sf_dir, "lm_bigram_uni",
                              LM_CODE_VERSION, "documents", build_du)
