@@ -114,12 +114,13 @@ def declare(name: str, oracle: str | None = None,
 # driver's own CORRECTNESS_r*.json artifacts:
 #
 #   1. queries whose MOST RECENT driver row is red  (fix verification first),
-#   2. queries whose DECLARING MODULE changed since their last driver check
-#      (a green row against old code verifies nothing — r14 proved the gap:
-#      the whitespace-seam fix touched operators/pipeline.py but none of the
-#      three pipeline queries rotated into the r14 window), stalest first,
-#   3. queries the driver has never checked          (new operators),
-#   4. everything else, stalest last-green round first,
+#   2. queries the driver has never checked (new operators — "touched since
+#      forever", staleness −1) and queries whose DECLARING MODULE changed
+#      since their last driver check (a green row against old code verifies
+#      nothing — r14 proved the gap: the whitespace-seam fix touched
+#      operators/pipeline.py but none of the three pipeline queries rotated
+#      into the r14 window), stalest first,
+#   3. everything else, stalest last-green round first,
 #
 # with registry insertion order (product surface first) as the deterministic
 # tiebreak and the cold-start fallback when no artifacts exist.  Artifacts only
@@ -262,20 +263,22 @@ def code_touched(hist: dict[str, tuple[int, bool]],
 def window_order(names: list[str], hist: dict[str, tuple[int, bool]],
                  touched: frozenset[str] | set[str] = frozenset(),
                  ) -> list[str]:
-    """Order ``names`` red-first, then code-touched-since-last-check (stalest
-    first), never-checked next, then stalest-green first; ties keep the given
-    (insertion) order."""
+    """Order ``names`` red-first, then the touched class stalest-first —
+    where NEVER-CHECKED queries are "touched since forever" (staleness −1,
+    so they lead the class: a round that touches more modules than the
+    window holds must not starve a query of its FIRST driver row) — then
+    stalest-green first; ties keep the given (insertion) order."""
     pos = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
         h = hist.get(n)
         if h is not None and not h[1]:
             return (0, 0, pos[n])          # red at last check
-        if h is not None and n in touched:
-            return (1, h[0], pos[n])       # code changed since last check
         if h is None:
-            return (2, 0, pos[n])          # never driver-checked
-        return (3, h[0], pos[n])           # green: stalest round first
+            return (1, -1, pos[n])         # never driver-checked
+        if n in touched:
+            return (1, h[0], pos[n])       # code changed since last check
+        return (2, h[0], pos[n])           # green: stalest round first
 
     return sorted(names, key=key)
 

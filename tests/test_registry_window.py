@@ -34,10 +34,13 @@ def test_order_is_deterministic_and_complete():
                                         window_order)
 
     names = _names()
-    # class prefix: reds, then code-touched greens, then never-checked.  The
-    # COUNTS are deliberately not pinned: touched drops as driver rows land
-    # and new drops to zero the moment the round's CORRECTNESS artifact lands
-    # in the worktree, so only the ordering property is asserted.
+    # class prefix: reds, then never-checked ("touched since forever",
+    # staleness −1 — ahead of every touched green so a module-heavy round
+    # cannot starve a query of its FIRST driver row), then code-touched
+    # greens stalest-first.  The COUNTS are deliberately not pinned: touched
+    # drops as driver rows land and new drops to zero the moment the round's
+    # CORRECTNESS artifact lands in the worktree, so only the ordering
+    # property is asserted.
     hist = driver_history()
     touched = code_touched(hist)
     red = [n for n in names if n in hist and not hist[n][1]]
@@ -45,7 +48,7 @@ def test_order_is_deterministic_and_complete():
            if n in hist and hist[n][1] and n in touched]
     new = [n for n in names if n not in hist]
     head = len(red) + len(tch) + len(new)
-    assert names[:head] == red + tch + new
+    assert names[:head] == red + new + tch
     assert len(set(names)) == len(names)
     assert sorted(names) == sorted(REGISTRY)
     # recomputing the schedule reproduces the load order exactly — from the
@@ -136,11 +139,12 @@ def test_window_order_unit():
     assert window_order(names, hist) == ["c", "d", "b", "e", "a"]
     # no history → insertion order (cold-start fallback)
     assert window_order(names, {}) == names
-    # code-touched greens jump the rotation: after reds, before never-checked,
-    # stalest touched first; a red query stays in the red class even if its
-    # module was also touched
+    # code-touched greens jump the rotation: after reds AND after
+    # never-checked (a first driver row outranks a re-check), stalest touched
+    # first; a red query stays in the red class even if its module was also
+    # touched
     assert window_order(names, hist, touched={"a", "e", "c"}) == \
-        ["c", "e", "a", "d", "b"]
+        ["c", "d", "e", "a", "b"]
 
 
 def test_driver_history_reads_latest_row_per_query(tmp_path):
