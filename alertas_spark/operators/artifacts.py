@@ -85,6 +85,7 @@ PERSISTENT_QUERIES = frozenset({
     "perplexity_unigram",           # textops.py lm_unigram count table
     "perplexity_bigram_backoff",    # lm_bigram_uni + lm_bigram_bi tables
     "streaming_corpus_manifest",    # stream enriched by the bpe_merges artifact
+    "curriculum_pack",              # packing.py — orders by the lm_unigram scorer
     "dsir_logratio_scores",         # dsir.py hashed-unigram LM tables
     "dsir_select_topk",             # selection over the same dsir_lm artifact
 })

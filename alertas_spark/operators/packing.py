@@ -114,3 +114,56 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.slice("tok", start + 1, CHUNK_TOKENS), " "))
         .alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: easy→hard packing by LM cross-entropy
+# ---------------------------------------------------------------------------
+
+def _curriculum_oracle() -> str:
+    from alertas_spark.operators.textops import _UNIGRAM_SCORED_CTES
+
+    return f"""
+    WITH {_UNIGRAM_SCORED_CTES}
+    SELECT s.doc_id, d.source,
+           CAST(s.n_tokens AS INTEGER) AS n_tokens,
+           s.cross_entropy_nats,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS cur_rank,
+           CAST(COALESCE(SUM(s.n_tokens) OVER (
+                    PARTITION BY d.source
+                    ORDER BY s.cross_entropy_nats, s.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {PACK_BUDGET} AS INTEGER) AS pack_id
+    FROM scored s JOIN documents d USING (doc_id)
+    WINDOW w AS (PARTITION BY d.source
+                 ORDER BY s.cross_entropy_nats, s.doc_id)
+    """
+
+
+@declare("curriculum_pack", oracle=_curriculum_oracle())
+def curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum dataloader ordering: within each ``source`` shard, lay
+    documents out easy→hard by unigram-LM cross-entropy (the published
+    perplexity-curriculum shape — train on predictable text first) and cut
+    fixed-budget packs along THAT order, so pack_id doubles as the
+    curriculum phase.  Composes the CCNet scorer (textops._unigram_scores —
+    artifact-served LM counts, quantized-ln exact so the ordering is
+    engine-identical) with the per-shard window packing above: one shuffle
+    on the shard key, no global sort (the global curriculum emerges from
+    consuming shards' packs in pack_id order — the standard dataloader
+    contract).  cur_rank is the document's position in its shard's
+    curriculum."""
+    from alertas_spark.operators.textops import _unigram_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s = _unigram_scores(spark, sf_dir).join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy("cross_entropy_nats", "doc_id")
+    cum = (F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+    return s.select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "cross_entropy_nats",
+        F.row_number().over(w).cast("int").alias("cur_rank"),
+        F.floor(F.coalesce(cum, F.lit(0)) / PACK_BUDGET)
+        .cast("int").alias("pack_id"))
