@@ -63,13 +63,15 @@ _NB_PRED_CTES = f"""tok AS (
     ), model AS (
         SELECT lang AS cls, b,
                CAST(ROUND(LN(SUM(db) + 1) * 1e9) AS BIGINT) AS qln_ct1
-        FROM fb WHERE doc_id % {NB_FOLDS} != 0 GROUP BY lang, b
+        FROM fb WHERE doc_id % {NB_FOLDS} != 0 AND lang IS NOT NULL
+        GROUP BY lang, b
     ), cls AS (
         SELECT lang AS cls,
                CAST(ROUND(LN(COUNT(DISTINCT doc_id)) * 1e9) AS BIGINT)
                    AS qln_prior,
                CAST(ROUND(LN(SUM(db) + {NB_B}) * 1e9) AS BIGINT) AS qln_den
-        FROM fb WHERE doc_id % {NB_FOLDS} != 0 GROUP BY lang
+        FROM fb WHERE doc_id % {NB_FOLDS} != 0 AND lang IS NOT NULL
+        GROUP BY lang
     ), scored AS (
         SELECT fb.doc_id, fb.lang, cls.cls,
                cls.qln_prior
@@ -84,7 +86,8 @@ _NB_PRED_CTES = f"""tok AS (
         SELECT doc_id, lang, cls AS pred_lang
         FROM (SELECT doc_id, lang, cls,
                      ROW_NUMBER() OVER (PARTITION BY doc_id
-                                        ORDER BY score DESC, cls) AS rn
+                                        ORDER BY score DESC, cls NULLS LAST)
+                         AS rn
               FROM scored)
         WHERE rn = 1
     )"""
@@ -101,7 +104,11 @@ def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("b", F.expr(_BUCKET_SPARK))
           .groupBy("doc_id", "lang", "b")
           .agg(F.count(F.lit(1)).alias("db")))
-    train = fb.filter(F.col("doc_id") % NB_FOLDS != 0)
+    # a NULL label is UNLABELED, not a class: excluded from the model (both
+    # engines GROUP NULLs into a phantom class otherwise); NULL-lang test
+    # docs still score against the real classes
+    train = fb.filter((F.col("doc_id") % NB_FOLDS != 0)
+                      & F.col("lang").isNotNull())
     test = fb.filter(F.col("doc_id") % NB_FOLDS == 0)
     qln = lambda c: F.round(F.log(c) * 1e9).cast("bigint")  # noqa: E731
     # model: ≤ NB_B·|classes| rows; cls: |classes| rows → both broadcast.
@@ -121,8 +128,11 @@ def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("score",
                           F.col("qln_prior").cast("decimal(38,0)")
                           + F.col("st")))
+    # NULLS LAST pinned (corpus convention): cls is non-null by construction
+    # now, but the ordering must not depend on that invariant
     rn = F.row_number().over(
-        W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cls"))
+        W.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                        F.col("cls").asc_nulls_last()))
     return (scored.withColumn("rn", rn).filter(F.col("rn") == 1)
             .select("doc_id", "lang", F.col("cls").alias("pred_lang")))
 

@@ -81,10 +81,10 @@ _DSIR_SCORED_CTES = f"""tok AS (
         FROM tok GROUP BY doc_id, source, {_BUCKET_DUCK}
     ), ct AS (
         SELECT b, SUM(db) AS c FROM fb
-        WHERE source IN ({_TGT_IN}) GROUP BY b
+        WHERE COALESCE(source IN ({_TGT_IN}), FALSE) GROUP BY b
     ), cr AS (
         SELECT b, SUM(db) AS c FROM fb
-        WHERE source NOT IN ({_TGT_IN}) GROUP BY b
+        WHERE NOT COALESCE(source IN ({_TGT_IN}), FALSE) GROUP BY b
     ), tot AS (
         SELECT CAST(ROUND(LN((SELECT SUM(c) FROM ct) + {DSIR_B}) * 1e9) AS BIGINT)
                    AS qln_nt,
@@ -100,13 +100,19 @@ _DSIR_SCORED_CTES = f"""tok AS (
                   AS VARCHAR) AS DOUBLE) / SUM(fb.db) / 1e9, 6)
                AS avg_logratio_nats
     FROM fb LEFT JOIN ct USING (b) JOIN cr USING (b) CROSS JOIN tot
-    WHERE fb.source NOT IN ({_TGT_IN})
+    WHERE NOT COALESCE(fb.source IN ({_TGT_IN}), FALSE)
     GROUP BY fb.doc_id, fb.source
     )"""
 
 
 #: bump when the LM-table derivation changes — artifact version key.
-DSIR_CODE_VERSION = "dsir-r15a"
+DSIR_CODE_VERSION = "dsir-r15b"  # b: NULL source classified raw, not dropped
+
+
+def _is_tgt():
+    """NULL-safe target-membership: NULL source is raw (never NULL —
+    a raw filter built as ~isin would silently drop null-source docs)."""
+    return F.coalesce(F.col("source").isin(*TARGET_SOURCES), F.lit(False))
 
 
 def _doc_buckets(docs: DataFrame) -> DataFrame:
@@ -129,7 +135,10 @@ def _dsir_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         fb = _doc_buckets(load_table(spark, sf_dir, "documents"))
-        dom = F.when(F.col("source").isin(*TARGET_SOURCES), "t").otherwise("r")
+        # NULL source is RAW (the uncurated pool), matching the oracle's
+        # NOT COALESCE(IN, FALSE) — a bare NOT IN would silently DROP
+        # null-source docs from the raw LM while otherwise() kept them
+        dom = F.when(_is_tgt(), "t").otherwise("r")
         # lazy: persistent_artifact owns materialization
         return (fb.groupBy(dom.alias("domain"), "b")
                 .agg(F.sum("db").cast("bigint").alias("c")))
@@ -151,7 +160,7 @@ def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     qln = lambda c: F.round(F.log(c) * 1e9).cast("bigint")  # noqa: E731
     tot = (ct.agg(qln(F.sum("ct") + DSIR_B).alias("qln_nt"))
            .crossJoin(cr.agg(qln(F.sum("cr") + DSIR_B).alias("qln_nr"))))
-    is_tgt = F.col("source").isin(*TARGET_SOURCES)
+    is_tgt = _is_tgt()
     term = (qln(F.coalesce(F.col("ct"), F.lit(0)) + 1) - qln(F.col("cr") + 1)
             + F.col("qln_nr") - F.col("qln_nt"))
     return (fb.filter(~is_tgt)

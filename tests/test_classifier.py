@@ -60,6 +60,27 @@ def test_nb_unseen_vocab_falls_back_to_prior(spark, tmp_path):
     assert out[0].hit == 0
 
 
+def test_nb_null_lang_is_unlabeled_not_a_class(spark, tmp_path):
+    """A NULL-lang training doc must not create a phantom class; a NULL-lang
+    test doc is still scored — against real classes only."""
+    import pandas as pd
+
+    rows = [(i, "apple orange grape", "en", "s") for i in range(1, 10)]
+    rows += [(i, "pomme raisin poire", "fr", "s") for i in range(11, 20)]
+    rows.append((21, "apple orange grape", None, "s"))  # NULL-lang TRAIN doc
+    rows.append((0, "apple orange grape", None, "s"))   # NULL-lang TEST doc
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet")
+
+    out = {r.doc_id: r for r in _run(spark, "nb_lang_classify",
+                                     str(tmp_path)).collect()}
+    assert 0 in out
+    assert out[0].pred_lang == "en"  # scored against real classes only
+    assert out[0].hit == 0           # NULL true label never counts as a hit
+    assert all(r.pred_lang is not None for r in out.values())
+
+
 def test_nb_confusion_totals_match_predictions(spark):
     pred = _run(spark, "nb_lang_classify", SF).collect()
     conf = _run(spark, "nb_classifier_confusion", SF).collect()
