@@ -93,30 +93,64 @@ _NB_PRED_CTES = f"""tok AS (
     )"""
 
 
+#: bump when the model derivation changes — artifact version key.
+NB_CODE_VERSION = "nb-r15a"
+
+
+def _doc_feature_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b, db) hashed-unigram counts."""
+    return (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", "lang",
+                    F.explode(F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t"))
+            .withColumn("b", F.expr(_BUCKET_SPARK))
+            .groupBy("doc_id", "lang", "b")
+            .agg(F.count(F.lit(1)).alias("db")))
+
+
+def _nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained NB model as ONE artifact relation: feature rows
+    (cls, b ≥ 0, qln_ct1, NULL, NULL) plus one per-class stats row
+    (cls, −1, NULL, qln_prior, qln_den) — ≤ B·|classes| + |classes| rows,
+    persisted through the artifact store (the trained-tokenizer lifecycle)
+    so scoring sessions — batch OR streaming — load a few-hundred-KB
+    parquet instead of re-training."""
+    from alertas_spark.operators.artifacts import persistent_artifact
+
+    def build() -> DataFrame:
+        fb = _doc_feature_counts(load_table(spark, sf_dir, "documents"))
+        # a NULL label is UNLABELED, not a class: excluded from the model
+        # (both engines GROUP NULLs into a phantom class otherwise)
+        train = fb.filter((F.col("doc_id") % NB_FOLDS != 0)
+                          & F.col("lang").isNotNull())
+        qln = lambda c: F.round(F.log(c) * 1e9).cast("bigint")  # noqa: E731
+        feat = (train.groupBy(F.col("lang").alias("cls"), "b")
+                .agg(qln(F.sum("db") + 1).alias("qln_ct1"))
+                .select("cls", "b", "qln_ct1",
+                        F.lit(None).cast("bigint").alias("qln_prior"),
+                        F.lit(None).cast("bigint").alias("qln_den")))
+        stats = (train.groupBy(F.col("lang").alias("cls"))
+                 .agg(qln(F.countDistinct("doc_id")).alias("qln_prior"),
+                      qln(F.sum("db") + NB_B).alias("qln_den"))
+                 .select("cls", F.lit(-1).cast("bigint").alias("b"),
+                         F.lit(None).cast("bigint").alias("qln_ct1"),
+                         "qln_prior", "qln_den"))
+        return feat.unionByName(stats)
+
+    return persistent_artifact(spark, sf_dir, "nb_model",
+                               NB_CODE_VERSION, "documents", build)
+
+
 def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, pred_lang) over the held-out fold — the Spark twin of
     ``_NB_PRED_CTES``."""
     docs = load_table(spark, sf_dir, "documents")
-    fb = (docs.filter(F.col("text").isNotNull())
-          .select("doc_id", "lang",
-                  F.explode(F.regexp_extract_all(
-                      F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t"))
-          .withColumn("b", F.expr(_BUCKET_SPARK))
-          .groupBy("doc_id", "lang", "b")
-          .agg(F.count(F.lit(1)).alias("db")))
-    # a NULL label is UNLABELED, not a class: excluded from the model (both
-    # engines GROUP NULLs into a phantom class otherwise); NULL-lang test
-    # docs still score against the real classes
-    train = fb.filter((F.col("doc_id") % NB_FOLDS != 0)
-                      & F.col("lang").isNotNull())
+    fb = _doc_feature_counts(docs)
     test = fb.filter(F.col("doc_id") % NB_FOLDS == 0)
-    qln = lambda c: F.round(F.log(c) * 1e9).cast("bigint")  # noqa: E731
+    art = _nb_model(spark, sf_dir)
     # model: ≤ NB_B·|classes| rows; cls: |classes| rows → both broadcast.
-    model = (train.groupBy(F.col("lang").alias("cls"), "b")
-             .agg(qln(F.sum("db") + 1).alias("qln_ct1")))
-    cls = (train.groupBy(F.col("lang").alias("cls"))
-           .agg(qln(F.countDistinct("doc_id")).alias("qln_prior"),
-                qln(F.sum("db") + NB_B).alias("qln_den")))
+    model = art.filter(F.col("b") >= 0).select("cls", "b", "qln_ct1")
+    cls = art.filter(F.col("b") == -1).select("cls", "qln_prior", "qln_den")
     scored = (test
               .crossJoin(F.broadcast(cls))
               .join(F.broadcast(model), ["b", "cls"], "left")

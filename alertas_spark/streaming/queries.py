@@ -401,3 +401,87 @@ _q = _REG["streaming_corpus_manifest"]
 _REG["streaming_corpus_manifest"] = _DQ(
     _q.name, _q.builder, _manifest_oracle(), _q.doc, _q.late)
 del _q
+
+
+# ---------------------------------------------------------------------------
+# Trained-classifier gate under micro-batch execution
+# ---------------------------------------------------------------------------
+
+def _nb_gate_oracle() -> str:
+    from alertas_spark.operators.classifier import _NB_PRED_CTES
+
+    return f"""
+    WITH {_NB_PRED_CTES}
+    SELECT doc_id, lang, pred_lang,
+           CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS hit
+    FROM pred
+    """
+
+
+@declare("streaming_classifier_gate", oracle=None)  # late attach below
+def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier-filter stage SERVED ON THE STREAM: the trained NB model
+    (operators/classifier._nb_model — artifact-store relation, the trained-
+    tokenizer lifecycle) is pulled batch-side before the stream starts and
+    rides an ``sc.broadcast`` into an Arrow-batched pandas UDF that scores
+    each arriving document — the deployment shape of a quality/domain gate in
+    a streaming ingest pipeline (CCNet's fastText gate on a crawl feed).
+
+    The driver-side model pull is bounded by the model GEOMETRY
+    (≤ B·|classes| + |classes| rows — a few hundred KB at any corpus size),
+    the same justification as the ≤16-row BPE merges read; per-document
+    scoring is stateless (zero state store), so the stream needs no
+    watermark and the output is append-only.
+
+    Exactness: tokenization and bucket-hashing stay JVM-side (the same
+    ``lower``/regex/md5 the batch tier uses — only already-tokenized arrays
+    cross into Python); scores are pure-integer sums of the artifact's
+    quantized-ln terms with the batch tier's (score DESC, cls ASC) argmax
+    tiebreak, so full replay equals ``nb_lang_classify`` row-for-row — and
+    the oracle IS that query's SQL.  Token-less and NULL-text documents are
+    out of scope on both sides (no feature rows to score)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.classifier import NB_B, NB_FOLDS, _nb_model
+
+    rows = _nb_model(spark, sf_dir).collect()  # bounded: model geometry
+    feat = {(r["cls"], r["b"]): r["qln_ct1"] for r in rows if r["b"] >= 0}
+    stats = {r["cls"]: (r["qln_prior"], r["qln_den"])
+             for r in rows if r["b"] == -1}
+    bc = spark.sparkContext.broadcast((feat, stats))
+
+    @F.pandas_udf("string")
+    def pred(toks: pd.Series) -> pd.Series:
+        feat, stats = bc.value
+        classes = sorted(stats)
+
+        def score_one(tok_list) -> str:
+            db: dict[int, int] = {}
+            for t in tok_list:
+                b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15],
+                        16) % NB_B
+                db[b] = db.get(b, 0) + 1
+            return min(classes, key=lambda c: (
+                -(stats[c][0] + sum(n * (feat.get((c, b), 0) - stats[c][1])
+                                    for b, n in db.items())), c))
+
+        return toks.map(score_one)
+
+    docs = ev.read_documents_stream(spark, sf_dir)
+    tok = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    gated = (docs
+             .filter(F.col("text").isNotNull()
+                     & (F.col("doc_id") % NB_FOLDS == 0))
+             .withColumn("tok", tok)
+             .filter(F.size("tok") > 0)
+             .select("doc_id", "lang", pred("tok").alias("pred_lang"))
+             .withColumn("hit", F.when(F.col("pred_lang") == F.col("lang"), 1)
+                         .otherwise(0).cast("int")))
+    return ev.run_to_memory(gated, output_mode="append")
+
+
+_qg = _REG["streaming_classifier_gate"]
+_REG["streaming_classifier_gate"] = _DQ(
+    _qg.name, _qg.builder, _nb_gate_oracle(), _qg.doc, _qg.late)
