@@ -88,6 +88,7 @@ PERSISTENT_QUERIES = frozenset({
     "curriculum_pack",              # packing.py — orders by the lm_unigram scorer
     "dsir_logratio_scores",         # dsir.py hashed-unigram LM tables
     "dsir_select_topk",             # selection over the same dsir_lm artifact
+    "dsir_sample_gumbel",           # Gumbel resampling, same dsir_lm artifact
     "nb_lang_classify",             # classifier.py nb_model count tables
     "nb_classifier_confusion",      # same nb_model artifact
     "streaming_classifier_gate",    # stream served by the nb_model artifact

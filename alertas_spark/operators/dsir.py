@@ -30,11 +30,11 @@ add-one smoothing the per-token term is
 
 so  logw(d) = Σ_b d_b·[Q(ct_t+1) − Q(ct_r+1)] + n_d·[Q(N_r+B) − Q(N_t+B)].
 
-Selection is deterministic top-k on (score DESC, doc_id) — the paper perturbs
-scores with Gumbel noise to *sample* rather than rank; a hash-seeded Gumbel is
-a two-deep libm ``ln`` seam between engines, so the shipped tier is the
-rank-k variant (the paper's temperature→0 limit) and the noise hook is a
-one-line ``+ g(doc_id)`` away.
+Selection ships in BOTH published forms: deterministic top-k on
+(score DESC, doc_id) — the paper's temperature→0 limit — and the paper's
+actual Gumbel-top-k resampling (``dsir_sample_gumbel``), whose hash-seeded
+two-deep ``ln`` is made engine-exact by quantizing each libm evaluation to an
+integer before the next consumes it.
 
 Reference parity: extension operator (no reference counterpart — the reference
 is an alert engine, /root/reference/src/alertas/jobs.py); first-class
@@ -219,3 +219,73 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_dsir_scores(spark, sf_dir)
             .withColumn("sel_rank", w)
             .filter(F.col("sel_rank") <= DSIR_K))
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k resampling — the paper's actual selection rule
+# ---------------------------------------------------------------------------
+
+#: resampling temperature: key = logw/τ + Gumbel.  τ=1 is the paper default.
+DSIR_TAU = 1.0
+
+#: md5-derived 60-bit uniform per document, salted per operator.
+_G_SPARK_H = ("cast(conv(substring(md5(concat('dsg:', cast(doc_id AS string))), "
+              "1, 15), 16, 10) as bigint)")
+_G_DUCK_H = ("CAST(concat('0x', substring(md5('dsg:' || "
+             "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)")
+_TWO60 = float(1 << 60)
+
+
+@declare(
+    "dsir_sample_gumbel",
+    oracle=f"""
+    WITH {_DSIR_SCORED_CTES},
+    keyed AS (
+        SELECT doc_id, source, n_tokens, avg_logratio_nats,
+               CAST(ROUND(avg_logratio_nats * 1e6) AS BIGINT)
+               + CAST(ROUND(-LN(-CAST(
+                     CAST(ROUND(LN(CAST({_G_DUCK_H} + 1 AS DOUBLE) / {_TWO60})
+                                * 1e9) AS BIGINT)
+                     AS DOUBLE) / 1e9) * 1e6) AS BIGINT) AS sel_key
+        FROM scored
+    ), ranked AS (
+        SELECT doc_id, source, n_tokens, avg_logratio_nats, sel_key,
+               ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) AS sel_rank
+        FROM keyed
+    )
+    SELECT doc_id, source, n_tokens, avg_logratio_nats, sel_key,
+           CAST(sel_rank AS INTEGER) AS sel_rank
+    FROM ranked WHERE sel_rank <= {DSIR_K}
+    """,
+)
+def dsir_sample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's published selection rule: Gumbel-top-k RESAMPLING — add
+    per-document Gumbel noise g = −ln(−ln(u)) to the importance log-ratio
+    and take the top K, which draws K documents *without replacement with
+    probability ∝ w(d)^(1/τ)* instead of deterministically ranking them
+    (``dsir_select_topk`` is the τ→0 limit).  The uniform is the md5-derived
+    reshard-stable hash (sampling.py's idiom — same sample on every run,
+    every partitioning, every engine), and both log evaluations quantize
+    libm output immediately (1e-9 then 1e-6), so the inner result crosses
+    engines as an exact integer and the selection key is a pure-integer sum
+    — the ``sample_weighted_topk`` precedent extended one ln deeper.  Top-K
+    rides the two-phase exact top-k (local shortlist per partition, one
+    window over ≤ K·n_partitions rows — no global sort)."""
+    from alertas_spark.operators.topk import ranked_topk
+
+    h = F.expr(_G_SPARK_H)
+    # inner: q1 = round(ln((h+1)/2^60)·1e9) — an exact negative integer
+    q1 = F.round(F.log((h + 1).cast("double") / F.lit(_TWO60)) * 1e9) \
+          .cast("bigint")
+    # outer: g_q = round(−ln(−q1/1e9)·1e6) — ln of a double both engines
+    # derived identically from the same integer
+    g_q = F.round(-F.log(-q1.cast("double") / 1e9) * 1e6).cast("bigint")
+    keyed = (_dsir_scores(spark, sf_dir)
+             .withColumn("sel_key",
+                         F.round(F.col("avg_logratio_nats") * 1e6)
+                         .cast("bigint") + g_q)
+             .withColumn("grp", F.lit(0)))
+    return (ranked_topk(keyed, "grp", "sel_key", "doc_id", DSIR_K,
+                        ascending=False, rank_col="sel_rank")
+            .select("doc_id", "source", "n_tokens", "avg_logratio_nats",
+                    "sel_key", F.col("sel_rank").cast("int").alias("sel_rank")))

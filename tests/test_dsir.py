@@ -66,6 +66,28 @@ def test_dsir_topk_is_rank_consistent_subset(spark, tmp_path):
     assert top[0].doc_id == 100
 
 
+def test_dsir_gumbel_is_a_reshard_stable_resample(spark):
+    """The Gumbel draw must be (a) a sample — not score order — and (b) the
+    SAME sample on every run (hash-seeded, no RNG state)."""
+    from alertas_spark.operators.dsir import DSIR_K, TARGET_SOURCES
+
+    a = sorted((r.doc_id, r.sel_rank) for r in
+               _run(spark, "dsir_sample_gumbel", SF).collect())
+    b = sorted((r.doc_id, r.sel_rank) for r in
+               _run(spark, "dsir_sample_gumbel", SF).collect())
+    assert a == b, "resample must be deterministic across runs"
+    rows = _run(spark, "dsir_sample_gumbel", SF).collect()
+    assert len(rows) <= DSIR_K
+    assert all(r.source not in TARGET_SOURCES for r in rows)
+    # noise actually reorders: the Gumbel ranking must differ from the
+    # deterministic score ranking somewhere (astronomically unlikely to
+    # coincide unless the noise silently vanished)
+    det = [r.doc_id for r in sorted(_run(spark, "dsir_select_topk", SF)
+                                    .collect(), key=lambda r: r.sel_rank)]
+    gum = [r.doc_id for r in sorted(rows, key=lambda r: r.sel_rank)]
+    assert det != gum
+
+
 def test_dsir_topk_caps_at_k_on_real_data(spark):
     from alertas_spark.operators.dsir import DSIR_K, TARGET_SOURCES
 
