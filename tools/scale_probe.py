@@ -68,6 +68,12 @@ QUERIES = [
     "ccnet_perplexity_buckets",    # per-lang perplexity tercile cut (r14)
     "pack_sequences_bpe",          # packing on subword counts (r12)
     "decontaminate_embedding",     # broadcast eval set × corpus cosine sweep (r12)
+    "dsir_select_topk",            # fixed-B hashed-LM importance ranking (r15)
+    "dsir_sample_gumbel",          # Gumbel-top-k resampling, same LMs (r15)
+    "nb_lang_classify",            # broadcast NB model, integer argmax (r15)
+    "decontaminate_bloom",         # k·m-bounded bloom probe join (r15)
+    "curriculum_pack",             # LM-ordered per-shard packing (r15)
+    "streaming_classifier_gate",   # artifact NB model served on the stream (r15)
     "streaming_clean_corpus",      # gate + dedup + rollup under micro-batch (r12)
     "tfidf_top_terms",             # df join-back on term + window top-n
     "profile_columns",             # exact distinct + quantiles (two-pass)
