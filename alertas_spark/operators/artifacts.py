@@ -89,6 +89,7 @@ PERSISTENT_QUERIES = frozenset({
     "dsir_logratio_scores",         # dsir.py hashed-unigram LM tables
     "dsir_select_topk",             # selection over the same dsir_lm artifact
     "dsir_sample_gumbel",           # Gumbel resampling, same dsir_lm artifact
+    "pipeline_dsir_curated",        # capstone: dsir_lm-scored selection
     "nb_lang_classify",             # classifier.py nb_model count tables
     "nb_classifier_confusion",      # same nb_model artifact
     "streaming_classifier_gate",    # stream served by the nb_model artifact

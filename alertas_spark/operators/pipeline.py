@@ -194,3 +194,75 @@ def pipeline_corpus_to_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return ds.withColumn("pack_id",
                          F.floor(cum_before / PACK_BUDGET).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# r15 capstone: DSIR selection → bloom decontamination → budget packing
+# ---------------------------------------------------------------------------
+
+def _oracle_dsir_curated() -> str:
+    """The three r15 stage oracles stitched (their CTE namespaces are
+    disjoint by construction: dsir uses tok/fb/ct/cr/tot/scored, bloom uses
+    tokd/grams/bench/benchd/filt/probes/hits)."""
+    from alertas_spark.operators.bloom import _BLOOM_HITS_CTES
+    from alertas_spark.operators.dsir import _DSIR_SCORED_CTES, DSIR_K
+    from alertas_spark.operators.packing import PACK_BUDGET
+
+    return f"""
+    WITH {_DSIR_SCORED_CTES},
+    {_BLOOM_HITS_CTES},
+    sel AS (
+        SELECT doc_id, source, n_tokens, avg_logratio_nats,
+               ROW_NUMBER() OVER (ORDER BY avg_logratio_nats DESC, doc_id)
+                   AS sel_rank
+        FROM scored
+    ),
+    clean AS (
+        SELECT s.* FROM sel s
+        WHERE s.sel_rank <= {DSIR_K}
+          AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = s.doc_id)
+    )
+    SELECT doc_id, source, n_tokens, avg_logratio_nats,
+           CAST(ROW_NUMBER() OVER o AS INTEGER) AS cur_rank,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY avg_logratio_nats DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {PACK_BUDGET} AS INTEGER) AS pack_id
+    FROM clean
+    WINDOW o AS (ORDER BY avg_logratio_nats DESC, doc_id)
+    """
+
+
+@declare("pipeline_dsir_curated", oracle=_oracle_dsir_curated())
+def pipeline_dsir_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15 curation tiers composed into ONE dataflow: DSIR top-K
+    target-like selection from the raw pool → drop documents the benchmark
+    bloom filter flags (anti-join against the ≤k·m-bounded filter hits) →
+    pack the surviving curated set most-target-like-first under the token
+    budget.  Each stage is oracle-verified on its own
+    (``dsir_select_topk`` / ``decontaminate_bloom`` / ``pack_sequences``);
+    this query pins their COMPOSITION end to end.
+
+    Scale shape: the stages' own shapes compose — hashed-LM broadcast
+    scoring, two-phase-able top-K, bloom broadcast anti-join — and the final
+    rank/cumsum window runs over the ALREADY-SELECTED ≤K-row relation
+    (single partition is the point, not a leak: K is a curation constant,
+    never corpus-sized; a multi-shard variant would window per source like
+    ``curriculum_pack``)."""
+    from alertas_spark.operators.bloom import _bloom_hits
+    from alertas_spark.operators.dsir import DSIR_K, _dsir_scores
+    from alertas_spark.operators.packing import PACK_BUDGET
+    from pyspark.sql import Window as W
+
+    sel_w = W.orderBy(F.col("avg_logratio_nats").desc(), "doc_id")
+    sel = (_dsir_scores(spark, sf_dir)
+           .withColumn("sel_rank", F.row_number().over(sel_w))
+           .filter(F.col("sel_rank") <= DSIR_K))
+    flagged = _bloom_hits(spark, sf_dir).select("doc_id").distinct()
+    clean = sel.join(F.broadcast(flagged), "doc_id", "left_anti")
+    cum = F.sum("n_tokens").over(sel_w.rowsBetween(W.unboundedPreceding, -1))
+    return clean.select(
+        "doc_id", "source", "n_tokens", "avg_logratio_nats",
+        F.row_number().over(sel_w).cast("int").alias("cur_rank"),
+        F.floor(F.coalesce(cum, F.lit(0)) / PACK_BUDGET)
+        .cast("int").alias("pack_id"))

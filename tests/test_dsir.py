@@ -88,6 +88,24 @@ def test_dsir_gumbel_is_a_reshard_stable_resample(spark):
     assert det != gum
 
 
+def test_pipeline_dsir_curated_composes_its_stages(spark):
+    """The capstone's rows are exactly (top-K selection) − (bloom-flagged),
+    re-ranked densely with packs cut along the curated order."""
+    from alertas_spark.operators.packing import PACK_BUDGET
+
+    top = {r.doc_id for r in _run(spark, "dsir_select_topk", SF).collect()}
+    flagged = {r.doc_id for r in
+               _run(spark, "decontaminate_bloom", SF).collect()}
+    out = sorted(_run(spark, "pipeline_dsir_curated", SF).collect(),
+                 key=lambda r: r.cur_rank)
+    assert {r.doc_id for r in out} == top - flagged
+    assert [r.cur_rank for r in out] == list(range(1, len(out) + 1))
+    cum = 0
+    for r in out:
+        assert r.pack_id == cum // PACK_BUDGET
+        cum += r.n_tokens
+
+
 def test_dsir_topk_caps_at_k_on_real_data(spark):
     from alertas_spark.operators.dsir import DSIR_K, TARGET_SOURCES
 
