@@ -287,3 +287,71 @@ def winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0).alias("clipped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth profile
+# ---------------------------------------------------------------------------
+
+#: sampling resolution: the corpus is split into D reshard-stable hash deciles
+#: and the curve reports vocabulary size at every cumulative 1/D fraction.
+VOCAB_DECILES = 10
+
+
+@declare(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id % {VOCAB_DECILES} AS decile,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ), first_seen AS (
+        SELECT t, MIN(decile) AS d0 FROM tok GROUP BY t
+    ), newt AS (
+        SELECT d0 AS decile, COUNT(*) AS n_new_tokens
+        FROM first_seen GROUP BY d0
+    ), occ AS (
+        SELECT decile, COUNT(*) AS n_occurrences FROM tok GROUP BY decile
+    )
+    SELECT o.decile,
+           CAST(COALESCE(n.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+           CAST(SUM(COALESCE(n.n_new_tokens, 0)) OVER w AS BIGINT) AS cum_vocab,
+           CAST(o.n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(SUM(o.n_occurrences) OVER w AS BIGINT) AS cum_occurrences
+    FROM occ o LEFT JOIN newt n ON n.decile = o.decile
+    WINDOW w AS (ORDER BY o.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law profile: distinct-vocabulary size as a function of corpus
+    fraction — the curve a tokenizer/dedup engineer reads before sizing a
+    vocabulary or predicting novel-token rates at 10× the data.  The corpus
+    fraction axis is ``pmod(doc_id, D)`` hash deciles (reshard-stable random
+    split — cum_vocab at decile d IS the expected vocabulary of a (d+1)/D
+    uniform sample), so the curve needs NO global sort: one token explode,
+    a per-token MIN(decile) hash agg (first-seen decile), one D-row rollup,
+    and a D-row running-sum window.  At 100 TB the heavy step is the
+    token-keyed agg — the same shuffle the LM trainers already pay."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.filter(F.col("text").isNotNull())
+           .select((F.col("doc_id") % VOCAB_DECILES).alias("decile"),
+                   F.explode(F.regexp_extract_all(
+                       F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
+                   .alias("t")))
+    first_seen = tok.groupBy("t").agg(F.min("decile").alias("d0"))
+    newt = (first_seen.groupBy(F.col("d0").alias("decile"))
+            .agg(F.count(F.lit(1)).alias("n_new_tokens")))
+    occ = tok.groupBy("decile").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    from pyspark.sql import Window as W
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (occ.join(newt, "decile", "left")
+            .select("decile",
+                    F.coalesce("n_new_tokens", F.lit(0)).cast("bigint")
+                    .alias("n_new_tokens"),
+                    F.sum(F.coalesce("n_new_tokens", F.lit(0))).over(w)
+                    .cast("bigint").alias("cum_vocab"),
+                    F.col("n_occurrences").cast("bigint")
+                    .alias("n_occurrences"),
+                    F.sum("n_occurrences").over(w).cast("bigint")
+                    .alias("cum_occurrences")))

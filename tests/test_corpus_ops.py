@@ -636,3 +636,26 @@ def test_dedup_embedding_semantic_keep_is_min_per_group(spark):
     sizes = pdf.groupby("component").size()
     assert (pdf["n_group"] == pdf["component"].map(sizes)).all()
     assert pdf["vec_id"].is_unique
+
+
+def test_vocab_growth_curve_totals_and_monotonicity(spark):
+    from pyspark.sql import functions as F
+
+    from alertas_spark.sources.catalog import load_table
+
+    rows = sorted(_run(spark, "vocab_growth_curve").collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == sorted(r.decile for r in rows)
+    cv = [r.cum_vocab for r in rows]
+    assert cv == sorted(cv) and cv[-1] >= cv[0]
+    # running sums must reconcile with their per-decile columns
+    assert cv[-1] == sum(r.n_new_tokens for r in rows)
+    assert rows[-1].cum_occurrences == sum(r.n_occurrences for r in rows)
+    # and the end of the curve IS the corpus: total distinct tokens + total
+    # token occurrences, independently recomputed
+    tok = (load_table(spark, SF, "documents")
+           .filter(F.col("text").isNotNull())
+           .select(F.explode(F.regexp_extract_all(
+               F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t")))
+    assert cv[-1] == tok.select("t").distinct().count()
+    assert rows[-1].cum_occurrences == tok.count()
