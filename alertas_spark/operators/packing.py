@@ -167,3 +167,78 @@ def curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("int").alias("cur_rank"),
         F.floor(F.coalesce(cum, F.lit(0)) / PACK_BUDGET)
         .cast("int").alias("pack_id"))
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: minimize padding waste at fixed batch size
+# ---------------------------------------------------------------------------
+
+#: documents per batch and bucket edges (token-length powers of two).
+BATCH_DOCS = 8
+LEN_BUCKETS = (16, 32, 64, 128, 256)
+
+
+def _bucket_case_duck() -> str:
+    branches = " ".join(
+        f"WHEN n_tokens <= {e} THEN {i}" for i, e in enumerate(LEN_BUCKETS))
+    return f"CASE {branches} ELSE {len(LEN_BUCKETS)} END"
+
+
+@declare(
+    "pack_length_bucketed",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ), nz AS (
+        SELECT doc_id, n_tokens, {_bucket_case_duck()} AS bucket
+        FROM toks WHERE n_tokens > 0
+    ), batched AS (
+        SELECT doc_id, n_tokens, bucket,
+               CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+                                        ORDER BY n_tokens, doc_id) - 1)
+                    // {BATCH_DOCS} AS INTEGER) AS batch_id
+        FROM nz
+    )
+    SELECT bucket, batch_id,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM batched
+    GROUP BY bucket, batch_id
+    """,
+)
+def pack_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching (the seq2seq dataloader op): bucket
+    documents by token length, sort each bucket shortest-first, cut
+    fixed-size batches, and account the padding waste each batch pays when
+    padded to its own max length.  Sorting within buckets puts near-equal
+    lengths together, which is the whole trick — padding cost collapses
+    versus arrival-order batching.  Per-bucket windows only (≤ |buckets|
+    shards — each shard's window parallelizes like ``pack_sequences``); the
+    output is batch-level, so downstream mixing/sharding operates on
+    batches, not rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.filter(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.size(F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
+                    .cast("bigint").alias("n_tokens"))
+            .filter(F.col("n_tokens") > 0))
+    bucket = F.lit(len(LEN_BUCKETS))
+    for i, e in reversed(list(enumerate(LEN_BUCKETS))):
+        bucket = F.when(F.col("n_tokens") <= e, i).otherwise(bucket)
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    batched = (toks.withColumn("bucket", bucket)
+               .withColumn("batch_id",
+                           F.floor((F.row_number().over(w) - 1) / BATCH_DOCS)
+                           .cast("int")))
+    return (batched.groupBy("bucket", "batch_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+                 F.max("n_tokens").alias("max_len"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                 (F.count(F.lit(1)) * F.max("n_tokens")
+                  - F.sum("n_tokens")).cast("bigint").alias("padding_waste")))

@@ -659,3 +659,31 @@ def test_vocab_growth_curve_totals_and_monotonicity(spark):
                F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t")))
     assert cv[-1] == tok.select("t").distinct().count()
     assert rows[-1].cum_occurrences == tok.count()
+
+
+def test_length_bucketed_batching_bounds_and_beats_arrival_order(spark):
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.packing import BATCH_DOCS
+    from alertas_spark.sources.catalog import load_table
+
+    rows = _run(spark, "pack_length_bucketed").collect()
+    assert rows
+    assert all(1 <= r.n_docs <= BATCH_DOCS for r in rows)
+    assert all(r.padding_waste == r.n_docs * r.max_len - r.n_tokens >= 0
+               for r in rows)
+    bucketed_waste = sum(r.padding_waste for r in rows)
+
+    # arrival-order baseline: batch the same docs by doc_id order, no
+    # bucketing — the op's whole point is beating this
+    toks = sorted(
+        (r.doc_id, r.n) for r in
+        load_table(spark, SF, "documents").filter(F.col("text").isNotNull())
+        .select("doc_id", F.size(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("n"))
+        .filter(F.col("n") > 0).collect())
+    arrival_waste = 0
+    for i in range(0, len(toks), BATCH_DOCS):
+        batch = [n for _, n in toks[i:i + BATCH_DOCS]]
+        arrival_waste += len(batch) * max(batch) - sum(batch)
+    assert bucketed_waste <= arrival_waste
