@@ -485,3 +485,83 @@ def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _qg = _REG["streaming_classifier_gate"]
 _REG["streaming_classifier_gate"] = _DQ(
     _qg.name, _qg.builder, _nb_gate_oracle(), _qg.doc, _qg.late)
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination gate under micro-batch execution
+# ---------------------------------------------------------------------------
+
+def _bloom_gate_oracle() -> str:
+    from alertas_spark.operators.bloom import _BLOOM_HITS_CTES
+
+    return f"""
+    WITH {_BLOOM_HITS_CTES}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_grams
+    FROM hits GROUP BY doc_id
+    """
+
+
+@declare("streaming_bloom_gate", oracle=None)  # late attach below
+def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benchmark bloom filter SERVED ON THE STREAM — the third trained/
+    bounded structure deployed under micro-batch (after the BPE merges and
+    the NB model): the ≤k·m (probe,pos) set is built batch-side, collected
+    — bounded by the BLOOM GEOMETRY, never the benchmark size — and rides
+    an ``sc.broadcast`` into an Arrow UDF that counts each arriving
+    document's flagged 5-grams.  An ingest pipeline drops (or quarantines)
+    flagged documents before they ever land in the corpus, instead of
+    scrubbing after the fact.
+
+    Exactness: tokenization stays JVM-side (the batch tier's exact
+    lower/regex — only token arrays cross into Python); gram strings,
+    their k md5 probes, and the all-k membership test replicate the batch
+    algebra byte-for-byte (hashlib md5 ≡ engine md5 on UTF-8), so full
+    replay equals ``decontaminate_bloom`` row-for-row and the oracle IS
+    that query's SQL.  Stateless append stream — no watermark, no state
+    store; per-micro-batch cost is the documents' own grams."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.bloom import (BLOOM_K, BLOOM_M,
+                                               _probe_rows,
+                                               _train_bench_grams)
+    from alertas_spark.operators.textops import DECON_BENCH_MOD, DECON_N
+
+    _, bench = _train_bench_grams(spark, sf_dir)
+    filt = frozenset((r["probe"], r["pos"]) for r in
+                     _probe_rows(bench).select("probe", "pos")
+                     .distinct().collect())  # bounded: k·m pairs max
+    bc = spark.sparkContext.broadcast(filt)
+
+    @F.pandas_udf("bigint")
+    def n_flagged(toks: pd.Series) -> pd.Series:
+        fset = bc.value
+
+        def count_one(tok_list) -> int:
+            grams = {" ".join(tok_list[i:i + DECON_N])
+                     for i in range(len(tok_list) - DECON_N + 1)}
+            n = 0
+            for g in grams:
+                if all((i, int(hashlib.md5(f"bl{i}:{g}".encode("utf-8"))
+                               .hexdigest()[:15], 16) % BLOOM_M) in fset
+                       for i in range(BLOOM_K)):
+                    n += 1
+            return n
+
+        return toks.map(count_one)
+
+    docs = ev.read_documents_stream(spark, sf_dir)
+    tok = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    gated = (docs
+             .filter((F.col("doc_id") % DECON_BENCH_MOD != 0)
+                     & F.col("text").isNotNull())  # NULL text has no grams
+             .withColumn("tok", tok)
+             .select("doc_id", n_flagged("tok").alias("n_flagged_grams"))
+             .filter(F.col("n_flagged_grams") > 0))
+    return ev.run_to_memory(gated, output_mode="append")
+
+
+_qb = _REG["streaming_bloom_gate"]
+_REG["streaming_bloom_gate"] = _DQ(
+    _qb.name, _qb.builder, _bloom_gate_oracle(), _qb.doc, _qb.late)
