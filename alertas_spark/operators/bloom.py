@@ -176,7 +176,13 @@ def bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (hits.join(exact.withColumn("ex", F.lit(1)),
                          ["doc_id", "g"], "left")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"),
-                    F.sum(F.when(F.col("ex").isNull(), 1).otherwise(0))
+                    # coalesce: on a contamination-free corpus the hits
+                    # relation is EMPTY and SUM over it is NULL while the
+                    # oracle's scalar subqueries count 0 — the identity row
+                    # must match on the degenerate corpus too
+                    F.coalesce(
+                        F.sum(F.when(F.col("ex").isNull(), 1).otherwise(0)),
+                        F.lit(0))
                     .cast("bigint").alias("n_false_pos")))
     # n_exact counted INDEPENDENTLY (not as "flagged ∧ exact") so the
     # no-false-negative identity n_flagged = n_exact + n_false_pos is a

@@ -44,7 +44,6 @@ LLM-pipeline surface per SURVEY.md §6.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from alertas_spark.registry import declare
@@ -209,16 +208,19 @@ def dsir_logratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection: the K raw-pool documents most target-like by importance
     ratio (rank deterministic — quantized scores are engine-exact, ties break
-    on doc_id).  The single-partition rank window is safe because its input is
-    ALREADY one row per document of a few scalar columns (the score relation,
-    not the corpus); at 100 TB-pool scale the K cut would ride the repo's
-    ``topk`` operator (partial per-partition top-K then merge) — this query
-    pins the selection semantics."""
-    w = F.row_number().over(
-        W.orderBy(F.col("avg_logratio_nats").desc(), "doc_id"))
-    return (_dsir_scores(spark, sf_dir)
-            .withColumn("sel_rank", w)
-            .filter(F.col("sel_rank") <= DSIR_K))
+    on doc_id).  The K cut rides the two-phase exact top-k (per-partition
+    shortlist, then one window over ≤ K·n_partitions rows) — the score
+    relation is one row per RAW-POOL document, i.e. corpus-sized, so a
+    global no-partition rank window would be a single-partition sort of the
+    whole pool (the r15 advice item this routes around; ``dsir_sample_gumbel``
+    already took this path)."""
+    from alertas_spark.operators.topk import ranked_topk
+
+    scored = _dsir_scores(spark, sf_dir).withColumn("grp", F.lit(0))
+    return (ranked_topk(scored, "grp", "avg_logratio_nats", "doc_id", DSIR_K,
+                        ascending=False, rank_col="sel_rank")
+            .select("doc_id", "source", "n_tokens", "avg_logratio_nats",
+                    "sel_rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +246,8 @@ _TWO60 = float(1 << 60)
         SELECT doc_id, source, n_tokens, avg_logratio_nats,
                CAST(ROUND(avg_logratio_nats * 1e6) AS BIGINT)
                + CAST(ROUND(-LN(-CAST(
-                     CAST(ROUND(LN(CAST({_G_DUCK_H} + 1 AS DOUBLE) / {_TWO60})
+                     CAST(ROUND(LN(CAST(LEAST({_G_DUCK_H}, {(1 << 60) - 2})
+                                        + 1 AS DOUBLE) / {_TWO60})
                                 * 1e9) AS BIGINT)
                      AS DOUBLE) / 1e9) * 1e6) AS BIGINT) AS sel_key
         FROM scored
@@ -273,7 +276,12 @@ def dsir_sample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over ≤ K·n_partitions rows — no global sort)."""
     from alertas_spark.operators.topk import ranked_topk
 
-    h = F.expr(_G_SPARK_H)
+    # clamp the uniform to ≤ 2^60−2 BEFORE the +1: at h = 2^60−1 the inner
+    # ln(1) = 0 would make the outer −ln(0) = +∞, which DuckDB's BIGINT cast
+    # raises on while Spark saturates — a cross-engine seam at probability
+    # 2^-60 per doc (r15 advice).  LEAST on both sides keeps the algebra
+    # identical everywhere else.
+    h = F.least(F.expr(_G_SPARK_H), F.lit((1 << 60) - 2))
     # inner: q1 = round(ln((h+1)/2^60)·1e9) — an exact negative integer
     q1 = F.round(F.log((h + 1).cast("double") / F.lit(_TWO60)) * 1e9) \
           .cast("bigint")

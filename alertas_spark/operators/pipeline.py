@@ -252,12 +252,17 @@ def pipeline_dsir_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertas_spark.operators.bloom import _bloom_hits
     from alertas_spark.operators.dsir import DSIR_K, _dsir_scores
     from alertas_spark.operators.packing import PACK_BUDGET
+    from alertas_spark.operators.topk import ranked_topk
     from pyspark.sql import Window as W
 
     sel_w = W.orderBy(F.col("avg_logratio_nats").desc(), "doc_id")
-    sel = (_dsir_scores(spark, sf_dir)
-           .withColumn("sel_rank", F.row_number().over(sel_w))
-           .filter(F.col("sel_rank") <= DSIR_K))
+    # the K cut over the corpus-sized score relation rides the two-phase
+    # top-k (r15 advice) — only the ≤K-row downstream windows stay global
+    sel = (ranked_topk(
+               _dsir_scores(spark, sf_dir).withColumn("grp", F.lit(0)),
+               "grp", "avg_logratio_nats", "doc_id", DSIR_K,
+               ascending=False, rank_col="sel_rank")
+           .drop("grp"))
     flagged = _bloom_hits(spark, sf_dir).select("doc_id").distinct()
     clean = sel.join(F.broadcast(flagged), "doc_id", "left_anti")
     cum = F.sum("n_tokens").over(sel_w.rowsBetween(W.unboundedPreceding, -1))

@@ -260,6 +260,18 @@ def code_touched(hist: dict[str, tuple[int, bool]],
     return touched
 
 
+#: the driver oracle-checks the FIRST this-many registry entries per round.
+DRIVER_WINDOW = 50
+
+#: window slots reserved for the STALEST UNTOUCHED greens.  r15 proved the
+#: touched+new classes can consume all 50 slots (15 new queries + 35
+#: code-touched filled the window four rounds running, starving 24 untouched
+#: §2 micros at their r11 rows) — so the touched class is capped at
+#: ``DRIVER_WINDOW − STALE_RESERVE − |red ∪ new|`` and the reserve always
+#: rotates the oldest driver rows forward (r15 verdict item 1).
+STALE_RESERVE = 15
+
+
 def window_order(names: list[str], hist: dict[str, tuple[int, bool]],
                  touched: frozenset[str] | set[str] = frozenset(),
                  ) -> list[str]:
@@ -267,20 +279,31 @@ def window_order(names: list[str], hist: dict[str, tuple[int, bool]],
     where NEVER-CHECKED queries are "touched since forever" (staleness −1,
     so they lead the class: a round that touches more modules than the
     window holds must not starve a query of its FIRST driver row) — then
-    stalest-green first; ties keep the given (insertion) order."""
-    pos = {n: i for i, n in enumerate(names)}
+    stalest-green first; ties keep the given (insertion) order.
 
-    def key(n: str):
+    The touched class is CAPPED so ≥ ``STALE_RESERVE`` of the driver's
+    ``DRIVER_WINDOW`` slots go to the stalest untouched greens; touched
+    queries past the cap queue after the reserve.  Untouched greens stay
+    stalest-first as a whole (reserve + remainder preserve one sorted list),
+    so the no-skipped-staleness invariant is unchanged."""
+    pos = {n: i for i, n in enumerate(names)}
+    red, new, tch, green = [], [], [], []
+    for n in names:
         h = hist.get(n)
         if h is not None and not h[1]:
-            return (0, 0, pos[n])          # red at last check
-        if h is None:
-            return (1, -1, pos[n])         # never driver-checked
-        if n in touched:
-            return (1, h[0], pos[n])       # code changed since last check
-        return (2, h[0], pos[n])           # green: stalest round first
-
-    return sorted(names, key=key)
+            red.append(n)                  # red at last check
+        elif h is None:
+            new.append(n)                  # never driver-checked
+        elif n in touched:
+            tch.append(n)                  # code changed since last check
+        else:
+            green.append(n)
+    tch.sort(key=lambda n: (hist[n][0], pos[n]))
+    green.sort(key=lambda n: (hist[n][0], pos[n]))
+    head = red + new                       # insertion order within class
+    cap = max(DRIVER_WINDOW - STALE_RESERVE - len(head), 0)
+    return (head + tch[:cap] + green[:STALE_RESERVE]
+            + tch[cap:] + green[STALE_RESERVE:])
 
 
 def _canonical_order() -> list[str]:

@@ -47,8 +47,12 @@ def test_order_is_deterministic_and_complete():
     tch = [n for n in names
            if n in hist and hist[n][1] and n in touched]
     new = [n for n in names if n not in hist]
-    head = len(red) + len(tch) + len(new)
-    assert names[:head] == red + new + tch
+    # touched greens are CAPPED at DRIVER_WINDOW − STALE_RESERVE − |red∪new|
+    # (r15 verdict item 1) — the class prefix is red + new + capped-touched
+    from alertas_spark.registry import DRIVER_WINDOW, STALE_RESERVE
+    cap = max(DRIVER_WINDOW - STALE_RESERVE - len(red) - len(new), 0)
+    head = len(red) + len(new) + min(len(tch), cap)
+    assert names[:head] == red + new + tch[:cap]
     assert len(set(names)) == len(names)
     assert sorted(names) == sorted(REGISTRY)
     # recomputing the schedule reproduces the load order exactly — from the
@@ -105,24 +109,61 @@ def test_no_stale_query_skipped_for_a_fresher_one():
             "waits outside")
 
 
-def test_touched_greens_precede_untouched_greens():
-    """Every code-touched green schedules ahead of every untouched green —
-    the r14 gap (pipeline.py changed, its queries not rechecked) cannot
-    recur.  Ordering invariant only: whether touched fits the 50-slot window
-    depends on how much code a round touches."""
-    from alertas_spark.registry import code_touched, driver_history
+def test_touched_greens_precede_untouched_greens_up_to_cap():
+    """Code-touched greens schedule ahead of untouched greens — up to the
+    touched-class CAP (r15 verdict item 1): touched queries past
+    ``DRIVER_WINDOW − STALE_RESERVE − |red ∪ new|`` queue after the
+    stale-reserve greens so a module-heavy round cannot starve the rotation
+    (the r14 gap — pipeline.py changed, queries unrechecked — still cannot
+    recur for the first ``cap`` touched queries, and verify_local covers the
+    rest the same round)."""
+    from alertas_spark.registry import (DRIVER_WINDOW, STALE_RESERVE,
+                                        code_touched, driver_history)
 
     names = _names()
     hist = driver_history()
     touched = code_touched(hist)
+    red_or_new = [n for n in names
+                  if n not in hist or (n in hist and not hist[n][1])]
+    cap = max(DRIVER_WINDOW - STALE_RESERVE - len(red_or_new), 0)
     greens = [n for n in names if n in hist and hist[n][1]]
+    tch_seen = 0
     seen_untouched = False
     for n in greens:
         if n in touched:
-            assert not seen_untouched, (
-                f"touched query {n} scheduled after an untouched green")
+            tch_seen += 1
+            if tch_seen <= cap:
+                assert not seen_untouched, (
+                    f"touched query {n} scheduled after an untouched green "
+                    f"while under the cap")
         else:
             seen_untouched = True
+
+
+def test_stale_reserve_holds_under_touched_flood():
+    """The r15 failure mode, pinned: with enough touched queries to fill the
+    window, the stalest untouched greens STILL land inside the first
+    DRIVER_WINDOW slots — at least STALE_RESERVE of them."""
+    from alertas_spark.registry import (DRIVER_WINDOW, STALE_RESERVE,
+                                        window_order)
+
+    n_tch, n_green = 60, 40
+    names = ([f"t{i:02d}" for i in range(n_tch)]
+             + [f"g{i:02d}" for i in range(n_green)])
+    hist = {n: (5, True) for n in names[:n_tch]}
+    # untouched greens staler the higher the index → g39 is stalest
+    hist.update({f"g{i:02d}": (4 - i % 4, True) for i in range(n_green)})
+    order = window_order(names, hist, touched=set(names[:n_tch]))
+    window = order[:DRIVER_WINDOW]
+    in_window_greens = [n for n in window if n.startswith("g")]
+    assert len(in_window_greens) >= STALE_RESERVE, in_window_greens
+    # and they are the STALEST untouched greens, not arbitrary ones
+    green_rounds = sorted(hist[f"g{i:02d}"][0] for i in range(n_green))
+    assert sorted(hist[n][0] for n in in_window_greens) == \
+        green_rounds[:len(in_window_greens)]
+    # overflow touched queries queue right after the reserve, before the
+    # fresher greens — nothing is dropped
+    assert sorted(order) == sorted(names)
 
 
 def test_window_order_unit():
