@@ -242,3 +242,126 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("g"))  # constant key: global top-k through the 2-phase op
     return (ranked_topk(pri, "g", "p", "doc_id", SAMPLE_K, ascending=False)
             .select("doc_id", "n_chars", F.col("rnk").cast("int").alias("rnk")))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling — q_s ∝ p_s^(1/T) with per-source caps
+# ---------------------------------------------------------------------------
+#
+# The published multilingual/pretraining mixture recipe (XLM-R §3.1, mT5 §3.2,
+# Gopher table A5): instead of FIXED per-source epoch weights
+# (dataset_mix_weighted above), derive them from the corpus itself — sample
+# source s with probability q_s ∝ p_s^α where p_s = n_s/N is its natural share
+# and α = 1/T flattens the distribution (T > 1 upsamples small curated
+# sources, downsamples the web crawl; T = 1 is natural sampling; T → ∞ is
+# uniform-over-sources).  The expected per-document multiplicity under a
+# one-epoch total budget B = N is then  c_s = B·q_s/n_s,  capped per source so
+# a tiny source is never repeated absurdly (the recipe's max-epochs knob).
+#
+# Cross-engine exactness: ln(n_s) and the single exp are the only libm calls —
+# both are quantized to bigints immediately (the A8 product-aggregate idiom:
+# quantized-ln difference, ONE exp of the same double on both engines, ROUND
+# to integer micro-units).  The normalizer Z = Σ_s qu_s is then an EXACT
+# integer sum (no float-order seam), the epoch weight w_bp is one
+# identically-parenthesized double expression of exact integers (IEEE ops are
+# engine-deterministic; only libm isn't), and the per-document copy
+# materialization reuses dataset_mix_weighted's floor + fractional-hash split
+# under a fresh salt.  ALPHA is 0.5 exactly representable in binary (T = 2).
+
+MIX_TEMPERATURE = 2.0
+MIX_ALPHA = 0.5            # 1/T — keep exactly representable in binary
+MIX_CAP_BP = 30_000        # per-source cap: at most 3 epochs
+
+_MT_U = ("pmod(cast(conv(substring(md5(concat('mixT:', cast(doc_id AS string))), "
+         f"1, 15), 16, 10) AS bigint), {SAMPLE_MOD})")
+_MT_U_DUCK = ("CAST(concat('0x', substring(md5('mixT:' || CAST(doc_id AS VARCHAR)), "
+              f"1, 15)) AS BIGINT) % {SAMPLE_MOD}")
+
+
+@declare(
+    "dataset_mix_temperature",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+               CAST(ROUND(LN(CAST(SUM(n_s) AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS qln_n
+        FROM src
+    ), uq AS (
+        SELECT source, n_s,
+               CAST(ROUND(EXP({MIX_ALPHA}
+                   * CAST(CAST(ROUND(LN(CAST(n_s AS DOUBLE)) * 1e9) AS BIGINT)
+                          - tot.qln_n AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS qu
+        FROM src CROSS JOIN tot
+    ), z AS (
+        SELECT CAST(SUM(qu) AS BIGINT) AS zq FROM uq
+    ), w AS (
+        SELECT source, n_s,
+               LEAST(CAST(ROUND(CAST(tot.n AS DOUBLE) * CAST(qu AS DOUBLE)
+                                * 1e4 / CAST(z.zq AS DOUBLE)
+                                / CAST(n_s AS DOUBLE)) AS BIGINT),
+                     {MIX_CAP_BP}) AS w_bp
+        FROM uq CROSS JOIN tot CROSS JOIN z
+    ), c AS (
+        SELECT d.doc_id, d.source,
+               (w.w_bp // {SAMPLE_MOD})
+               + CASE WHEN {_MT_U_DUCK} < (w.w_bp % {SAMPLE_MOD})
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN w ON d.source IS NOT DISTINCT FROM w.source
+    )
+    SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS INTEGER)
+               AS copy_idx
+    FROM c WHERE n_copies >= 1
+    """,
+)
+def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled dataset mixing (T = {MIX_TEMPERATURE}): per-source
+    epoch weights q_s ∝ (n_s/N)^(1/T) renormalized under a one-epoch total
+    budget, capped at {MIX_CAP_BP} bp — the corpus-derived sibling of
+    ``dataset_mix_weighted``'s fixed recipe.  At T = 1 every document gets
+    exactly one copy (natural sampling — pinned by pytest); T > 1
+    deterministically upsamples under-represented sources.
+
+    Scale shape: the weight table is ONE hash-agg to ≤|sources| rows of pure
+    scalar algebra — broadcast back onto the scan (null-safe on source), then
+    the same zero-shuffle floor + fractional-hash copy explode as the fixed
+    recipe.  Nothing grows with the corpus except the scan itself."""
+    return _mix_temperature(spark, sf_dir, MIX_ALPHA)
+
+
+def _mix_temperature(spark: SparkSession, sf_dir: str,
+                     alpha: float) -> DataFrame:
+    """Builder with α = 1/T exposed so the T→1 natural-sampling limit is
+    testable (α must be exactly representable in binary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint")
+                                     .alias("n_s"))
+    qln = lambda c: F.round(F.log(c.cast("double")) * 1e9).cast("bigint")  # noqa: E731
+    tot = src.agg(F.sum("n_s").cast("bigint").alias("n"),
+                  qln(F.sum("n_s")).alias("qln_n"))
+    uq = (src.crossJoin(F.broadcast(tot))
+          .withColumn("qu", F.round(
+              F.exp(F.lit(alpha)
+                    * (qln(F.col("n_s")) - F.col("qln_n")).cast("double")
+                    / 1e9) * 1e9).cast("bigint")))
+    z = uq.agg(F.sum("qu").cast("bigint").alias("zq"))
+    w = (uq.crossJoin(F.broadcast(z))
+         .select(F.col("source").alias("w_source"),  # rename: w derives from
+                 # docs, so joining back on the same name is an ambiguous
+                 # self-join to the analyzer
+                 F.least(F.round(F.col("n").cast("double")
+                                 * F.col("qu").cast("double") * 1e4
+                                 / F.col("zq").cast("double")
+                                 / F.col("n_s").cast("double")).cast("bigint"),
+                         F.lit(MIX_CAP_BP)).alias("w_bp")))
+    n_copies = (F.floor(F.col("w_bp") / SAMPLE_MOD)
+                + (F.expr(_MT_U) < F.col("w_bp") % SAMPLE_MOD).cast("bigint"))
+    return (docs.join(F.broadcast(w),
+                      F.col("source").eqNullSafe(F.col("w_source")))
+            .select("doc_id", "source", n_copies.alias("n_copies"))
+            .filter(F.col("n_copies") >= 1)
+            .select("doc_id", "source",
+                    F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"))
+            .withColumn("copy_idx", F.col("copy_idx").cast("int")))

@@ -89,6 +89,56 @@ def test_dataset_mix_growing_a_weight_only_adds_copies(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# dataset_mix_temperature: T→1 is natural sampling; T>1 flattens the mixture
+# ---------------------------------------------------------------------------
+
+
+def test_mix_temperature_at_t1_is_natural_sampling(spark):
+    """α = 1/T = 1 ⇒ q_s = p_s ⇒ every document gets exactly one copy (the
+    fixed-recipe equivalence: dataset_mix_weighted with all weights 10000 bp)."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.sampling import _mix_temperature
+
+    out = _mix_temperature(spark, SF, 1.0)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    per_doc = out.groupBy("doc_id").agg(F.count("*").alias("copies"))
+    assert per_doc.filter(F.col("copies") != 1).count() == 0
+    assert per_doc.count() == docs.count()
+
+
+def test_mix_temperature_flattens_toward_uniform(spark):
+    """T = 2 moves every source's share of the MIXED corpus strictly toward
+    the uniform share, relative to its natural share (the recipe's purpose),
+    and respects the per-source epoch cap."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.sampling import MIX_CAP_BP
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    nat = {r.source: r.n for r in
+           docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    mixed = {r.source: r.n for r in
+             _run(spark, "dataset_mix_temperature")
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_nat, n_mix = sum(nat.values()), sum(mixed.values())
+    uni = 1.0 / len(nat)
+    for s, n in nat.items():
+        p_nat, p_mix = n / n_nat, mixed.get(s, 0) / n_mix
+        if abs(p_nat - uni) > 1e-9:
+            # strictly between natural and uniform (cap can stop short of
+            # uniform but never overshoot past it)
+            assert (abs(p_mix - uni) < abs(p_nat - uni)
+                    or abs(p_mix - p_nat) < 1e-9), (s, p_nat, p_mix)
+        # cap: no doc repeated more than ceil(cap) times
+        per_doc_max = (_run(spark, "dataset_mix_temperature")
+                       .filter(F.col("source").eqNullSafe(F.lit(s)))
+                       .groupBy("doc_id").agg(F.count("*").alias("c"))
+                       .agg(F.max("c")).collect()[0][0])
+        assert per_doc_max <= -(-MIX_CAP_BP // 10_000)
+
+
+# ---------------------------------------------------------------------------
 # dedup_lines: keep-first, conservation, idempotence
 # ---------------------------------------------------------------------------
 
