@@ -611,6 +611,73 @@ def test_perplexity_bigram_backoff_branches_hand_computed(spark, tmp_path):
     assert out[10]["cross_entropy_nats"] == round(t10 / 3 / 1e9, 6)
 
 
+def test_perplexity_kn_trigram_branches_hand_computed(spark, tmp_path):
+    """All three interpolated-KN levels pinned on a crafted corpus against
+    by-hand probability algebra (D = 3/4, reference docs 1–2 = "a b c" ×2,
+    held-out doc 10 = "a b c b c").
+
+    Hand-derived reference tables: trigram types {(a,b,c): 2}; bigram types
+    {(a,b), (b,c)} → N1+(··)=2, W1=2; vocab {a,b,c} → V=4; context (a,b):
+    c(uv·)=2, N1+(uv·)=1; middle b: N1+(·b·)=1, M(b)=1; continuations
+    N1+(·b)=N1+(·c)=1."""
+    import math
+
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    pd.DataFrame({
+        "doc_id": [1, 2, 10],
+        "text": ["a b c", "a b c", "a b c b c"],
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+        "n_chars": [5, 5, 9],
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in
+           load_all()["perplexity_kn_trigram"]
+           .builder(spark, str(tmp_path)).collect()}
+    # unigram level: p1(w) = [max(4·N1+(·w)−3, 0)·V + 3·W1] / (4·V·N1+(··))
+    p1_a = (0 * 4 + 3 * 2) / (4 * 4 * 2)        # a never a continuation
+    p1_b = (1 * 4 + 3 * 2) / (4 * 4 * 2)
+    # middle level for v=b: p2 = [max(4·N1+(·bw)−3,0) + 3·M(b)·p1] / (4·N1+(·b·))
+    p2_c_b = (1 + 3 * 1 * p1_b) / (4 * 1)
+    # top level, context (a,b): p3 = [max(4·c3−3,0) + 3·N1+(uv·)·p2] / (4·c(uv·))
+    p3_c_ab = (max(4 * 2 - 3, 0) + 3 * 1 * p2_c_b) / (4 * 2)
+    q = lambda p: round(-math.log(p) * 1e9)
+    # doc 1/2 "a b c": a→lvl1 (first), b→lvl1 (prev=a not a trigram middle),
+    # c→lvl3 (context (a,b) seen)
+    t_ref = q(p1_a) + q(p1_b) + q(p3_c_ab)
+    for d in (1, 2):
+        assert (out[d]["n_tri"], out[d]["n_big"], out[d]["n_uni"]) == (1, 0, 2)
+        assert out[d]["cross_entropy_nats"] == round(t_ref / 3 / 1e9, 6)
+    # doc 10 "a b c b c": a→lvl1, b→lvl1, c|(a,b)→lvl3, b|(b,c)→lvl1
+    # (context (b,c) unseen AND prev=c not a middle), c|(c,b)→lvl2
+    # (context (c,b) unseen, prev=b IS a middle)
+    t10 = q(p1_a) + q(p1_b) + q(p3_c_ab) + q(p1_b) + q(p2_c_b)
+    assert (out[10]["n_tri"], out[10]["n_big"], out[10]["n_uni"]) == (1, 1, 3)
+    assert out[10]["n_tokens"] == 5
+    assert out[10]["cross_entropy_nats"] == round(t10 / 5 / 1e9, 6)
+
+
+def test_perplexity_kn_probabilities_normalize(spark, tmp_path):
+    """Σ_w p(w|u,v) over the closed V-word vocabulary (incl. the OOV slot)
+    is exactly 1 at every level — the property the discount algebra exists
+    for.  Checked by hand-summing the crafted corpus's distributions."""
+    # reference "a b c" ×2 (tables as in the sibling test)
+    V, n1dd, W1 = 4, 2, 2
+    p1 = {w: (max(4 * n - 3, 0) * V + 3 * W1) / (4 * V * n1dd)
+          for w, n in {"a": 0, "b": 1, "c": 1}.items()}
+    p1_oov = (0 * V + 3 * W1) / (4 * V * n1dd)
+    assert abs(sum(p1.values()) + p1_oov - 1.0) < 1e-12
+    # level 2, v=b: seen continuation c, everything else through p1
+    p2 = {w: (max(4 * (1 if w == "c" else 0) - 3, 0) + 3 * 1 * p1.get(w, p1_oov))
+          / (4 * 1) for w in ("a", "b", "c", "_oov")}
+    assert abs(sum(p2.values()) - 1.0) < 1e-12
+    # level 3, context (a,b): seen trigram c
+    p3 = {w: (max(4 * (2 if w == "c" else 0) - 3, 0) + 3 * 1 * p2[w]) / (4 * 2)
+          for w in ("a", "b", "c", "_oov")}
+    assert abs(sum(p3.values()) - 1.0) < 1e-12
+
+
 def test_ccnet_buckets_are_per_lang_terciles(spark):
     """ccnet_perplexity_buckets: within each lang the three buckets differ
     in size by at most 1 (NTILE contract) and head entropy <= middle <=

@@ -44,6 +44,7 @@ QUERIES = [
     "bpe_token_count",               # Arrow apply + vocab join-back (r12)
     "pack_sequences_bpe",            # subword-budget window cumsum (r12)
     "perplexity_bigram_backoff",     # quantized-ln bigram term algebra (r12)
+    "perplexity_kn_trigram",         # IEEE-double KN branches + quantized ln (r16)
     "decontaminate_embedding",       # sequential-fold cosine + top-1 rank (r12)
     "dedup_substring_scrub",         # fingerprint keep-first + islands (r12)
     "multimodal_video_features",     # per-row codec passes, no shuffle (r12)
