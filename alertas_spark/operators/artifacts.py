@@ -93,6 +93,10 @@ PERSISTENT_QUERIES = frozenset({
     "nb_lang_classify",             # classifier.py nb_model count tables
     "nb_classifier_confusion",      # same nb_model artifact
     "streaming_classifier_gate",    # stream served by the nb_model artifact
+    "perplexity_kn_trigram",        # kneser_ney.py kn_{tri,big,uni}gram tables
+    "lr_quality_score",             # logreg.py IRLS-trained lr_model betas
+    "lr_gate_select",               # gate over the same lr_model artifact
+    "lr_nb_confusion_audit",        # joins lr_model + nb_model predictions
 })
 
 

@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.sampling",
     "alertas_spark.operators.dsir",
     "alertas_spark.operators.classifier",
+    "alertas_spark.operators.logreg",
     "alertas_spark.operators.bloom",
     "alertas_spark.operators.packing",
     "alertas_spark.operators.pipeline",

@@ -88,3 +88,83 @@ def test_nb_confusion_totals_match_predictions(spark):
     diag = {(r.lang, r.pred_lang): r.n for r in conf}
     hits = sum(n for (t, p), n in diag.items() if t == p)
     assert hits == sum(r.hit for r in pred)
+
+
+# ---------------------------------------------------------------------------
+# IRLS logistic regression (operators/logreg.py)
+# ---------------------------------------------------------------------------
+
+
+def _separable_corpus(tmp_path):
+    """Curated docs (source='src0' ∈ TARGET_SOURCES) speak only bucket-0
+    words under the 'lrb:' hash salt; crawl docs (source='web') only
+    bucket-1 words.  Lengths alternate 5/3 so the design matrix
+    [1, x1, x2] is full rank.  ids 0..9 curated, 10..19 crawl — both
+    classes land in train (id % 5 != 0) AND test (id % 5 == 0) folds."""
+    b0 = "alpha golf hotel jazz mike"      # all hash to bucket 0
+    b1 = "beta gamma delta echo fox"       # all hash to bucket 1
+    rows = []
+    for i in range(10):
+        t = b0 if i % 2 == 0 else " ".join(b0.split()[:3])
+        rows.append((i, t, "en", "src0"))
+    for i in range(10, 20):
+        t = b1 if i % 2 == 0 else " ".join(b1.split()[:3])
+        rows.append((i, t, "en", "web"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_lr_learns_a_separable_gate(spark, tmp_path):
+    """On a linearly separable corpus four Newton iterations drive the
+    held-out probabilities to the correct side with margin — the model
+    genuinely LEARNS, it does not just reproduce the base rate."""
+    sf = _separable_corpus(tmp_path)
+    out = {r.doc_id: r for r in _run(spark, "lr_quality_score", sf).collect()}
+    assert set(out) == {0, 5, 10, 15}
+    for d in (0, 5):          # curated docs
+        assert out[d].y == 1 and out[d].pred == 1 and out[d].hit == 1
+        assert out[d].prob > 0.9, (d, out[d].prob)
+    for d in (10, 15):        # crawl docs
+        assert out[d].y == 0 and out[d].pred == 0 and out[d].hit == 1
+        assert out[d].prob < 0.1, (d, out[d].prob)
+
+
+def test_lr_gate_keeps_above_prior_and_is_deterministic(spark, tmp_path):
+    """The gate keeps exactly the held-out docs with mu >= training prior,
+    and a retrained run (memo cleared) reproduces the same selection."""
+    from alertas_spark.operators import memo
+
+    sf = _separable_corpus(tmp_path)
+    kept = {(r.doc_id, r.prob) for r in _run(spark, "lr_gate_select",
+                                             sf).collect()}
+    assert {d for d, _ in kept} == {0, 5}  # prior = 0.5; curated side only
+    memo.clear()
+    again = {(r.doc_id, r.prob) for r in _run(spark, "lr_gate_select",
+                                              sf).collect()}
+    assert kept == again
+
+
+def test_lr_nb_audit_cells_partition_the_fold(spark):
+    """The audit's cell counts partition the shared held-out fold, and
+    nb_hits per cell never exceeds the cell count."""
+    pred = _run(spark, "lr_quality_score", SF).collect()
+    audit = _run(spark, "lr_nb_confusion_audit", SF).collect()
+    assert sum(r.n for r in audit) == len(pred)
+    for r in audit:
+        assert 0 <= r.nb_hits <= r.n
+
+
+def test_lr_null_source_is_crawl(spark, tmp_path):
+    """A NULL source is the crawl class (y = 0), never dropped and never a
+    phantom positive — the DSIR NULL convention."""
+    rows = [(i, "alpha golf hotel", "en", "src0") for i in range(1, 8)]
+    rows += [(i, "beta gamma delta", "en", None) for i in range(11, 18)]
+    rows.append((0, "alpha golf hotel", "en", None))   # NULL-source TEST doc
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = {r.doc_id: r for r in _run(spark, "lr_quality_score",
+                                     str(tmp_path)).collect()}
+    assert 0 in out and out[0].y == 0
