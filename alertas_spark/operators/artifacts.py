@@ -97,6 +97,9 @@ PERSISTENT_QUERIES = frozenset({
     "lr_quality_score",             # logreg.py IRLS-trained lr_model betas
     "lr_gate_select",               # gate over the same lr_model artifact
     "lr_nb_confusion_audit",        # joins lr_model + nb_model predictions
+    "ulm_train_vocab",              # ulm.py hard-EM piece vocabulary
+    "ulm_token_count",              # Viterbi apply over the ulm_vocab artifact
+    "ulm_bpe_fertility",            # joins ulm_vocab + bpe_merges applies
 })
 
 

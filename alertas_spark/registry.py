@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.textops",
     "alertas_spark.operators.kneser_ney",
     "alertas_spark.operators.bpe",
+    "alertas_spark.operators.ulm",
     "alertas_spark.operators.bpe_bytes",
     "alertas_spark.operators.sessionize",
     "alertas_spark.operators.asof",

@@ -1,0 +1,167 @@
+"""Unigram-LM tokenizer semantics (operators/ulm.py) beyond oracle equality."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name: str, sf: str = SF):
+    from alertas_spark.registry import load_all
+
+    return load_all()[name].builder(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# Viterbi unit semantics
+# ---------------------------------------------------------------------------
+
+
+def _score_of(pieces, cnt, qn):
+    from alertas_spark.operators.ulm import _q
+
+    return sum(_q(cnt.get(p, 0) + 1) - qn for p in pieces)
+
+
+def _all_segmentations(word, cnt):
+    """Every legal segmentation: pieces of length 1..4; multi-char pieces
+    must be in the vocabulary; single chars always legal."""
+    from alertas_spark.operators.ulm import ULM_PMAX
+
+    if not word:
+        yield []
+        return
+    for l in range(1, min(ULM_PMAX, len(word)) + 1):
+        p = word[:l]
+        if l > 1 and p not in cnt:
+            continue
+        for rest in _all_segmentations(word[l:], cnt):
+            yield [p] + rest
+
+
+def test_viterbi_is_optimal_by_enumeration():
+    """The DP result matches exhaustive enumeration under the lexicographic
+    (score, -n_pieces) objective, for an adversarial little vocabulary."""
+    from alertas_spark.operators.ulm import _qnorm, _viterbi
+
+    cnt = {"a": 5, "b": 3, "c": 1, "ab": 4, "bc": 6, "abc": 2, "ba": 0}
+    qn = _qnorm(cnt)
+    for word in ("abc", "abcabc", "ababa", "cccb", "bcbcbc", "aabbcc"):
+        best = max(_all_segmentations(word, cnt),
+                   key=lambda s: (_score_of(s, cnt, qn), -len(s)))
+        got = _viterbi(word, cnt, qn, path=True)
+        assert _score_of(got, cnt, qn) == _score_of(best, cnt, qn), word
+        assert len(got) == len(best), word
+        assert "".join(got) == word  # pieces reassemble the word
+        assert _viterbi(word, cnt, qn) == len(got)
+
+
+def test_viterbi_unknown_chars_and_long_words():
+    from alertas_spark.operators.ulm import ULM_LMAX, _qnorm, _viterbi
+
+    cnt = {"a": 2, "ab": 5}
+    qn = _qnorm(cnt)
+    # unknown single char is segmentable at the smoothing floor
+    assert _viterbi("zz", cnt, qn) == 2
+    # beyond the DP horizon: documented char fallback
+    w = "a" * (ULM_LMAX + 1)
+    assert _viterbi(w, cnt, qn) == len(w)
+    assert _viterbi(w, cnt, qn, path=True) == list(w)
+
+
+def test_viterbi_prefers_fewer_pieces_on_score_ties():
+    """Two single chars with count c and one 2-gram with the 'same' mass:
+    craft an exact score tie and pin the -n_pieces tiebreak."""
+    from alertas_spark.operators.ulm import _q, _qnorm, _viterbi
+
+    # score("xy") vs score("x")+score("y"): choose counts so the quantized
+    # integers tie exactly: c_x = c_y = 0 → per-char score = -qn;
+    # need Q(c_xy + 1) - qn == -2*qn, i.e. Q(c_xy + 1) == -qn … impossible
+    # (counts ≥ 0), so craft the OTHER direction: equal-score alternatives
+    # within the same piece set.  "aa" with cnt: a→1, aa→3 and qn fixed:
+    cnt = {"a": 1, "aa": 3}
+    qn = _qnorm(cnt)
+    two = 2 * (_q(2) - qn)          # [a, a]
+    one = _q(4) - qn                # [aa]
+    assert one > two                # single piece wins on score alone here
+    assert _viterbi("aa", cnt, qn, path=True) == ["aa"]
+    # force an exact tie via a synthetic qn where scores collide
+    # Q(2)+Q(2)-2qn == Q(4)-qn  ⇔  qn == 2*Q(2)-Q(4)
+    qn_tie = 2 * _q(2) - _q(4)
+    assert _score_of(["a", "a"], cnt, qn_tie) == _score_of(["aa"], cnt, qn_tie)
+    assert _viterbi("aa", cnt, qn_tie, path=True) == ["aa"]  # fewer pieces
+
+
+# ---------------------------------------------------------------------------
+# trainer semantics
+# ---------------------------------------------------------------------------
+
+
+def test_trainer_keeps_all_single_chars_and_seed_cap():
+    from alertas_spark.operators.ulm import ULM_SEED, _train_ulm_py
+
+    words = [("banana", 10), ("bandana", 5), ("cab", 7)]
+    vocab = _train_ulm_py(words)
+    pieces = {p for p, _, _ in vocab}
+    for ch in "bandc":
+        assert ch in pieces
+    assert sum(1 for p in pieces if len(p) >= 2) <= ULM_SEED
+    # ranks are dense 1..n by (count DESC, piece)
+    ranked = sorted(vocab, key=lambda v: v[2])
+    assert [r for _, _, r in ranked] == list(range(1, len(vocab) + 1))
+    counts = [(-c, p) for p, c, _ in ranked]
+    assert counts == sorted(counts)
+
+
+def test_trainer_mass_conservation():
+    """After each hard-EM round the total piece count equals the total
+    frequency-weighted piece usage — Σ c = Σ freq·n_pieces(word)."""
+    from alertas_spark.operators.ulm import (_qnorm, _train_ulm_py, _viterbi)
+
+    words = [("banana", 10), ("bandana", 5), ("cab", 7), ("abcabc", 3)]
+    vocab = _train_ulm_py(words)
+    cnt = {p: c for p, c, _ in vocab}
+    qn = _qnorm(cnt)
+    # final counts came from segmenting under the PREVIOUS model, so pin the
+    # invariant structurally: total mass is a whole number of word uses
+    total = sum(c for _, c, _ in vocab)
+    assert total >= sum(f for _, f in words)  # ≥ one piece per word
+    assert total <= sum(f * len(w) for w, f in words)  # ≤ chars per word
+    # and re-segmenting under the FINAL model conserves reassembly
+    for w, _ in words:
+        assert "".join(_viterbi(w, cnt, qn, path=True)) == w
+
+
+def test_ulm_learns_frequent_multigram(spark, tmp_path):
+    """A corpus dominated by one word must surface its substrings as
+    top-ranked multi-char pieces and tokenize it into few pieces."""
+    rows = [(i, "banana banana banana split", "en", "s") for i in range(20)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet")
+    vocab = {r.piece: (r.freq, r.rank) for r in
+             _run(spark, "ulm_train_vocab", str(tmp_path)).collect()}
+    multi = [p for p in vocab if len(p) >= 2]
+    assert multi, "no multi-char pieces survived training"
+    toks = {r.doc_id: r for r in
+            _run(spark, "ulm_token_count", str(tmp_path)).collect()}
+    # 4 words; far fewer tokens than the 23 chars — subwords genuinely used
+    assert toks[0].n_words == 4
+    assert toks[0].n_tokens < 12
+
+
+def test_fertility_relation_totals(spark):
+    """Fertility rows: ulm_tokens/bpe_tokens ≥ n_words (every word ≥ 1
+    piece) and the ratio columns reproduce the integer division."""
+    rows = _run(spark, "ulm_bpe_fertility").collect()
+    assert rows
+    for r in rows:
+        assert r.ulm_tokens >= r.n_words
+        assert r.bpe_tokens >= r.n_words
+        assert r.ulm_fertility == round(r.ulm_tokens / r.n_words, 6)
+        assert r.bpe_fertility == round(r.bpe_tokens / r.n_words, 6)
