@@ -31,6 +31,35 @@ def main() -> None:
     spark = get_spark("alertas-bench")
     registry = load_all()
 
+    # Pre-touch every fixture byte and RECORD the observed read rate (r15
+    # postmortem: four same-head runs spread 239.7-297.0 s and the committed
+    # record was the cold-page-cache outlier, manufacturing 5x phantom
+    # per-query regressions).  Reading the files here (a) makes every record
+    # page-cache-WARM by construction — a cold-cache record can no longer be
+    # produced, let alone committed — and (b) stamps the evidence: warm
+    # reads run at RAM speed (GB/s), a cold first touch at disk speed.
+    cache_state = {"prewarm_mb": 0.0, "prewarm_mb_per_s": None,
+                   "initial": "unknown"}
+    try:
+        import glob as _glob
+        nbytes, t0 = 0, time.time()
+        for pat in (os.path.join(sf_dir, "*.parquet"),
+                    os.path.join(sf_dir, "*.parquet", "*.parquet")):
+            for f in _glob.glob(pat):
+                if os.path.isfile(f):
+                    with open(f, "rb") as fh:
+                        while fh.read(1 << 22):
+                            nbytes += 1 << 22
+        dt = max(time.time() - t0, 1e-9)
+        rate = nbytes / dt / 1e6
+        cache_state = {"prewarm_mb": round(nbytes / 1e6, 1),
+                       "prewarm_mb_per_s": round(rate, 1),
+                       # ~RAM speed → the cache was already warm; disk-bound
+                       # → this run started cold and THIS read warmed it
+                       "initial": "warm" if rate > 1500 else "cold"}
+    except Exception as ex:
+        print(f"# fixture prewarm skipped: {ex}", file=sys.stderr)
+
     # warm the JVM/Python workers so per-query numbers measure steady-state
     spark.range(1000).selectExpr("sum(id)").collect()
     # ... and the alert-corpus shared context (fixture generation + cached base
@@ -230,6 +259,7 @@ def main() -> None:
     except Exception:
         fixtures = {}
     record = {
+        "cache_state": cache_state,
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "fixtures": fixtures,
         "queries_warm_shared_artifacts": dict(sorted(warm.items())),
@@ -240,7 +270,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "protocol": ("per-query = min of 2 COLD passes (trained-artifact memo "
+        "protocol": ("fixture bytes are PRE-TOUCHED before any timing and "
+                     "the observed read rate recorded in cache_state — every "
+                     "record is page-cache-warm by construction (r16; the "
+                     "r15 committed record was a documented cold-cache "
+                     "outlier).  When multiple same-head runs exist, commit "
+                     "the per-query MIN merge (tools/bench_min.py), never a "
+                     "single noisy run.  "
+                     "per-query = min of 2 COLD passes (trained-artifact memo "
                      "cleared before every timed run, so min-of-2 is purely a "
                      "machine-noise guard).  MEASURED whole-corpus noise band "
                      "on unchanged code + byte-identical fixtures: up to 1.25x "

@@ -58,3 +58,47 @@ def test_same_protocol_still_fails_real_regressions(tmp_path):
     assert "q_slow" in out and "REGRESSION" in out
     # same protocol on both sides → cache-sensitive queries ARE graded
     assert "protocol-changed" not in out
+
+
+def test_bench_min_merges_per_query_minimum(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    a = {"queries": {"q1": 2.0, "q2": 5.0}, "fixtures": {"t": "x"},
+         "queries_warm_shared_artifacts": {"q1": 1.0},
+         "queries_warm_persistent": {}, "alert_batch_wall_clock": 20.0,
+         "value": 7.0, "cache_state": {"initial": "cold"}}
+    b = {"queries": {"q1": 3.0, "q2": 1.5}, "fixtures": {"t": "x"},
+         "queries_warm_shared_artifacts": {"q1": 0.8},
+         "queries_warm_persistent": {}, "alert_batch_wall_clock": 18.0,
+         "value": 4.5, "cache_state": {"initial": "warm"}}
+    (tmp_path / "a.json").write_text(json.dumps(a))
+    (tmp_path / "b.json").write_text(json.dumps(b))
+    out = subprocess.run(
+        [sys.executable, "tools/bench_min.py",
+         str(tmp_path / "a.json"), str(tmp_path / "b.json")],
+        capture_output=True, text=True, check=True)
+    m = json.loads(out.stdout)
+    assert m["queries"] == {"q2": 1.5, "q1": 2.0}
+    assert m["queries_warm_shared_artifacts"] == {"q1": 0.8}
+    assert m["alert_batch_wall_clock"] == 18.0
+    assert m["value"] == 3.5
+    assert [r["cache_state"]["initial"] for r in m["runs"]] == ["cold", "warm"]
+
+
+def test_bench_min_refuses_cross_fixture_merge(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    a = {"queries": {"q1": 2.0}, "fixtures": {"t": "x"}, "value": 2.0}
+    b = {"queries": {"q1": 1.0}, "fixtures": {"t": "y"}, "value": 1.0}
+    (tmp_path / "a.json").write_text(json.dumps(a))
+    (tmp_path / "b.json").write_text(json.dumps(b))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_min.py",
+         str(tmp_path / "a.json"), str(tmp_path / "b.json")],
+        capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "fixture fingerprints differ" in r.stderr
