@@ -565,3 +565,86 @@ def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _qb = _REG["streaming_bloom_gate"]
 _REG["streaming_bloom_gate"] = _DQ(
     _qb.name, _qb.builder, _bloom_gate_oracle(), _qb.doc, _qb.late)
+
+
+# ---------------------------------------------------------------------------
+# IRLS-trained LR quality gate under micro-batch execution
+# ---------------------------------------------------------------------------
+
+def _lr_gate_oracle() -> str:
+    from alertas_spark.operators.logreg import _LR_SCORED_CTES
+
+    return f"""
+    WITH {_LR_SCORED_CTES}
+    SELECT doc_id, y, mu AS mu_q,
+           CAST(mu AS DOUBLE) / 1e6 AS prob,
+           CAST(CASE WHEN 2 * mu >= 1000000 THEN 1 ELSE 0 END AS INTEGER)
+               AS pred,
+           CAST(CASE WHEN (2 * mu >= 1000000) = (y = 1) THEN 1 ELSE 0 END
+                AS INTEGER) AS hit
+    FROM lr_scored
+    """
+
+
+@declare("streaming_lr_gate", oracle=None)  # late attach below
+def streaming_lr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IRLS-trained LR quality gate SERVED ON THE STREAM — the fourth
+    trained/bounded structure deployed under micro-batch (BPE merges, NB
+    model, bloom filter, now three LR betas): the artifact-store β is
+    collected batch-side (ONE row) and rides an ``sc.broadcast`` into an
+    Arrow UDF that computes each arriving document's integer logit
+    ``z·1e9 = β0 + β1·x1 + β2·x2`` from its hashed bucket counts.
+
+    Exactness: the UDF emits ONLY the exact-integer logit (hashlib md5 ≡
+    engine md5 on UTF-8, counts are integers); the sigmoid — the one libm
+    call — is evaluated JVM-SIDE with the batch tier's expression on the
+    same integer column, so full replay equals ``lr_quality_score``
+    row-for-row and the oracle IS that query's SQL.  Stateless append
+    stream — no watermark, no state store."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.dsir import TARGET_SOURCES
+    from alertas_spark.operators.logreg import LR_B, LR_FOLDS, _lr_model
+
+    b = _lr_model(spark, sf_dir).collect()[0]  # bounded: 1 row, 3 integers
+    bc = spark.sparkContext.broadcast((b["b0"], b["b1"], b["b2"]))
+
+    @F.pandas_udf("bigint")
+    def zq(toks: pd.Series) -> pd.Series:
+        b0, b1, b2 = bc.value
+
+        def logit(tok_list) -> int:
+            x = [0] * LR_B
+            for t in tok_list:
+                x[int(hashlib.md5(b"lrb:" + t.encode("utf-8"))
+                      .hexdigest()[:15], 16) % LR_B] += 1
+            return b0 + b1 * x[0] + b2 * x[1]
+
+        return toks.map(logit)
+
+    docs = ev.read_documents_stream(spark, sf_dir)
+    tok = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    y = (F.when(F.coalesce(F.col("source").isin(*TARGET_SOURCES),
+                           F.lit(False)), 1).otherwise(0))
+    mu = F.round(1e6 / (1 + F.exp(-(F.col("zq").cast("double") / 1e9)))) \
+          .cast("bigint")
+    pred = (2 * F.col("mu_q") >= 1000000).cast("int")
+    gated = (docs
+             .filter(F.col("text").isNotNull()
+                     & (F.col("doc_id") % LR_FOLDS == 0))
+             .withColumn("tok", tok)
+             .filter(F.size("tok") > 0)
+             .select("doc_id", y.alias("y"), zq("tok").alias("zq"))
+             .withColumn("mu_q", mu)
+             .select("doc_id", "y", "mu_q",
+                     (F.col("mu_q").cast("double") / 1e6).alias("prob"),
+                     pred.alias("pred"),
+                     (pred == F.col("y")).cast("int").alias("hit")))
+    return ev.run_to_memory(gated, output_mode="append")
+
+
+_ql = _REG["streaming_lr_gate"]
+_REG["streaming_lr_gate"] = _DQ(
+    _ql.name, _ql.builder, _lr_gate_oracle(), _ql.doc, _ql.late)

@@ -225,3 +225,18 @@ def test_corpus_manifest_doubled_source_dedups_and_enriches(spark, tmp_path):
                  for w in re.findall("[a-z0-9]+", r["norm"])))
             for r in kept}
     assert got == want and len(got) > 0
+
+
+def test_streaming_lr_gate_replay_equals_batch(spark):
+    """Full replay of the streamed LR gate equals the batch tier row-for-row
+    (the serving contract: the UDF emits only the exact-integer logit, the
+    sigmoid stays JVM-side with the batch expression)."""
+    from alertas_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    stream = {tuple(r) for r in
+              load_all()["streaming_lr_gate"].builder(spark, sf).collect()}
+    batch = {tuple(r) for r in
+             load_all()["lr_quality_score"].builder(spark, sf).collect()}
+    assert stream == batch
+    assert stream  # non-degenerate
