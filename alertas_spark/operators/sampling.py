@@ -335,9 +335,16 @@ def _mix_temperature(spark: SparkSession, sf_dir: str,
                      alpha: float) -> DataFrame:
     """Builder with α = 1/T exposed so the T→1 natural-sampling limit is
     testable (α must be exactly representable in binary)."""
+    from alertas_spark.operators import memo
+
     docs = load_table(spark, sf_dir, "documents")
-    src = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint")
-                                     .alias("n_s"))
+    # materialize the ≤|sources|-row count relation ONCE: tot/uq/z/w all
+    # derive from it and Catalyst does not CSE identical subtrees — the
+    # uncached plan re-scanned documents four times for a 6-row relation
+    # (the fuzzy.py precedent; measured 10 scans → 2 in the plan audit)
+    src = memo.cached(docs.groupBy("source")
+                      .agg(F.count(F.lit(1)).cast("bigint").alias("n_s")))
+    src.count()
     qln = lambda c: F.round(F.log(c.cast("double")) * 1e9).cast("bigint")  # noqa: E731
     tot = src.agg(F.sum("n_s").cast("bigint").alias("n"),
                   qln(F.sum("n_s")).alias("qln_n"))
