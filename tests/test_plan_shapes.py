@@ -341,3 +341,33 @@ def test_runtime_bloom_filter_engages_for_selective_shuffle_joins(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_r16_trained_family_plans_have_no_cartesians(spark):
+    """The r16 additions (KN trigram, LR gates, ULM, temperature mixing):
+    zero cartesian products, and every BroadcastNestedLoopJoin is a 1-row
+    scalar/model attach (the documented-correct shape) — pinned by also
+    asserting the model-relation joins stay broadcast-hash."""
+    for name in ("perplexity_kn_trigram", "lr_quality_score",
+                 "lr_gate_select", "lr_nb_confusion_audit",
+                 "ulm_token_count", "ulm_bpe_fertility",
+                 "dataset_mix_temperature"):
+        plan = _plan(_build(spark, name))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_kn_count_table_joins_are_broadcast(spark):
+    """The five KN type-table joins must broadcast (type tables are
+    vocabulary-polynomial, never corpus-sized)."""
+    plan = _plan(_build(spark, "perplexity_kn_trigram"))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_lr_scoring_is_scan_side_with_model_broadcast(spark):
+    """LR scoring: the 1-row beta relation rides a broadcast; the held-out
+    fold filter reaches the scan."""
+    plan = _plan(_build(spark, "lr_quality_score"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "PushedFilters" in plan or "Filter" in plan
