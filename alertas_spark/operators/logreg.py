@@ -329,6 +329,37 @@ def lr_gate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "lr_calibration_curve",
+    oracle=f"""
+    WITH {_LR_SCORED_CTES}
+    SELECT LEAST(CAST(mu * 10 // 1000000 AS INTEGER), 9) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(mu) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_pred,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS obs_rate
+    FROM lr_scored
+    GROUP BY LEAST(CAST(mu * 10 // 1000000 AS INTEGER), 9)
+    """,
+)
+def lr_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the LR gate: held-out documents bucketed by
+    predicted-probability decile, with each bucket's mean prediction and
+    observed positive rate — the calibration artifact read before trusting
+    the gate's threshold (a well-calibrated classifier has
+    avg_pred ≈ obs_rate per bucket).  ≤10 rows from one agg over the
+    fold-pruned scored relation; both ratio columns are integer/integer
+    through one identically-evaluated double."""
+    s = _lr_scored(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("mu") * 10 / 1000000).cast("int"),
+                     F.lit(9))
+    return (s.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.sum("mu").cast("double")
+                         / F.count(F.lit(1)) / 1e6, 6).alias("avg_pred"),
+                 F.round(F.sum("y").cast("double")
+                         / F.count(F.lit(1)), 6).alias("obs_rate")))
+
+
+@declare(
     "lr_nb_confusion_audit",
     oracle=f"""
     WITH {_LR_SCORED_CTES}, {_NB_PRED_CTES}

@@ -177,6 +177,122 @@ def dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# UniMax language/source sampling — budget waterfill with per-source epoch cap
+# ---------------------------------------------------------------------------
+#
+# UniMax (Chung et al., 2023): instead of a temperature knob, allocate a total
+# training budget B as UNIFORMLY as possible across sources subject to a cap
+# of E epochs per source — small curated sources get their full E epochs, the
+# web crawl absorbs what's left.  The published pseudocode iterates; the
+# allocation has a CLOSED FORM this engine can evaluate exactly with window
+# functions: sort sources ascending by capacity cap_s = E·n_s; source i
+# (of m) takes its full capacity iff
+#
+#     cumcap_{<i} + cap_i·(m − i + 1) ≤ B
+#
+# (the "pretend everyone before took full capacity" test — monotone in i
+# because caps ascend, so the fully-allocated set is a PREFIX), and every
+# source past the prefix takes the equal floor share
+# (B − cumcap_prefix) // (m − |prefix|).  All quantities are exact integers
+# (character counts), so both engines agree bit-for-bit with zero iteration,
+# zero libm, and one ≤|sources|-row window — nothing grows with the corpus.
+
+UNIMAX_EPOCH_CAP = 3      # E: max epochs per source
+UNIMAX_BUDGET_PCT = 100   # B as a percentage of the corpus' total characters
+
+
+@declare(
+    "dataset_mix_unimax",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_s
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY source
+    ), ranked AS (
+        SELECT source, n_s, {UNIMAX_EPOCH_CAP} * n_s AS cap,
+               ROW_NUMBER() OVER (ORDER BY {UNIMAX_EPOCH_CAP} * n_s, source)
+                   AS i,
+               COUNT(*) OVER () AS m,
+               COALESCE(SUM({UNIMAX_EPOCH_CAP} * n_s) OVER (
+                   ORDER BY {UNIMAX_EPOCH_CAP} * n_s, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cumcap,
+               CAST((SELECT SUM(n_s) FROM src) * {UNIMAX_BUDGET_PCT} / 100
+                    AS BIGINT) AS b
+        FROM src
+    ), marked AS (
+        SELECT *, CASE WHEN cumcap + cap * (m - i + 1) <= b
+                       THEN 1 ELSE 0 END AS is_full
+        FROM ranked
+    ), pfx AS (
+        SELECT COALESCE(SUM(CASE WHEN is_full = 1 THEN cap END), 0)
+                   AS full_cap,
+               COALESCE(SUM(is_full), 0) AS n_full
+        FROM marked
+    )
+    SELECT r.source, r.n_s,
+           CAST(r.cap AS BIGINT) AS cap_chars,
+           CAST(CASE WHEN r.is_full = 1 THEN r.cap
+                     ELSE (r.b - p.full_cap) // (r.m - p.n_full)
+                END AS BIGINT) AS alloc_chars,
+           CAST((CASE WHEN r.is_full = 1 THEN r.cap
+                      ELSE (r.b - p.full_cap) // (r.m - p.n_full)
+                 END) * 10000 // r.n_s AS BIGINT) AS epochs_bp
+    FROM marked r CROSS JOIN pfx p
+    """,
+)
+def dataset_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation: per source, its character mass, its
+    {UNIMAX_EPOCH_CAP}-epoch capacity, the allocated character budget under
+    the closed-form waterfill, and the realized epochs in basis points —
+    the mixture-recipe report a pretraining run materializes its sampler
+    from (the cap-aware alternative to ``dataset_mix_temperature``).
+
+    Plan: one hash agg to ≤|sources| rows, one window over that relation,
+    one 2-scalar broadcast — pure integer algebra, zero libm."""
+    from alertas_spark.operators import memo
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize once: tot/ranked/pfx/final all derive from this ≤|sources|-
+    # row relation and Catalyst does not CSE identical subtrees (the
+    # dataset_mix_temperature / fuzzy.py precedent)
+    src = memo.cached(docs.filter(F.col("n_chars").isNotNull())
+                      .groupBy("source")
+                      .agg(F.sum("n_chars").cast("bigint").alias("n_s")))
+    src.count()
+    cap = F.lit(UNIMAX_EPOCH_CAP) * F.col("n_s")
+    w = W.orderBy(cap, "source")
+    tot = src.agg((F.sum("n_s") * UNIMAX_BUDGET_PCT / 100)
+                  .cast("bigint").alias("b"))
+    ranked = (src
+              .withColumn("cap", cap)
+              .withColumn("i", F.row_number().over(w))
+              .withColumn("m", F.count(F.lit(1)).over(
+                  W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+              .withColumn("cumcap", F.coalesce(
+                  F.sum("cap").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                  F.lit(0)))
+              .crossJoin(F.broadcast(tot))
+              .withColumn("is_full",
+                          (F.col("cumcap")
+                           + F.col("cap") * (F.col("m") - F.col("i") + 1)
+                           <= F.col("b")).cast("int")))
+    pfx = ranked.agg(
+        F.coalesce(F.sum(F.when(F.col("is_full") == 1, F.col("cap"))),
+                   F.lit(0)).alias("full_cap"),
+        F.coalesce(F.sum("is_full"), F.lit(0)).alias("n_full"))
+    alloc = F.when(F.col("is_full") == 1, F.col("cap")).otherwise(
+        F.floor((F.col("b") - F.col("full_cap"))
+                / (F.col("m") - F.col("n_full"))))
+    return (ranked.crossJoin(F.broadcast(pfx))
+            .select("source", "n_s",
+                    F.col("cap").cast("bigint").alias("cap_chars"),
+                    alloc.cast("bigint").alias("alloc_chars"),
+                    F.floor(alloc * 10000 / F.col("n_s")).cast("bigint")
+                    .alias("epochs_bp")))
+
+
+# ---------------------------------------------------------------------------
 # Deterministic WEIGHTED sampling without replacement (Efraimidis–Spirakis)
 # ---------------------------------------------------------------------------
 #

@@ -804,3 +804,76 @@ def test_length_bucketed_batching_bounds_and_beats_arrival_order(spark):
         batch = [n for _, n in toks[i:i + BATCH_DOCS]]
         arrival_waste += len(batch) * max(batch) - sum(batch)
     assert bucketed_waste <= arrival_waste
+
+
+# ---------------------------------------------------------------------------
+# dataset_mix_unimax: closed-form waterfill properties
+# ---------------------------------------------------------------------------
+
+
+def test_unimax_waterfill_hand_computed(spark, tmp_path):
+    """Three sources with capacities 30/150/3000 (E=3) under B=450 total
+    chars: tiny takes its full 30-cap; the remaining 420 splits 210/210 —
+    mid's cap (150) < its fair share so mid is ALSO full?  No: the prefix
+    test is in CAPACITY order — verify against the by-hand waterfill."""
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    # n_chars per source: a=10, b=50, c=390  (total B = 450)
+    rows = ([(i, "x", "en", "a", 1) for i in range(10)]
+            + [(100 + i, "x", "en", "b", 5) for i in range(10)]
+            + [(200 + i, "x", "en", "c", 39) for i in range(10)])
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = {r.source: r for r in
+           load_all()["dataset_mix_unimax"]
+           .builder(spark, str(tmp_path)).collect()}
+    # caps: a=30, b=150, c=1170; B=450.
+    # i=1 (a): 0 + 30·3 = 90 ≤ 450 → full 30
+    # i=2 (b): 30 + 150·2 = 330 ≤ 450 → full 150
+    # i=3 (c): 180 + 1170·1 = 1350 > 450 → share (450−180)//1 = 270
+    assert out["a"].alloc_chars == 30 and out["a"].epochs_bp == 30000
+    assert out["b"].alloc_chars == 150 and out["b"].epochs_bp == 30000
+    assert out["c"].alloc_chars == 270
+    assert out["c"].epochs_bp == 270 * 10000 // 390
+    # budget conserved exactly (single floor share, no remainder here)
+    assert sum(r.alloc_chars for r in out.values()) == 450
+
+
+def test_unimax_invariants_on_fixture(spark):
+    """Fixture-level invariants: every allocation ≤ its cap, epochs ≤ the
+    cap in bp, total allocation ≤ budget (floor loses < m chars), and the
+    fully-allocated set is a capacity-prefix."""
+    from alertas_spark.operators.sampling import (UNIMAX_BUDGET_PCT,
+                                                  UNIMAX_EPOCH_CAP)
+
+    rows = sorted(_run(spark, "dataset_mix_unimax").collect(),
+                  key=lambda r: (r.cap_chars, r.source or ""))
+    assert rows
+    b = sum(r.n_s for r in rows) * UNIMAX_BUDGET_PCT // 100
+    total = sum(r.alloc_chars for r in rows)
+    assert b - len(rows) < total <= b
+    seen_partial = False
+    for r in rows:
+        assert r.alloc_chars <= r.cap_chars
+        assert r.epochs_bp <= UNIMAX_EPOCH_CAP * 10000
+        if r.alloc_chars < r.cap_chars:
+            seen_partial = True
+        else:
+            assert not seen_partial, "full allocation after a partial one"
+
+
+def test_lr_calibration_buckets_partition_the_fold(spark):
+    from alertas_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    pred = load_all()["lr_quality_score"].builder(spark, sf).collect()
+    cal = load_all()["lr_calibration_curve"].builder(spark, sf).collect()
+    assert sum(r.n for r in cal) == len(pred)
+    for r in cal:
+        assert 0 <= r.bucket <= 9
+        assert 0.0 <= r.obs_rate <= 1.0
+        # bucket mean prediction sits inside the bucket's range
+        assert r.bucket / 10 <= r.avg_pred <= min((r.bucket + 1) / 10, 1.0)
