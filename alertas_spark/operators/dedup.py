@@ -377,12 +377,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 32 affine min-hashes as plain codegen'd MIN aggregates over the exploded
-    # distinct shingle-hash rows — the array-lambda variant
-    # (array_min(transform(hs, ...)) × 32) runs interpreted per element and
-    # was the corpus's hidden hot spot once cold timings stopped hitting the
-    # subplan cache.  min over the same set, bit-identical signatures.
+def _mh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_hash): every document's LSH band keys.
+
+    32 affine min-hashes as plain codegen'd MIN aggregates over the exploded
+    distinct shingle-hash rows — the array-lambda variant
+    (array_min(transform(hs, ...)) × 32) runs interpreted per element and
+    was the corpus's hidden hot spot once cold timings stopped hitting the
+    subplan cache.  min over the same set, bit-identical signatures.
+    Shared by the within-corpus pair generator and the train-vs-eval
+    decontamination tier."""
     toks = _hashed_shingle_tokens(spark, sf_dir)
     sig = (
         toks.groupBy("doc_id")
@@ -393,7 +397,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[f"mh{p}" for p in range(N_PERM)]).alias("mh"))
     )
     # band_hash = md5(mh[2b] || '|' || mh[2b+1])  (Spark arrays are 0-based)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.expr(f"""
             transform(sequence(0, {N_BANDS - 1}),
@@ -402,6 +406,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      mh[{ROWS_PER_BAND}*b + 1])) AS band_hash))
         """)).alias("bd"),
     ).select("doc_id", "bd.band_idx", "bd.band_hash")
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _mh_band_rows(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -1134,3 +1142,99 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .when(F.col("bucket") < SPLIT_VAL_PM, "val")
                         .otherwise("test"))
             .select("doc_id", "component", "bucket", "split"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash benchmark decontamination — near-dup leakage the exact tiers miss
+# ---------------------------------------------------------------------------
+
+#: every MH_DECON_MOD-th document (capped to a fixed id range — benchmarks do
+#: not grow with the corpus; the decontaminate_embedding cap lesson) stands in
+#: for the eval set.
+MH_DECON_MOD = 13
+MH_DECON_EVAL_CAP = 5000
+
+#: verification threshold: lower than the within-corpus dedup cut (0.3 ≙
+#: JACCARD_THRESHOLD) is not needed — decontamination wants PARAPHRASE-level
+#: overlap, and the 16×2 banding's collision probability at j=0.5 is
+#: 1 − (1 − 0.25)^16 ≈ 0.99, so recall at the cut is near-exhaustive.
+MH_DECON_TAU = 0.5
+
+_MH_DECON_EVAL = (f"doc_id % {MH_DECON_MOD} = 0 "
+                  f"AND doc_id < {MH_DECON_EVAL_CAP}")
+
+
+@declare(
+    "decontaminate_minhash",
+    oracle=_DUCK_SHINGLE_CTE + f"""
+    , hashed AS (
+        SELECT doc_id, shingles, {_SHINGLE_HASHES_DUCK} AS hs
+        FROM shing WHERE len(shingles) > 0
+    ), sig AS (
+        SELECT doc_id, shingles, {_MINHASH_SIG_DUCK} AS mh
+        FROM hashed
+    ), bands AS (
+        SELECT doc_id, b AS band_idx,
+               md5(mh[{ROWS_PER_BAND}*b + 1]::VARCHAR || '|'
+                   || mh[{ROWS_PER_BAND}*b + 2]::VARCHAR) AS band_hash
+        FROM sig, unnest(range(0, {N_BANDS})) AS t(b)
+    ), eb AS (
+        SELECT doc_id AS eval_id, band_idx, band_hash FROM bands
+        WHERE {_MH_DECON_EVAL}
+    ), tb AS (
+        SELECT doc_id, band_idx, band_hash FROM bands
+        WHERE NOT ({_MH_DECON_EVAL})
+    ), cand AS (
+        SELECT DISTINCT t.doc_id, e.eval_id
+        FROM tb t JOIN eb e USING (band_idx, band_hash)
+    ), ver AS (
+        SELECT c.doc_id, c.eval_id,
+               len(list_intersect(st.shingles, se.shingles))
+                   / (len(st.shingles) + len(se.shingles)
+                      - len(list_intersect(st.shingles, se.shingles))) AS jacc
+        FROM cand c
+        JOIN sig st ON st.doc_id = c.doc_id
+        JOIN sig se ON se.doc_id = c.eval_id
+    )
+    SELECT doc_id, eval_id, ROUND(jacc, 6) AS jaccard
+    FROM ver WHERE jacc >= {MH_DECON_TAU}
+    """,
+)
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by NEAR-duplicate match — the tier between
+    the exact n-gram screen (``decontaminate_overlap`` / the bloom pair) and
+    the embedding sweep (``decontaminate_embedding``): published corpus
+    reports flag training documents whose MinHash signature collides with an
+    eval document and whose verified Jaccard clears a paraphrase-level cut —
+    catching edited/reflowed eval leakage that exact 5-grams miss without
+    paying the semantic tier's vector cost.  Output: every verified
+    (training doc, eval doc, jaccard) contamination pair.
+
+    Scale shape: the eval side is benchmark-sized by nature (capped stand-in
+    — the ``decontaminate_embedding`` cap lesson) so its band keys BROADCAST;
+    the 100 TB training side streams through one broadcast join of its band
+    rows with zero shuffle of the big side, and only verified candidates pay
+    the shingle-array Jaccard (shuffle-hash joined on doc keys — the
+    corpus-sized shingle side must never broadcast, the ``_minhash_pairs``
+    OOM lesson)."""
+    bands = _mh_band_rows(spark, sf_dir)
+    is_eval = ((F.col("doc_id") % MH_DECON_MOD == 0)
+               & (F.col("doc_id") < MH_DECON_EVAL_CAP))
+    eb = (bands.filter(is_eval)
+          .select(F.col("doc_id").alias("eval_id"), "band_idx", "band_hash"))
+    tb = bands.filter(~is_eval)
+    cand = (tb.join(F.broadcast(eb), ["band_idx", "band_hash"])
+            .select("doc_id", "eval_id").distinct())
+    strs = (_shingle_rows(spark, sf_dir).groupBy("doc_id")
+            .agg(F.collect_list("s").alias("shingles")))
+    st = strs.select(F.col("doc_id").alias("td"),
+                     F.col("shingles").alias("sht")).hint("shuffle_hash")
+    se = strs.select(F.col("doc_id").alias("ed"),
+                     F.col("shingles").alias("she")).hint("shuffle_hash")
+    n_common = F.size(F.array_intersect("sht", "she"))
+    jac = n_common / (F.size("sht") + F.size("she") - n_common)
+    return (cand
+            .join(st, F.col("doc_id") == F.col("td"))
+            .join(se, F.col("eval_id") == F.col("ed"))
+            .filter(jac >= MH_DECON_TAU)
+            .select("doc_id", "eval_id", F.round(jac, 6).alias("jaccard")))

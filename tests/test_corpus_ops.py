@@ -877,3 +877,33 @@ def test_lr_calibration_buckets_partition_the_fold(spark):
         assert 0.0 <= r.obs_rate <= 1.0
         # bucket mean prediction sits inside the bucket's range
         assert r.bucket / 10 <= r.avg_pred <= min((r.bucket + 1) / 10, 1.0)
+
+
+def test_decontaminate_minhash_catches_edited_eval_leakage(spark, tmp_path):
+    """An eval document and a training twin with ONE word changed (exact
+    5-gram screens weaken, near-dup survives): the pair must be flagged
+    with the hand-computable shingle Jaccard; an unrelated doc must not."""
+    import pandas as pd
+
+    from alertas_spark.operators.dedup import MH_DECON_MOD, MH_DECON_TAU
+    from alertas_spark.registry import load_all
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    edited = base.replace("kilo", "xray")
+    rows = [
+        (0, base, "en", "s"),                       # eval (0 % 13 == 0, < cap)
+        (1, edited, "en", "s"),                     # training near-dup
+        (2, "one two three four five six", "en", "s"),  # unrelated training
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = load_all()["decontaminate_minhash"] \
+        .builder(spark, str(tmp_path)).collect()
+    assert {(r.doc_id, r.eval_id) for r in out} == {(1, 0)}
+    # hand Jaccard: 18 words → 16 trigram shingles each; changing word 11
+    # kills shingles 9,10,11 in each → 13 common / (16+16−13) = 13/19
+    assert out[0].jaccard == round(13 / 19, 6)
+    assert out[0].jaccard >= MH_DECON_TAU
+    assert 0 % MH_DECON_MOD == 0  # doc 0 really is the eval slice

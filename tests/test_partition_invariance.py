@@ -45,6 +45,9 @@ QUERIES = [
     "pack_sequences_bpe",            # subword-budget window cumsum (r12)
     "perplexity_bigram_backoff",     # quantized-ln bigram term algebra (r12)
     "perplexity_kn_trigram",         # IEEE-double KN branches + quantized ln (r16)
+    "lr_quality_score",              # IRLS integer sums + quantized sigmoid (r16)
+    "ulm_token_count",               # Viterbi integer DP over broadcast vocab (r16)
+    "dataset_mix_unimax",            # closed-form integer waterfill window (r16)
     "decontaminate_embedding",       # sequential-fold cosine + top-1 rank (r12)
     "dedup_substring_scrub",         # fingerprint keep-first + islands (r12)
     "multimodal_video_features",     # per-row codec passes, no shuffle (r12)
