@@ -100,6 +100,7 @@ PERSISTENT_QUERIES = frozenset({
     "ulm_train_vocab",              # ulm.py hard-EM piece vocabulary
     "ulm_token_count",              # Viterbi apply over the ulm_vocab artifact
     "ulm_bpe_fertility",            # joins ulm_vocab + bpe_merges applies
+    "pack_sequences_ulm",           # packing on the ulm_vocab token counts
     "streaming_lr_gate",            # stream served by the lr_model artifact
     "lr_calibration_curve",         # reliability diagram over lr_model scores
 })

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alertas_spark.operators.logreg import _rnd_half_away
+from alertas_spark.operators.packing import PACK_BUDGET
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
@@ -447,3 +448,43 @@ def ulm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)), 6).alias("ulm_fertility"),
                  F.round(F.sum("ntok_b").cast("double")
                          / F.count(F.lit(1)), 6).alias("bpe_fertility")))
+
+
+@declare(
+    "pack_sequences_ulm",
+    oracle=f"""
+    WITH {_ulm_train_ctes()},
+    {_ulm_apply_ctes()},
+    ulm_dt AS MATERIALIZED (
+        SELECT w.doc_id, CAST(sum(n.ntok) AS BIGINT) AS n_tokens
+        FROM ulm_docw w JOIN ulm_ntok n USING (word) GROUP BY w.doc_id),
+    ulm_ds AS (SELECT d.doc_id, d.source, t.n_tokens
+               FROM documents d JOIN ulm_dt t USING (doc_id))
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {PACK_BUDGET} AS INTEGER) AS pack_id
+    FROM ulm_ds
+    """,
+)
+def pack_sequences_ulm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on ULM subword counts — completes the tokenizer ×
+    packing matrix (``pack_sequences_bpe`` / ``pack_sequences_bpe_bytes``
+    are the merge-table tiers): pack budgets cut on the Viterbi token totals
+    a ULM-tokenized dataloader consumes.  Same scale shape: per-source shard
+    windows only, never one global cumsum, plus the vocabulary-sized
+    tokenize-and-join-back from the ULM tier."""
+    from pyspark.sql import Window
+
+    per_doc = (_ulm_doc_counts(spark, sf_dir)
+               .groupBy("doc_id")
+               .agg(F.sum("ntok").cast("bigint").alias("n_tokens")))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (docs.join(per_doc, "doc_id")
+            .select("doc_id", "source", "n_tokens",
+                    F.floor(cum_before / PACK_BUDGET).cast("int")
+                    .alias("pack_id")))
