@@ -103,6 +103,7 @@ PERSISTENT_QUERIES = frozenset({
     "pack_sequences_ulm",           # packing on the ulm_vocab token counts
     "streaming_lr_gate",            # stream served by the lr_model artifact
     "lr_calibration_curve",         # reliability diagram over lr_model scores
+    "pipeline_quality_ensemble",    # LR gate composed with the ppl terciles
 })
 
 

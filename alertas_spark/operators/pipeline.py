@@ -271,3 +271,81 @@ def pipeline_dsir_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(sel_w).cast("int").alias("cur_rank"),
         F.floor(F.coalesce(cum, F.lit(0)) / PACK_BUDGET)
         .cast("int").alias("pack_id"))
+
+
+# ---------------------------------------------------------------------------
+# r16 capstone: classifier gate ∧ perplexity-bucket gate in one dataflow
+# ---------------------------------------------------------------------------
+
+def _oracle_quality_ensemble() -> str:
+    """LR retrain + unigram-scorer CTEs stitched (namespaces disjoint by
+    construction: lr_* vs tok/d/ct/g/scored) with the CCNet tercile window."""
+    from alertas_spark.operators.logreg import _LR_SCORED_CTES
+    from alertas_spark.operators.textops import _UNIGRAM_SCORED_CTES
+
+    return f"""
+    WITH {_LR_SCORED_CTES}, lr_prior AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tr,
+               CAST(SUM(y) AS BIGINT) AS y_tr
+        FROM lr_train
+    ), {_UNIGRAM_SCORED_CTES},
+    lb AS (
+        SELECT s.doc_id, dd.lang, s.cross_entropy_nats,
+               NTILE(3) OVER (PARTITION BY dd.lang
+                              ORDER BY s.cross_entropy_nats, s.doc_id) AS nt
+        FROM scored s JOIN documents dd USING (doc_id)
+    )
+    SELECT r.doc_id, b.lang, r.y,
+           CAST(r.mu AS DOUBLE) / 1e6 AS lr_prob,
+           b.cross_entropy_nats,
+           CASE b.nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket,
+           CAST(CASE WHEN r.mu * p.n_tr >= 1000000 * p.y_tr
+                     THEN 1 ELSE 0 END AS INTEGER) AS gate_lr,
+           CAST(CASE WHEN b.nt <= 2 THEN 1 ELSE 0 END AS INTEGER)
+               AS gate_ppl,
+           CAST(CASE WHEN r.mu * p.n_tr >= 1000000 * p.y_tr AND b.nt <= 2
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM lr_scored r
+    JOIN lb b ON b.doc_id = r.doc_id
+    CROSS JOIN lr_prior p
+    """
+
+
+@declare("pipeline_quality_ensemble", oracle=_oracle_quality_ensemble())
+def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published multi-gate curation shape (CCNet + GPT-3 composed):
+    a document enters training iff the LEARNED classifier scores it above
+    the corpus prior AND the LM perplexity cut keeps it out of the tail
+    tercile — two independently-oracle-checked gates
+    (``lr_gate_select`` / ``ccnet_perplexity_buckets``) composed into one
+    dataflow over the shared held-out fold, with both gate bits and the
+    conjunction exposed so a pipeline can audit each filter's marginal
+    rejection.
+
+    Scale shape: the stages' own shapes compose — 3-number model broadcast
+    for the LR side, the scorer's hash aggs + ONE per-lang tercile window
+    for the perplexity side, one fold-pruned equi-join to stitch them."""
+    from alertas_spark.operators.logreg import (LR_FOLDS, _lr_features,
+                                                _lr_scored)
+    from alertas_spark.operators.textops import ccnet_perplexity_buckets
+
+    lr = _lr_scored(spark, sf_dir)
+    prior = (_lr_features(spark, sf_dir)
+             .filter(F.col("doc_id") % LR_FOLDS != 0)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tr"),
+                  F.sum("y").cast("bigint").alias("y_tr")))
+    ppl = ccnet_perplexity_buckets(spark, sf_dir)
+    gate_lr = (F.col("mu") * F.col("n_tr")
+               >= 1000000 * F.col("y_tr")).cast("int")
+    gate_ppl = (F.col("bucket") != "tail").cast("int")
+    return (lr.join(ppl, "doc_id")
+            .crossJoin(F.broadcast(prior))
+            .select("doc_id", "lang", "y",
+                    (F.col("mu").cast("double") / 1e6).alias("lr_prob"),
+                    "cross_entropy_nats",
+                    F.col("bucket").alias("ppl_bucket"),
+                    gate_lr.alias("gate_lr"),
+                    gate_ppl.alias("gate_ppl"),
+                    (gate_lr.cast("boolean") & gate_ppl.cast("boolean"))
+                    .cast("int").alias("keep")))
