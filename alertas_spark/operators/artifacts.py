@@ -101,6 +101,7 @@ PERSISTENT_QUERIES = frozenset({
     "ulm_token_count",              # Viterbi apply over the ulm_vocab artifact
     "ulm_bpe_fertility",            # joins ulm_vocab + bpe_merges applies
     "pack_sequences_ulm",           # packing on the ulm_vocab token counts
+    "ulm_vocab_census",             # Viterbi-path census over the same artifact
     "streaming_lr_gate",            # stream served by the lr_model artifact
     "lr_calibration_curve",         # reliability diagram over lr_model scores
     "pipeline_quality_ensemble",    # LR gate composed with the ppl terciles

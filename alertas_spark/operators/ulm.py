@@ -205,12 +205,14 @@ def _dp_ctes(pfx: str, model: str, gcte: str, words: str) -> str:
     return ",\n".join(parts)
 
 
-def _bt_ctes(pfx: str) -> str:
-    """Backtrace CTEs over ``{pfx}dpall`` for the TRAINING words, ending in
-    ``{pfx}cnt(piece, c)`` — the next model's counts (vocab pieces only,
-    unused pieces at 0)."""
+def _bt_ctes(pfx: str, words: str = "ulm_w0",
+             with_cnt: bool = True) -> str:
+    """Backtrace CTEs over ``{pfx}dpall`` for relation ``words(word)``,
+    ending in ``{pfx}emit(word, piece)`` — one row per piece on each word's
+    unique Viterbi path — and (training phases) ``{pfx}cnt(piece, c)``, the
+    next model's counts (vocab pieces only, unused pieces at 0)."""
     parts = [f"{pfx}bt0 AS (SELECT word, CAST(len(word) AS BIGINT) AS pos "
-             f"FROM ulm_w0 WHERE len(word) <= {ULM_LMAX})"]
+             f"FROM {words} WHERE len(word) <= {ULM_LMAX})"]
     for i in range(1, ULM_LMAX + 1):
         parts.append(f"""{pfx}bt{i} AS MATERIALIZED (
         SELECT b.word, b.pos - d.l AS pos,
@@ -222,10 +224,12 @@ def _bt_ctes(pfx: str) -> str:
     emitted = " UNION ALL ".join(
         f"SELECT word, piece FROM {pfx}bt{i}"
         for i in range(1, ULM_LMAX + 1))
-    parts.append(f"""{pfx}cnt AS MATERIALIZED (
+    parts.append(f"{pfx}emit AS MATERIALIZED ({emitted})")
+    if with_cnt:
+        parts.append(f"""{pfx}cnt AS MATERIALIZED (
         SELECT m.piece, CAST(COALESCE(SUM(w.freq), 0) AS BIGINT) AS c
         FROM ulm_m0 m
-        LEFT JOIN ({emitted}) e ON e.piece = m.piece
+        LEFT JOIN {pfx}emit e ON e.piece = m.piece
         LEFT JOIN ulm_w0 w ON w.word = e.word
         GROUP BY m.piece)""")
     return ",\n".join(parts)
@@ -488,3 +492,81 @@ def pack_sequences_ulm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_tokens",
                     F.floor(cum_before / PACK_BUDGET).cast("int")
                     .alias("pack_id")))
+
+
+#: census rows kept — the heavy-hitter cut (bpe.CENSUS_TOP sibling).
+ULM_CENSUS_TOP = 50
+
+
+def ulm_pieces_udf(spark: SparkSession, sf_dir: str):
+    """Arrow-batched Viterbi PIECE-LIST UDF over the trained vocabulary —
+    the census needs the path, not just its length; same memoized broadcast
+    as :func:`ulm_ntok_udf`."""
+    from alertas_spark.operators import memo
+
+    def load():
+        rows = trained_ulm_vocab(spark, sf_dir).collect()
+        cnt = {r["piece"]: r["freq"] for r in rows}
+        return spark.sparkContext.broadcast((cnt, _qnorm(cnt)))
+
+    bc = memo.session_value(spark, ("ulm_vocab_bc", sf_dir), load)
+
+    @F.pandas_udf("array<string>")
+    def pieces(words: pd.Series) -> pd.Series:
+        cnt, qn = bc.value
+        return words.map(lambda w: _viterbi(w, cnt, qn, path=True))
+
+    return pieces
+
+
+@declare(
+    "ulm_vocab_census",
+    oracle=f"""
+    WITH {_ulm_train_ctes()},
+    {_ulm_apply_ctes()},
+    {_bt_ctes('ulm_f', 'ulm_aw', with_cnt=False)},
+    ulm_cemit AS (
+        SELECT word, piece FROM ulm_femit
+        UNION ALL
+        SELECT word, substring(word, CAST(t.i AS INT), 1) AS piece
+        FROM ulm_aw, LATERAL unnest(range(1, len(word) + 1)) AS t(i)
+        WHERE len(word) > {ULM_LMAX}
+    ), ulm_wcnt AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM ulm_docw GROUP BY word
+    )
+    SELECT e.piece,
+           CAST(SUM(w.wf) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT e.word) AS BIGINT) AS n_words
+    FROM ulm_cemit e JOIN ulm_wcnt w USING (word)
+    GROUP BY e.piece
+    ORDER BY n_occurrences DESC, e.piece LIMIT {ULM_CENSUS_TOP}
+    """,
+)
+def ulm_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus as the ULM tokenizer sees it: the top-{ULM_CENSUS_TOP}
+    pieces by corpus-weighted Viterbi-path occurrence, with how many
+    distinct words each appears in — the census every tokenizer bake-off
+    reads next to ``bpe_vocab_census`` / ``bpe_bytes_vocab_census``.  The
+    oracle backtraces the unique Viterbi path of EVERY distinct corpus word
+    (the unrolled-DP machinery's third consumer); words beyond the DP
+    horizon contribute their char-fallback pieces on both engines.
+
+    Scale: piece lists materialize per DISTINCT word (Arrow UDF + broadcast
+    model), the census is one explode + two hash aggs + a top-K cut."""
+    docw = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.explode(F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit(_WORD_RE), 0))
+                    .alias("word")))
+    wcnt = docw.groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("wf"))
+    pieces = (wcnt.select("word", "wf")
+              .withColumn("piece",
+                          F.explode(ulm_pieces_udf(spark, sf_dir)
+                                    (F.col("word")))))
+    return (pieces.groupBy("piece")
+            .agg(F.sum("wf").cast("bigint").alias("n_occurrences"),
+                 F.count_distinct("word").cast("bigint").alias("n_words"))
+            .orderBy(F.desc("n_occurrences"), F.asc("piece"))
+            .limit(ULM_CENSUS_TOP))

