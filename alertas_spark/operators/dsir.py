@@ -246,9 +246,9 @@ _TWO60 = float(1 << 60)
         SELECT doc_id, source, n_tokens, avg_logratio_nats,
                CAST(ROUND(avg_logratio_nats * 1e6) AS BIGINT)
                + CAST(ROUND(-LN(-CAST(
-                     CAST(ROUND(LN(CAST(LEAST({_G_DUCK_H}, {(1 << 60) - 2})
+                     LEAST(CAST(ROUND(LN(CAST({_G_DUCK_H}
                                         + 1 AS DOUBLE) / {_TWO60})
-                                * 1e9) AS BIGINT)
+                                * 1e9) AS BIGINT), -1)
                      AS DOUBLE) / 1e9) * 1e6) AS BIGINT) AS sel_key
         FROM scored
     ), ranked AS (
@@ -276,15 +276,20 @@ def dsir_sample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over ≤ K·n_partitions rows — no global sort)."""
     from alertas_spark.operators.topk import ranked_topk
 
-    # clamp the uniform to ≤ 2^60−2 BEFORE the +1: at h = 2^60−1 the inner
-    # ln(1) = 0 would make the outer −ln(0) = +∞, which DuckDB's BIGINT cast
-    # raises on while Spark saturates — a cross-engine seam at probability
-    # 2^-60 per doc (r15 advice).  LEAST on both sides keeps the algebra
-    # identical everywhere else.
-    h = F.least(F.expr(_G_SPARK_H), F.lit((1 << 60) - 2))
-    # inner: q1 = round(ln((h+1)/2^60)·1e9) — an exact negative integer
-    q1 = F.round(F.log((h + 1).cast("double") / F.lit(_TWO60)) * 1e9) \
-          .cast("bigint")
+    # clamp the QUANTIZED integer, not the raw hash (r16 advice): any h in
+    # the top ~5.8e8 of the 2^60 range has ln((h+1)/2^60) quantize to 0 at
+    # 1e-9 resolution, so the outer −ln(−q1/1e9) would still hit −ln(0) —
+    # DuckDB errors while Spark F.log(0) yields NULL (doc silently dropped).
+    # Residual probability is ~5e-10 per doc, which FIRES at billions of
+    # docs.  q1 = LEAST(round(...), −1) on both engines closes the seam
+    # exactly: the clamped docs land on the maximal Gumbel value, which is
+    # the correct limit of the transform.
+    h = F.expr(_G_SPARK_H)
+    # inner: q1 = min(round(ln((h+1)/2^60)·1e9), −1) — exact negative integer
+    q1 = F.least(
+        F.round(F.log((h + 1).cast("double") / F.lit(_TWO60)) * 1e9)
+         .cast("bigint"),
+        F.lit(-1).cast("bigint"))
     # outer: g_q = round(−ln(−q1/1e9)·1e6) — ln of a double both engines
     # derived identically from the same integer
     g_q = F.round(-F.log(-q1.cast("double") / 1e9) * 1e6).cast("bigint")

@@ -122,8 +122,12 @@ def _duck_iter_ctes() -> str:
     parts = ["lr_b0 AS (SELECT CAST(0 AS BIGINT) AS b0, "
              "CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2)"]
     for k in range(1, LR_ITERS + 1):
-        w = "(mu * (1000000 - mu))"
-        r = "(1000000 * y - mu)"
+        # widen BEFORE the products (r16 advice): mu·(1e6−mu) ≤ 2.5e11
+        # times x1² in BIGINT overflows past ~6000-token documents —
+        # DuckDB would error (checked arithmetic) while Spark's non-ANSI
+        # BIGINT silently wraps; HUGEINT products are exact at any length
+        w = "(CAST(mu AS HUGEINT) * (1000000 - mu))"
+        r = "(CAST(1000000 AS HUGEINT) * y - mu)"
         parts.append(f"""lr_mu{k} AS MATERIALIZED (
         SELECT f.y, f.x1, f.x2,
                LEAST(GREATEST(CAST(ROUND(1e6 / (1 + EXP(
@@ -132,15 +136,15 @@ def _duck_iter_ctes() -> str:
         FROM lr_train f CROSS JOIN lr_b{k - 1} b
     )""")
         parts.append(f"""lr_a{k} AS MATERIALIZED (
-        SELECT SUM(CAST({w} AS HUGEINT)) AS a00,
-               SUM(CAST({w} * x1 AS HUGEINT)) AS a01,
-               SUM(CAST({w} * x2 AS HUGEINT)) AS a02,
-               SUM(CAST({w} * x1 * x1 AS HUGEINT)) AS a11,
-               SUM(CAST({w} * x1 * x2 AS HUGEINT)) AS a12,
-               SUM(CAST({w} * x2 * x2 AS HUGEINT)) AS a22,
-               SUM(CAST({r} AS HUGEINT)) AS g0,
-               SUM(CAST({r} * x1 AS HUGEINT)) AS g1,
-               SUM(CAST({r} * x2 AS HUGEINT)) AS g2
+        SELECT SUM({w}) AS a00,
+               SUM({w} * x1) AS a01,
+               SUM({w} * x2) AS a02,
+               SUM({w} * x1 * x1) AS a11,
+               SUM({w} * x1 * x2) AS a12,
+               SUM({w} * x2 * x2) AS a22,
+               SUM({r}) AS g0,
+               SUM({r} * x1) AS g1,
+               SUM({r} * x2) AS g2
         FROM lr_mu{k}
     )""")
         parts.append(f"""lr_b{k} AS MATERIALIZED (
@@ -214,19 +218,22 @@ def _lr_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             mu = F.least(F.greatest(
                 F.round(1e6 / (1 + F.exp(-(z.cast("double") / 1e9))))
                 .cast("bigint"), F.lit(1)), F.lit(999999))
-            w = F.col("mu") * (1000000 - F.col("mu"))
-            r = 1000000 * F.col("y") - F.col("mu")
-            dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+            # widen to decimal(38,0) BEFORE the products (r16 advice):
+            # w ≤ 2.5e11 times x1² wraps Spark's non-ANSI BIGINT past
+            # ~6000-token documents while the oracle's HUGEINT is exact —
+            # decimal products make Spark exact at any document length
+            w = F.col("mu").cast("decimal(38,0)") * (1000000 - F.col("mu"))
+            r = (1000000 * F.col("y") - F.col("mu")).cast("decimal(38,0)")
             row = (train.withColumn("mu", mu)
-                   .agg(F.sum(dec(w)).alias("a00"),
-                        F.sum(dec(w * F.col("x1"))).alias("a01"),
-                        F.sum(dec(w * F.col("x2"))).alias("a02"),
-                        F.sum(dec(w * F.col("x1") * F.col("x1"))).alias("a11"),
-                        F.sum(dec(w * F.col("x1") * F.col("x2"))).alias("a12"),
-                        F.sum(dec(w * F.col("x2") * F.col("x2"))).alias("a22"),
-                        F.sum(dec(r)).alias("g0"),
-                        F.sum(dec(r * F.col("x1"))).alias("g1"),
-                        F.sum(dec(r * F.col("x2"))).alias("g2"))
+                   .agg(F.sum(w).alias("a00"),
+                        F.sum(w * F.col("x1")).alias("a01"),
+                        F.sum(w * F.col("x2")).alias("a02"),
+                        F.sum(w * F.col("x1") * F.col("x1")).alias("a11"),
+                        F.sum(w * F.col("x1") * F.col("x2")).alias("a12"),
+                        F.sum(w * F.col("x2") * F.col("x2")).alias("a22"),
+                        F.sum(r).alias("g0"),
+                        F.sum(r * F.col("x1")).alias("g1"),
+                        F.sum(r * F.col("x2")).alias("g2"))
                    .collect()[0])  # trainer-scalar collect: 9 bounded sums
             a00, a01, a02 = float(row["a00"]), float(row["a01"]), float(row["a02"])
             a11, a12, a22 = float(row["a11"]), float(row["a12"]), float(row["a22"])

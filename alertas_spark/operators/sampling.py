@@ -217,8 +217,8 @@ UNIMAX_BUDGET_PCT = 100   # B as a percentage of the corpus' total characters
                    ORDER BY {UNIMAX_EPOCH_CAP} * n_s, source
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS cumcap,
-               CAST((SELECT SUM(n_s) FROM src) * {UNIMAX_BUDGET_PCT} / 100
-                    AS BIGINT) AS b
+               ((SELECT SUM(n_s) FROM src) * {UNIMAX_BUDGET_PCT}) // 100
+                    AS b
         FROM src
     ), marked AS (
         SELECT *, CASE WHEN cumcap + cap * (m - i + 1) <= b
@@ -262,7 +262,11 @@ def dataset_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.count()
     cap = F.lit(UNIMAX_EPOCH_CAP) * F.col("n_s")
     w = W.orderBy(cap, "source")
-    tot = src.agg((F.sum("n_s") * UNIMAX_BUDGET_PCT / 100)
+    # integer arithmetic end-to-end (r16 advice): double division + cast
+    # truncates on Spark but rounds on DuckDB when sum*pct/100 is ever
+    # non-integral, and the downstream products (alloc·10000, b−full_cap)
+    # exceed 2^53 at corpus scale where double floors diverge cross-engine.
+    tot = src.agg(F.expr(f"(sum(n_s) * {UNIMAX_BUDGET_PCT}) div 100")
                   .cast("bigint").alias("b"))
     ranked = (src
               .withColumn("cap", cap)
@@ -281,14 +285,16 @@ def dataset_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("is_full") == 1, F.col("cap"))),
                    F.lit(0)).alias("full_cap"),
         F.coalesce(F.sum("is_full"), F.lit(0)).alias("n_full"))
+    # bigint `div` mirrors the oracle's `//` exactly at any magnitude —
+    # F.floor over double division would lose exactness past 2^53
     alloc = F.when(F.col("is_full") == 1, F.col("cap")).otherwise(
-        F.floor((F.col("b") - F.col("full_cap"))
-                / (F.col("m") - F.col("n_full"))))
+        F.expr("(b - full_cap) div (m - n_full)"))
     return (ranked.crossJoin(F.broadcast(pfx))
+            .withColumn("alloc_chars", alloc.cast("bigint"))
             .select("source", "n_s",
                     F.col("cap").cast("bigint").alias("cap_chars"),
-                    alloc.cast("bigint").alias("alloc_chars"),
-                    F.floor(alloc * 10000 / F.col("n_s")).cast("bigint")
+                    "alloc_chars",
+                    F.expr("(alloc_chars * 10000) div n_s").cast("bigint")
                     .alias("epochs_bp")))
 
 

@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.semantic",
     "alertas_spark.operators.pq",
     "alertas_spark.operators.textops",
+    "alertas_spark.operators.rulebattery",
     "alertas_spark.operators.kneser_ney",
     "alertas_spark.operators.bpe",
     "alertas_spark.operators.ulm",

@@ -48,8 +48,12 @@ def main() -> None:
             for f in _glob.glob(pat):
                 if os.path.isfile(f):
                     with open(f, "rb") as fh:
-                        while fh.read(1 << 22):
-                            nbytes += 1 << 22
+                        # count actual chunk lengths: charging a full 4 MiB
+                        # for the final partial chunk inflates the rate by
+                        # up to 4 MiB per file, enough to mislabel a cold
+                        # run "warm" over many small files (r16 advice)
+                        while (chunk := fh.read(1 << 22)):
+                            nbytes += len(chunk)
         dt = max(time.time() - t0, 1e-9)
         rate = nbytes / dt / 1e6
         cache_state = {"prewarm_mb": round(nbytes / 1e6, 1),

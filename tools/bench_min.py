@@ -34,10 +34,23 @@ def merge(records: list[dict]) -> dict:
     for tier in ("queries", "queries_warm_shared_artifacts",
                  "queries_warm_persistent"):
         merged: dict[str, float] = {}
+        errored: set[str] = set()
         for r in records:
             for q, t in (r.get(tier) or {}).items():
+                if t is None or t <= 0:
+                    # bench.py writes -1.0 when a query errors; a sentinel
+                    # must never beat a valid timing from another run
+                    # (r16 advice).  Track it so an all-sentinel query
+                    # fails the merge loudly instead of committing -1.0.
+                    errored.add(q)
+                    continue
                 if q not in merged or t < merged[q]:
                     merged[q] = t
+        missing = errored - set(merged)
+        if missing:
+            raise SystemExit(
+                f"refusing to merge: {sorted(missing)} in tier '{tier}' "
+                "have only error sentinels across all input runs")
         out[tier] = dict(sorted(merged.items(), key=lambda kv: kv[1]) if
                          tier == "queries" else sorted(merged.items()))
     batches = [r["alert_batch_wall_clock"] for r in records
