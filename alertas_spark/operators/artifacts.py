@@ -105,6 +105,7 @@ PERSISTENT_QUERIES = frozenset({
     "streaming_lr_gate",            # stream served by the lr_model artifact
     "lr_calibration_curve",         # reliability diagram over lr_model scores
     "pipeline_quality_ensemble",    # LR gate composed with the ppl terciles
+    "gate_marginal_rejection",      # per-gate audit over the same ensemble
 })
 
 

@@ -277,14 +277,18 @@ def pipeline_dsir_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r16 capstone: classifier gate ∧ perplexity-bucket gate in one dataflow
 # ---------------------------------------------------------------------------
 
-def _oracle_quality_ensemble() -> str:
-    """LR retrain + unigram-scorer CTEs stitched (namespaces disjoint by
-    construction: lr_* vs tok/d/ct/g/scored) with the CCNet tercile window."""
+def _qe_ctes() -> str:
+    """The four-gate ensemble relation as CTEs ending in ``qe(doc_id, lang,
+    y, lr_prob, cross_entropy_nats, ppl_bucket, gate_lr, gate_ppl,
+    gate_rules, gate_clip, keep)`` — LR retrain + unigram scorer + rule
+    battery + CLIP pairs stitched (namespaces disjoint by construction:
+    lr_* vs tok/d/ct/g/scored vs rb_* vs cg_*)."""
+    from alertas_spark.operators.clipgate import CLIP_PAIRS_CTES, CLIP_TAU
     from alertas_spark.operators.logreg import _LR_SCORED_CTES
+    from alertas_spark.operators.rulebattery import RB_BITS_SQL
     from alertas_spark.operators.textops import _UNIGRAM_SCORED_CTES
 
-    return f"""
-    WITH {_LR_SCORED_CTES}, lr_prior AS (
+    return f"""{_LR_SCORED_CTES}, lr_prior AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_tr,
                CAST(SUM(y) AS BIGINT) AS y_tr
         FROM lr_train
@@ -294,41 +298,44 @@ def _oracle_quality_ensemble() -> str:
                NTILE(3) OVER (PARTITION BY dd.lang
                               ORDER BY s.cross_entropy_nats, s.doc_id) AS nt
         FROM scored s JOIN documents dd USING (doc_id)
-    )
-    SELECT r.doc_id, b.lang, r.y,
-           CAST(r.mu AS DOUBLE) / 1e6 AS lr_prob,
-           b.cross_entropy_nats,
-           CASE b.nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                     ELSE 'tail' END AS ppl_bucket,
-           CAST(CASE WHEN r.mu * p.n_tr >= 1000000 * p.y_tr
-                     THEN 1 ELSE 0 END AS INTEGER) AS gate_lr,
-           CAST(CASE WHEN b.nt <= 2 THEN 1 ELSE 0 END AS INTEGER)
-               AS gate_ppl,
-           CAST(CASE WHEN r.mu * p.n_tr >= 1000000 * p.y_tr AND b.nt <= 2
-                     THEN 1 ELSE 0 END AS INTEGER) AS keep
-    FROM lr_scored r
-    JOIN lb b ON b.doc_id = r.doc_id
-    CROSS JOIN lr_prior p
-    """
+    ),
+    rb_bits AS MATERIALIZED ({RB_BITS_SQL}),
+    {CLIP_PAIRS_CTES},
+    qe AS (
+        SELECT r.doc_id, b.lang, r.y,
+               CAST(r.mu AS DOUBLE) / 1e6 AS lr_prob,
+               b.cross_entropy_nats,
+               CASE b.nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS ppl_bucket,
+               CAST(CASE WHEN r.mu * p.n_tr >= 1000000 * p.y_tr
+                         THEN 1 ELSE 0 END AS INTEGER) AS gate_lr,
+               CAST(CASE WHEN b.nt <= 2 THEN 1 ELSE 0 END AS INTEGER)
+                   AS gate_ppl,
+               CAST(COALESCE(rb.battery_ok, 0) AS INTEGER) AS gate_rules,
+               CAST(CASE WHEN COALESCE(cg.cos >= {CLIP_TAU}, TRUE)
+                         THEN 1 ELSE 0 END AS INTEGER) AS gate_clip,
+               CAST(CASE WHEN r.mu * p.n_tr >= 1000000 * p.y_tr
+                          AND b.nt <= 2
+                          AND COALESCE(rb.battery_ok, 0) = 1
+                          AND COALESCE(cg.cos >= {CLIP_TAU}, TRUE)
+                         THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM lr_scored r
+        JOIN lb b ON b.doc_id = r.doc_id
+        LEFT JOIN rb_bits rb ON rb.doc_id = r.doc_id
+        LEFT JOIN cg_pairs cg ON cg.doc_id = r.doc_id
+        CROSS JOIN lr_prior p
+    )"""
 
 
-@declare("pipeline_quality_ensemble", oracle=_oracle_quality_ensemble())
-def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The published multi-gate curation shape (CCNet + GPT-3 composed):
-    a document enters training iff the LEARNED classifier scores it above
-    the corpus prior AND the LM perplexity cut keeps it out of the tail
-    tercile — two independently-oracle-checked gates
-    (``lr_gate_select`` / ``ccnet_perplexity_buckets``) composed into one
-    dataflow over the shared held-out fold, with both gate bits and the
-    conjunction exposed so a pipeline can audit each filter's marginal
-    rejection.
-
-    Scale shape: the stages' own shapes compose — 3-number model broadcast
-    for the LR side, the scorer's hash aggs + ONE per-lang tercile window
-    for the perplexity side, one fold-pruned equi-join to stitch them."""
+def _ensemble_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of the ``qe`` CTE — shared by the ensemble query and
+    the marginal-rejection audit."""
+    from alertas_spark.operators.clipgate import CLIP_TAU, clip_pairs
     from alertas_spark.operators.logreg import (LR_FOLDS, _lr_features,
                                                 _lr_scored)
+    from alertas_spark.operators.rulebattery import rule_bits
     from alertas_spark.operators.textops import ccnet_perplexity_buckets
+    from alertas_spark.sources.catalog import load_table
 
     lr = _lr_scored(spark, sf_dir)
     prior = (_lr_features(spark, sf_dir)
@@ -336,10 +343,23 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_tr"),
                   F.sum("y").cast("bigint").alias("y_tr")))
     ppl = ccnet_perplexity_buckets(spark, sf_dir)
+    rb = (rule_bits(load_table(spark, sf_dir, "documents"))
+          .select("doc_id", "battery_ok"))
+    cg = (clip_pairs(spark, sf_dir)
+          .select("doc_id", F.col("cos").alias("clip_cos")))
     gate_lr = (F.col("mu") * F.col("n_tr")
                >= 1000000 * F.col("y_tr")).cast("int")
     gate_ppl = (F.col("bucket") != "tail").cast("int")
+    gate_rules = F.coalesce(F.col("battery_ok"), F.lit(0)).cast("int")
+    # the image gate ABSTAINS (passes) for documents without a valid
+    # embedding pair — a text-only document is not an alignment failure
+    gate_clip = F.when(F.coalesce(F.col("clip_cos") >= CLIP_TAU,
+                                  F.lit(True)), 1).otherwise(0).cast("int")
+    keep = (gate_lr.cast("boolean") & gate_ppl.cast("boolean")
+            & gate_rules.cast("boolean") & gate_clip.cast("boolean"))
     return (lr.join(ppl, "doc_id")
+            .join(rb, "doc_id", "left")
+            .join(cg, "doc_id", "left")
             .crossJoin(F.broadcast(prior))
             .select("doc_id", "lang", "y",
                     (F.col("mu").cast("double") / 1e6).alias("lr_prob"),
@@ -347,5 +367,74 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("bucket").alias("ppl_bucket"),
                     gate_lr.alias("gate_lr"),
                     gate_ppl.alias("gate_ppl"),
-                    (gate_lr.cast("boolean") & gate_ppl.cast("boolean"))
-                    .cast("int").alias("keep")))
+                    gate_rules.alias("gate_rules"),
+                    gate_clip.alias("gate_clip"),
+                    keep.cast("int").alias("keep")))
+
+
+@declare("pipeline_quality_ensemble",
+         oracle=f"WITH {_qe_ctes()} SELECT * FROM qe")
+def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published multi-gate curation shape (CCNet + GPT-3 + Gopher +
+    LAION composed): a document enters training iff the LEARNED classifier
+    scores it above the corpus prior AND the LM perplexity cut keeps it out
+    of the tail tercile AND it clears the heuristic rule battery AND its
+    caption–image alignment clears the CLIP cut — four
+    independently-oracle-checked gates (``lr_gate_select`` /
+    ``ccnet_perplexity_buckets`` / ``quality_rule_battery`` /
+    ``multimodal_clip_gate``) composed into one dataflow over the shared
+    held-out fold, every gate bit exposed so a pipeline can audit each
+    filter's marginal rejection (``gate_marginal_rejection``).
+
+    Scale shape: the stages' own shapes compose — 3-number model broadcast
+    for the LR side, the scorer's hash aggs + ONE per-lang tercile window
+    for the perplexity side, a scan projection for the rule bits, two
+    embedding equi-joins for the alignment side, fold-pruned equi-joins to
+    stitch them."""
+    return _ensemble_df(spark, sf_dir)
+
+
+_QE_GATES = ("clip", "lr", "ppl", "rules")
+
+
+def _oracle_marginal() -> str:
+    rows = " UNION ALL ".join(
+        f"""SELECT '{g}' AS gate, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(1 - gate_{g}) AS BIGINT) AS n_reject,
+               CAST(SUM(CASE WHEN gate_{g} = 0
+                              AND {" AND ".join(f"gate_{o} = 1"
+                                                for o in _QE_GATES
+                                                if o != g)}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_marginal
+        FROM qe""" for g in _QE_GATES)
+    return f"WITH {_qe_ctes()} SELECT * FROM ({rows}) ORDER BY gate"
+
+
+@declare("gate_marginal_rejection", oracle=_oracle_marginal())
+def gate_marginal_rejection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ensemble's per-gate audit: for each of the four gates, how many
+    held-out documents it rejects and how many it ALONE rejects (every other
+    gate keeps them) — the marginal-rejection table that tells a curation
+    run which filter is actually binding and which is redundant (the
+    DataComp/Gopher ablation question, answered relationally).
+
+    Plan: the ensemble relation, one conditional hash-agg to a single row,
+    a 4-row unpivot."""
+    qe = _ensemble_df(spark, sf_dir)
+    aggs = []
+    for g in _QE_GATES:
+        others = [o for o in _QE_GATES if o != g]
+        marginal = F.when(
+            (F.col(f"gate_{g}") == 0)
+            & F.expr(" AND ".join(f"gate_{o} = 1" for o in others)),
+            1).otherwise(0)
+        aggs += [F.sum(1 - F.col(f"gate_{g}")).cast("bigint")
+                 .alias(f"rej_{g}"),
+                 F.sum(marginal).cast("bigint").alias(f"mar_{g}")]
+    agg = qe.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"), *aggs)
+    pairs = ", ".join(f"'{g}', rej_{g}, mar_{g}" for g in _QE_GATES)
+    return (agg.selectExpr(
+                f"stack({len(_QE_GATES)}, {pairs})"
+                " AS (gate, n_reject, n_marginal)", "n_docs")
+            .select("gate", "n_docs", "n_reject", "n_marginal")
+            .orderBy("gate"))

@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.sessionize",
     "alertas_spark.operators.asof",
     "alertas_spark.operators.multimodal",
+    "alertas_spark.operators.clipgate",
     "alertas_spark.operators.profiling",
     "alertas_spark.operators.skew_mitigation",
     "alertas_spark.operators.sampling",
