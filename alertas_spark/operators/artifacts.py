@@ -106,6 +106,7 @@ PERSISTENT_QUERIES = frozenset({
     "lr_calibration_curve",         # reliability diagram over lr_model scores
     "pipeline_quality_ensemble",    # LR gate composed with the ppl terciles
     "gate_marginal_rejection",      # per-gate audit over the same ensemble
+    "dataset_mix_doremi",           # MW reweighting over the lm_unigram loss
 })
 
 

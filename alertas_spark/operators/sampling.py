@@ -299,6 +299,180 @@ def dataset_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DoReMi-lite domain reweighting — multiplicative weights over excess loss
+# ---------------------------------------------------------------------------
+#
+# DoReMi (Xie et al., 2023): derive domain mixture weights from MODEL SIGNAL
+# — a Group-DRO proxy run upweights domains whose loss exceeds a reference
+# model's, via multiplicative weights α_t ∝ α_{t-1}·exp(η·excess_s) followed
+# by renormalization and uniform smoothing.  The corpus-statistics mixers
+# above (weighted / temperature / UniMax) never look at a model; this tier
+# does — the artifact-served unigram LM stands in for the proxy model, its
+# per-domain mean cross-entropy is the loss relation, and the corpus-global
+# mean is the reference, so excess_s = max(0, CE_s − CE_corpus).  The losses
+# are STATIC here (no proxy retraining per step), which is exactly why the
+# published smoothing step matters: the loop is NOT a closed form because
+# each round renormalizes and remixes with uniform — the trajectory is the
+# algorithm, and the oracle retrains it in unrolled CTEs (the IRLS
+# precedent).
+#
+# Exactness: per-domain loss numerators are exact integer sums of the
+# quantized-ln unigram atoms; CE_s is quantized to 1e-9 nats by one
+# identically-parenthesized double division; the single libm exp per domain
+# is quantized to 1e-5 immediately (the dataset_mix_temperature idiom); the
+# whole MW trajectory after that is BIGINT `div` algebra, bit-equal on both
+# engines at any corpus size.  Magnitude audit: excess clamps at 3e9
+# (3 nats), so qexp ≤ e³·1e5 ≈ 2.01e6, α ≤ 1e6, and the widest product
+# α·qexp·1e6 ≤ 2.1e18 < 2^63.  Domain-count bound: the uniform share
+# 1e6 // m needs m ≤ 10⁴ for the smoothing floor to stay ≥ 1 — DoReMi
+# domains are dozens, not thousands.
+
+DOREMI_ITERS = 4
+DOREMI_ETA = 1.0              # MW step size η
+DOREMI_SMOOTH_FP = 10000      # uniform smoothing c = 0.01, in 1e-6 fixed point
+DOREMI_CLAMP_Q = 3_000_000_000  # excess loss clamp: 3 nats at 1e-9
+
+
+def _doremi_oracle(eta: float) -> str:
+    from alertas_spark.operators.textops import _UNIGRAM_SCORED_CTES
+
+    C, U = DOREMI_SMOOTH_FP, "(1000000 // m)"
+    its = []
+    prev = "dr0"
+    for k in range(1, DOREMI_ITERS + 1):
+        its.append(f"""drm{k} AS MATERIALIZED (
+        SELECT source, n_tokens, ce_q, ex_q, qexp, m,
+               a * qexp AS mnum,
+               SUM(a * qexp) OVER () AS mz
+        FROM {prev}
+    ), dr{k} AS MATERIALIZED (
+        SELECT source, n_tokens, ce_q, ex_q, qexp, m,
+               ((1000000 - {C}) * ((mnum * 1000000) // mz)
+                + {C} * {U}) // 1000000 AS a
+        FROM drm{k}
+    )""")
+        prev = f"dr{k}"
+    return f"""
+    WITH {_UNIGRAM_SCORED_CTES},
+    drdom AS MATERIALIZED (
+        SELECT dd.source,
+               SUM(CAST(d.dc AS HUGEINT)
+                   * (g.qln_n - CAST(ROUND(LN(ct.c) * 1e9) AS BIGINT)))
+                   AS num,
+               CAST(SUM(d.dc) AS BIGINT) AS den
+        FROM d JOIN ct USING (t) CROSS JOIN g
+        JOIN documents dd USING (doc_id)
+        GROUP BY dd.source
+    ), drce AS MATERIALIZED (
+        SELECT source, den AS n_tokens,
+               CAST(ROUND(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                          / CAST(den AS DOUBLE)) AS BIGINT) AS ce_q
+        FROM drdom
+    ), drg AS (
+        SELECT CAST(ROUND(CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE)
+                          / CAST(SUM(den) AS DOUBLE)) AS BIGINT) AS gce_q,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM drdom
+    ), dr0 AS MATERIALIZED (
+        SELECT c.source, c.n_tokens, c.ce_q,
+               LEAST(GREATEST(c.ce_q - g.gce_q, 0), {DOREMI_CLAMP_Q})
+                   AS ex_q,
+               CAST(ROUND(EXP({eta} * CAST(LEAST(GREATEST(c.ce_q - g.gce_q,
+                                                          0),
+                                                 {DOREMI_CLAMP_Q}) AS DOUBLE)
+                              / 1e9) * 1e5) AS BIGINT) AS qexp,
+               g.m, 1000000 // g.m AS a
+        FROM drce c CROSS JOIN drg g
+    ), {", ".join(its)}
+    SELECT source, n_tokens, CAST(ce_q AS DOUBLE) / 1e9 AS ce_nats,
+           ex_q AS excess_q, CAST(a AS BIGINT) AS alpha_fp,
+           CAST(a // 100 AS BIGINT) AS weight_bp
+    FROM dr{DOREMI_ITERS} ORDER BY source
+    """
+
+
+def _doremi(spark: SparkSession, sf_dir: str, eta: float) -> DataFrame:
+    """Builder with η exposed: at η = 0 every domain's multiplier is 1 and
+    the trajectory must stay exactly uniform (pinned by pytest — the
+    uniform-initialization contract)."""
+    from alertas_spark.operators import memo
+    from alertas_spark.operators.textops import _lm_unigram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (docs.filter(F.col("text").isNotNull())
+         .select("doc_id", "source",
+                 F.explode(F.regexp_extract_all(
+                     F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
+                 .alias("t"))
+         .groupBy("doc_id", "source", "t")
+         .agg(F.count(F.lit(1)).alias("dc")))
+    ct = _lm_unigram_counts(spark, sf_dir)
+    g = ct.agg(F.round(F.log(F.sum("c")) * 1e9).cast("bigint")
+               .alias("qln_n"))
+    qc = F.round(F.log("c") * 1e9).cast("bigint")
+    # ≤|sources|-row loss relation, materialized once (four iterations and
+    # the global reference all derive from it — the fuzzy.py CSE precedent)
+    dom = memo.cached(
+        d.join(ct, "t").crossJoin(F.broadcast(g))
+        .withColumn("term",
+                    F.col("dc").cast("decimal(38,0)")
+                    * (F.col("qln_n") - qc))
+        .groupBy("source")
+        .agg(F.sum("term").alias("num"),
+             F.sum("dc").cast("bigint").alias("den")))
+    dom.count()
+    ce_q = lambda num, den: (  # noqa: E731
+        F.round(num.cast("double") / den.cast("double")).cast("bigint"))
+    drg = dom.agg(ce_q(F.sum("num"), F.sum("den")).alias("gce_q"),
+                  F.count(F.lit(1)).cast("bigint").alias("m"))
+    ex = F.least(F.greatest(ce_q(F.col("num"), F.col("den"))
+                            - F.col("gce_q"), F.lit(0)),
+                 F.lit(DOREMI_CLAMP_Q))
+    cur = (dom.crossJoin(F.broadcast(drg))
+           .withColumn("n_tokens", F.col("den"))
+           .withColumn("ce_q", ce_q(F.col("num"), F.col("den")))
+           .withColumn("ex_q", ex)
+           .withColumn("qexp",
+                       F.round(F.exp(F.lit(eta) * F.col("ex_q")
+                                     .cast("double") / 1e9) * 1e5)
+                       .cast("bigint"))
+           .withColumn("a", F.expr("1000000 div m"))
+           .select("source", "n_tokens", "ce_q", "ex_q", "qexp", "m", "a"))
+    allw = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    for _ in range(DOREMI_ITERS):
+        cur = (cur.withColumn("mnum", F.col("a") * F.col("qexp"))
+               .withColumn("mz", F.sum("mnum").over(allw))
+               .withColumn("a", F.expr(
+                   f"((1000000 - {DOREMI_SMOOTH_FP})"
+                   f" * ((mnum * 1000000) div mz)"
+                   f" + {DOREMI_SMOOTH_FP} * (1000000 div m)) div 1000000"))
+               .drop("mnum", "mz"))
+    return (cur.select("source", "n_tokens",
+                       (F.col("ce_q").cast("double") / 1e9).alias("ce_nats"),
+                       F.col("ex_q").alias("excess_q"),
+                       F.col("a").alias("alpha_fp"),
+                       F.expr("a div 100").alias("weight_bp"))
+            .orderBy("source"))
+
+
+@declare("dataset_mix_doremi", oracle=_doremi_oracle(DOREMI_ETA))
+def dataset_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting: per source, its token mass, its mean
+    cross-entropy under the corpus unigram LM, its clamped excess loss over
+    the corpus reference, and the domain weight after {DOREMI_ITERS}
+    multiplicative-weights rounds with uniform smoothing — the
+    model-signal-derived mixture recipe the corpus-statistics mixers can't
+    produce.  The oracle RETRAINS the full trajectory in unrolled CTEs.
+
+    Plan: the unigram scorer's hash aggs reduced per-source instead of
+    per-document (same shuffle keys), then {DOREMI_ITERS} rounds of window
+    algebra over the ≤|sources|-row relation — nothing after the loss agg
+    grows with the corpus, and the trained weights are broadcastable
+    anywhere."""
+    return _doremi(spark, sf_dir, DOREMI_ETA)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic WEIGHTED sampling without replacement (Efraimidis–Spirakis)
 # ---------------------------------------------------------------------------
 #

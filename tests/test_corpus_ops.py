@@ -865,6 +865,46 @@ def test_unimax_invariants_on_fixture(spark):
             assert not seen_partial, "full allocation after a partial one"
 
 
+# ---------------------------------------------------------------------------
+# dataset_mix_doremi: MW trajectory properties
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_eta_zero_stays_uniform(spark):
+    """The uniform-initialization contract: with η = 0 every domain's
+    multiplier is exactly 1e5, so renormalization returns the uniform share
+    and smoothing mixes uniform with uniform — the trajectory must stay at
+    1000000 div m through every round, bit-exactly."""
+    from alertas_spark.operators.sampling import _doremi
+
+    rows = _doremi(spark, SF, 0.0).collect()
+    assert rows
+    u = 1000000 // len(rows)
+    assert all(r.alpha_fp == u for r in rows)
+
+
+def test_doremi_weights_monotone_in_excess_and_conserved(spark):
+    """Higher excess loss ⇒ weight ≥ that of any lower-excess domain (the
+    MW update is monotone in qexp and order-preserving across rounds from a
+    uniform start), every weight ≥ the smoothing floor, and the floors lose
+    at most a few units of 1e-6 mass per domain per round."""
+    rows = sorted(_run(spark, "dataset_mix_doremi").collect(),
+                  key=lambda r: (r.excess_q, r.source or ""))
+    assert rows
+    m = len(rows)
+    for lo, hi in zip(rows, rows[1:]):
+        if hi.excess_q > lo.excess_q:
+            assert hi.alpha_fp >= lo.alpha_fp
+    from alertas_spark.operators.sampling import (DOREMI_ITERS,
+                                                  DOREMI_SMOOTH_FP)
+
+    floor = DOREMI_SMOOTH_FP * (1000000 // m) // 1000000
+    assert all(r.alpha_fp >= floor for r in rows)
+    total = sum(r.alpha_fp for r in rows)
+    assert 1000000 - (DOREMI_ITERS + 1) * 2 * m <= total <= 1000000
+    assert all(r.weight_bp == r.alpha_fp // 100 for r in rows)
+
+
 def test_lr_calibration_buckets_partition_the_fold(spark):
     from alertas_spark.registry import load_all
 
