@@ -150,3 +150,59 @@ def test_bruteforce_topk_invariant_under_adversarial_partitioning(spark):
 
     base, alt = _adversarial(spark, lambda: simsearch_topk_bruteforce(spark, SF))
     assert base == alt and len(base) > 0
+
+
+# ---------------------------------------------------------------------------
+# IVFADC residual tier (operators/ivfpq.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_standalone_pq_import_registers_the_residual_tier():
+    """A standalone `import pq` in a fresh interpreter must register the
+    residual tier (it lives in pq.py above the dashboard, so the dashboard
+    oracle can reference it without any import-order hazard)."""
+    import subprocess
+    import sys
+
+    code = ("import alertas_spark.operators.pq; "
+            "from alertas_spark.registry import REGISTRY; "
+            "assert 'simsearch_topk_ivfpq_residual' in REGISTRY")
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   cwd="/root/repo", timeout=120)
+
+
+def test_ivfpq_recall_floor_and_probe_containment(spark):
+    """The residual tier must (a) hold a recall floor vs brute force (0.30
+    measured at sf0.001/sf0.01 fixtures; 0.22 vs flat-PQ's 0.14 at sf0.1),
+    and (b) only surface candidates from the query's NPROBE probed cells —
+    the IVF prune contract."""
+    from alertas_spark.operators.pq import (NPROBE,
+                                            simsearch_topk_ivfpq_residual)
+    from alertas_spark.operators.kmeans import _assign
+    from alertas_spark.operators.pq import _normalized
+    from alertas_spark.operators.pq import _coarse_centroids
+    from alertas_spark.operators.simsearch import simsearch_topk_bruteforce
+    from pyspark.sql import functions as F
+
+    out = simsearch_topk_ivfpq_residual(spark, SF).collect()
+    bf = {(r.query_id, r.cand_id)
+          for r in simsearch_topk_bruteforce(spark, SF).collect()}
+    got = {(r.query_id, r.cand_id) for r in out}
+    assert len(got & bf) / len(bf) >= 0.15
+    # probe containment: every candidate's cell is among its query's probes
+    c1 = _coarse_centroids(spark, SF)
+    cells = {r.vec_id: r.cid
+             for r in _assign(_normalized(spark, SF), c1).collect()}
+    qdist = ("aggregate(zip_with(qemb, cvec, (x, y) -> (x - y) * (x - y)), "
+             "cast(0.0 as double), (acc, v) -> acc + v)")
+    probes: dict[int, list] = {}
+    for r in (_normalized(spark, SF)
+              .filter(F.col("vec_id") < 10)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("emb").alias("qemb"))
+              .crossJoin(F.broadcast(c1))
+              .withColumn("qd", F.expr(qdist)).collect()):
+        probes.setdefault(r.query_id, []).append((r.qd, r.cid))
+    for q, cand in got:
+        top = {cid for _, cid in sorted(probes[q])[:NPROBE]}
+        assert cells[cand] in top
