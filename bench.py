@@ -77,6 +77,42 @@ def main() -> None:
     except Exception as ex:
         print(f"# bench warmup skipped: {ex}", file=sys.stderr)
 
+    # One untimed WARMUP QUERY per session (r16 verdict item 1): the first
+    # timed query of a session otherwise absorbs whole-stage-codegen, noop-sink
+    # and Arrow-worker warmup (~2x measured on heavy queries; the r16 record's
+    # 10x multiprobe phantom was first-query-of-session warmup under load).
+    # The warmup runs a real corpus query end-to-end plus one pandas_udf
+    # round-trip so both the codegen and the Arrow paths are hot before any
+    # clock starts.
+    try:
+        from alertas_spark.operators import memo as _memo_wu
+
+        _first = next(iter(registry))
+        registry[_first].builder(spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()
+        _memo_wu.clear()
+        from pyspark.sql.functions import pandas_udf as _pudf
+
+        # lambda form: a def with local type hints is stringified by
+        # `from __future__ import annotations` and pandas_udf can't
+        # resolve the local alias
+        _wu = _pudf(lambda s: s, "long")
+        spark.range(1000).select(_wu("id")) \
+            .write.format("noop").mode("overwrite").save()
+    except Exception as ex:
+        print(f"# bench query warmup skipped: {ex}", file=sys.stderr)
+
+    # Prior committed record, read BEFORE this run overwrites it: the >3x
+    # swing guard below re-times any apparent regression standalone instead
+    # of committing a phantom (r16 verdict item 1c).
+    prior_record: dict = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json")) as fh:
+            prior_record = json.load(fh)
+    except Exception:
+        pass
+
     # Per-query time = min of two COLD passes: a single sample conflates the query
     # with whatever the machine was doing that second (observed 1.5-2x whole-corpus
     # swings between back-to-back runs), and the min is the steady-state cost the
@@ -117,6 +153,43 @@ def main() -> None:
             prev = timings.get(name)
             timings[name] = -1.0 if (t < 0 or (prev is not None and prev < 0)) \
                 else min(t, prev) if prev is not None else t
+
+    # >3x swing guard (r16 verdict item 1c): a per-query regression beyond 3x
+    # vs the prior committed record on IDENTICAL fixtures is, on this repo's
+    # history, machine state — not code (r15: 5x phantoms from a dropped page
+    # cache; r16: a 10x multiprobe phantom from session warmup under load).
+    # Re-time each such query standalone (2 extra cold passes), fold the min
+    # in, and ANNOTATE the record so the round diff shows the evidence
+    # instead of the phantom.
+    retimed: dict[str, dict] = {}
+    try:
+        from alertas_spark.operators.artifacts import dataset_fingerprint as _dfp
+
+        same_fixtures = prior_record.get("fixtures") and all(
+            prior_record["fixtures"].get(t) == _dfp(sf_dir, t)
+            for t in prior_record["fixtures"])
+        if same_fixtures:
+            prior_q = prior_record.get("queries") or {}
+            for name, t in sorted(timings.items()):
+                old = prior_q.get(name)
+                if old is None or old < 1.0 or t <= 3 * old:
+                    continue
+                samples = []
+                for _p in range(2):
+                    memo.clear()
+                    t0 = time.time()
+                    try:
+                        registry[name].builder(spark, sf_dir) \
+                            .write.format("noop").mode("overwrite").save()
+                        samples.append(round(time.time() - t0, 3))
+                    except Exception:
+                        break
+                if samples:
+                    retimed[name] = {"in_loop": t, "standalone": samples,
+                                     "prior": old}
+                    timings[name] = min(t, *samples)
+    except Exception as ex:
+        print(f"# bench swing guard skipped: {ex}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
@@ -264,6 +337,7 @@ def main() -> None:
         fixtures = {}
     record = {
         "cache_state": cache_state,
+        "retimed": retimed,  # >3x swings vs the prior record, re-timed standalone
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "fixtures": fixtures,
         "queries_warm_shared_artifacts": dict(sorted(warm.items())),
@@ -274,7 +348,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "protocol": ("fixture bytes are PRE-TOUCHED before any timing and "
+        "protocol": ("one untimed WARMUP QUERY + one Arrow round-trip run "
+                     "before any clock starts (r17: the first timed query of "
+                     "a session no longer absorbs codegen/Arrow warmup), and "
+                     "any per-query time exceeding 3x the prior committed "
+                     "record on identical fixtures is re-timed standalone "
+                     "and annotated under 'retimed' — never run bench "
+                     "concurrently with pytest or scale probes.  "
+                     "fixture bytes are PRE-TOUCHED before any timing and "
                      "the observed read rate recorded in cache_state — every "
                      "record is page-cache-warm by construction (r16; the "
                      "r15 committed record was a documented cold-cache "

@@ -53,6 +53,11 @@ def merge(records: list[dict]) -> dict:
                 "have only error sentinels across all input runs")
         out[tier] = dict(sorted(merged.items(), key=lambda kv: kv[1]) if
                          tier == "queries" else sorted(merged.items()))
+    rt: dict[str, dict] = {}
+    for r in records:
+        rt.update(r.get("retimed") or {})
+    if rt:
+        out["retimed"] = rt
     batches = [r["alert_batch_wall_clock"] for r in records
                if r.get("alert_batch_wall_clock") is not None]
     if batches:

@@ -104,6 +104,14 @@ QUERIES = [
     "event_type_entropy_per_user",  # two hash aggs (events ×N, r9)
     "streaming_tumbling_5min",     # full streaming machinery + state (events ×N)
     "streaming_sessionize",        # session-window state store (events ×N)
+    "dataset_mix_unimax",          # integer waterfill over ≤|sources| rows (r16)
+    "lr_calibration_curve",        # decile reliability over the LR scores (r16)
+    "quality_rule_battery",        # Gopher/C4 rule battery, conditional agg (r17)
+    "multimodal_clip_gate",        # CLIP alignment gate, 2 embedding joins (r17)
+    "multimodal_clip_retention",   # per-source retention rollup (r17)
+    "gate_marginal_rejection",     # 4-gate ensemble ablation agg (r17)
+    "dataset_mix_doremi",          # MW reweighting over unigram losses (r17)
+    "simsearch_topk_ivfpq_residual",  # IVFADC: coarse cells + residual PQ (r17)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
