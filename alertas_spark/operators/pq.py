@@ -817,26 +817,10 @@ def _residual_codebook(spark: SparkSession, sf_dir: str,
                                build=train)
 
 
-@declare(
-    "simsearch_topk_ivfpq_residual",
-    oracle=f"""
-    WITH {_DUCK_V},
-    {_DUCK_IVFPQ}
-    SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk,
-           ROUND(CAST(adc_q AS DOUBLE) / 1e9, 6) AS score
-    FROM rk WHERE rnk <= {TOP_K}
-    """,
-)
-def simsearch_topk_ivfpq_residual(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
-    """IVFADC top-k: probe the {NPROBE} nearest trained coarse cells, score
-    every candidate in them by summed LUT lookups over its residual PQ code
-    (each sub-distance quantized to 1e-9-unit bigints before the 4-term
-    sum), exact two-phase rank ascending.  ``score`` is the approximate L2²
-    between query and candidate residual reconstructions — monotone in the
-    ranking, comparable to ``simsearch_topk_pq``'s ADC distance."""
-    from alertas_spark.operators.topk import ranked_topk
-
+def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc_q): every candidate in each query's NPROBE
+    probed cells with its quantized ADC distance — the shared front half of
+    the residual tier and its +R refinement."""
     c1 = _coarse_centroids(spark, sf_dir)
     cw1 = _residual_codebook(spark, sf_dir, c1)
     codes = _assign_sub(_residual_subs(spark, sf_dir, c1), cw1)
@@ -860,19 +844,85 @@ def simsearch_topk_ivfpq_residual(spark: SparkSession,
     lut = (probes.crossJoin(F.broadcast(cw1.withColumnRenamed("c", "lc")))
            .withColumn("sd", F.expr(lutsub))
            .select("query_id", "cid", "m", "lc", "sd"))
-    scored = (codes
-              .join(F.broadcast(lut), ["cid", "m"])
-              .filter(F.col("lc") == F.col("c"))
-              .filter(F.col("query_id") != F.col("vec_id"))
-              .groupBy("query_id", "vec_id")
-              .agg(F.sum(F.round(F.col("sd") * 1e9).cast("bigint"))
-                   .alias("adc_q")))
+    return (codes
+            .join(F.broadcast(lut), ["cid", "m"])
+            .filter(F.col("lc") == F.col("c"))
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum(F.round(F.col("sd") * 1e9).cast("bigint"))
+                 .alias("adc_q")))
+
+
+@declare(
+    "simsearch_topk_ivfpq_residual",
+    oracle=f"""
+    WITH {_DUCK_V},
+    {_DUCK_IVFPQ}
+    SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk,
+           ROUND(CAST(adc_q AS DOUBLE) / 1e9, 6) AS score
+    FROM rk WHERE rnk <= {TOP_K}
+    """,
+)
+def simsearch_topk_ivfpq_residual(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """IVFADC top-k: probe the {NPROBE} nearest trained coarse cells, score
+    every candidate in them by summed LUT lookups over its residual PQ code
+    (each sub-distance quantized to 1e-9-unit bigints before the 4-term
+    sum), exact two-phase rank ascending.  ``score`` is the approximate L2²
+    between query and candidate residual reconstructions — monotone in the
+    ranking, comparable to ``simsearch_topk_pq``'s ADC distance."""
+    from alertas_spark.operators.topk import ranked_topk
+
+    scored = _ivfpq_scored(spark, sf_dir)
     return (ranked_topk(scored, "query_id", "adc_q", "vec_id", TOP_K,
                         ascending=True)
             .select("query_id", F.col("vec_id").alias("cand_id"),
                     F.col("rnk").cast("int").alias("rnk"),
                     F.round(F.col("adc_q").cast("double") / 1e9, 6)
                     .alias("score")))
+
+
+@declare(
+    "simsearch_topk_ivfpq_rerank",
+    oracle=f"""
+    WITH {_DUCK_V},
+    {_DUCK_IVFPQ},
+    rshort AS (SELECT query_id, cand_id FROM rk WHERE rnk <= {SHORTLIST}),
+    rrr AS (
+        SELECT s.query_id, s.cand_id,
+               list_reduce(list_transform(range(1, {M * SUBDIM} + 1),
+                   i -> q.emb[i] * c.emb[i]), (x, y) -> x + y) AS cos
+        FROM rshort s
+        JOIN v c ON c.vec_id = s.cand_id
+        JOIN v q ON q.vec_id = s.query_id
+    ),
+    rrr_ranked AS (
+        SELECT query_id, cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM rrr
+    )
+    SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk,
+           ROUND(cos, 6) AS score
+    FROM rrr_ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def simsearch_topk_ivfpq_rerank(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """IVFADC+R (Jégou et al. 2011 §V): the residual tier's ADC ranking
+    shortlists {SHORTLIST} candidates per query from the probed cells, then
+    ONLY those rows are re-ranked with the exact cosine — the published
+    refinement that recovers near-exact recall at O(N_QUERIES × SHORTLIST)
+    exact-distance work.  Same contract as ``simsearch_topk_pq_reranked``,
+    with the IVF prune and residual codes underneath.
+
+    Scale shape: the residual tier's shape plus one broadcast-shortlist hash
+    join on ``vec_id`` and a {SHORTLIST}-row-group re-rank window."""
+    from alertas_spark.operators.topk import ranked_topk
+
+    short = ranked_topk(_ivfpq_scored(spark, sf_dir), "query_id", "adc_q",
+                        "vec_id", SHORTLIST, ascending=True)
+    return _rerank_from_adc(spark, sf_dir, short)
 
 
 # ---------------------------------------------------------------------------
@@ -895,6 +945,7 @@ def _recall_oracle() -> str:
         "pq": REGISTRY["simsearch_topk_pq"].oracle,
         "pq_rerank": REGISTRY["simsearch_topk_pq_reranked"].oracle,
         "ivfpq_residual": REGISTRY["simsearch_topk_ivfpq_residual"].oracle,
+        "ivfpq_rerank": REGISTRY["simsearch_topk_ivfpq_rerank"].oracle,
     }
     evals = "\nUNION ALL\n".join(f"""
     SELECT '{name}' AS method, bf.query_id,
@@ -920,12 +971,15 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined to the truth set on (query, candidate).
 
     Mean recall@5 on the sf0.01 fixture: ivf 0.20, ivf_multiprobe 0.30,
-    ivfpq_residual 0.30, pq 0.34, pq_rerank 0.58, ivf_trained 0.76 — the
-    cost/quality ladder a user picks from (probe count, training, residual
-    encoding, and re-ranking are the four knobs).  At sf0.1 the residual
-    tier overtakes flat PQ decisively (0.22 vs 0.14) while scanning only
-    NPROBE=4 of the 8 cells — the published IVFADC property; the sf0.01 gap
-    is two pairs of seed noise on a 500-vector corpus.
+    ivfpq_residual 0.30, pq 0.34, pq_rerank 0.58, ivf_trained 0.76,
+    ivfpq_rerank 0.84 — the cost/quality ladder a user picks from (probe
+    count, training, residual encoding, and re-ranking are the four knobs).
+    At sf0.1 the residual tier overtakes flat PQ decisively (0.22 vs 0.14)
+    while scanning only NPROBE=4 of the 8 cells — the published IVFADC
+    property (the sf0.01 gap is two pairs of seed noise on a 500-vector
+    corpus) — and IVFADC+R holds the rerank crown there too (0.68 vs
+    pq_rerank's 0.56): the residual shortlist captures better candidates
+    than the flat-PQ shortlist at every scale.
 
     Reuse structure (results identical to running each declared tier alone):
     the ADC shortlist is computed ONCE and shared by the pq and pq_rerank tiers
@@ -950,6 +1004,7 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq": lambda: _topk_from_adc(shortlist),
         "pq_rerank": lambda: _rerank_from_adc(spark, sf_dir, shortlist),
         "ivfpq_residual": lambda: simsearch_topk_ivfpq_residual(spark, sf_dir),
+        "ivfpq_rerank": lambda: simsearch_topk_ivfpq_rerank(spark, sf_dir),
     }
     # Truth set computed ONCE (the brute-force scan is the expensive side),
     # replicated across the five method labels; all tiers union into one tiny

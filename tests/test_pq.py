@@ -206,3 +206,23 @@ def test_ivfpq_recall_floor_and_probe_containment(spark):
     for q, cand in got:
         top = {cid for _, cid in sorted(probes[q])[:NPROBE]}
         assert cells[cand] in top
+
+
+def test_ivfpq_rerank_beats_adc_and_scores_exactly(spark):
+    """IVFADC+R must (a) beat the raw residual-ADC recall, (b) agree with
+    the brute-force cosine wherever the same (query, cand) pair appears —
+    the simsearch_topk_pq_reranked contract over the IVF-pruned shortlist."""
+    from alertas_spark.operators.pq import (simsearch_topk_ivfpq_rerank,
+                                            simsearch_topk_ivfpq_residual)
+    from alertas_spark.operators.simsearch import simsearch_topk_bruteforce
+
+    bf = {(r.query_id, r.cand_id): r.score
+          for r in simsearch_topk_bruteforce(spark, SF).collect()}
+    adc = {(r.query_id, r.cand_id)
+           for r in simsearch_topk_ivfpq_residual(spark, SF).collect()}
+    rr = {(r.query_id, r.cand_id): r.score
+          for r in simsearch_topk_ivfpq_rerank(spark, SF).collect()}
+    assert len(rr.keys() & bf.keys()) > len(adc & bf.keys())
+    for pair, score in rr.items():
+        if pair in bf:
+            assert score == bf[pair]

@@ -112,6 +112,7 @@ QUERIES = [
     "gate_marginal_rejection",     # 4-gate ensemble ablation agg (r17)
     "dataset_mix_doremi",          # MW reweighting over unigram losses (r17)
     "simsearch_topk_ivfpq_residual",  # IVFADC: coarse cells + residual PQ (r17)
+    "simsearch_topk_ivfpq_rerank",    # IVFADC+R: exact-cosine shortlist (r17)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
