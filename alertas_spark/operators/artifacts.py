@@ -107,6 +107,9 @@ PERSISTENT_QUERIES = frozenset({
     "pipeline_quality_ensemble",    # LR gate composed with the ppl terciles
     "gate_marginal_rejection",      # per-gate audit over the same ensemble
     "dataset_mix_doremi",           # MW reweighting over the lm_unigram loss
+    "wordpiece_train_vocab",        # wordpiece.py likelihood-merge table
+    "wordpiece_token_count",        # greedy apply over the same artifact
+    "wordpiece_fertility",          # per-lang fertility over the same apply
 })
 
 

@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.rulebattery",
     "alertas_spark.operators.kneser_ney",
     "alertas_spark.operators.bpe",
+    "alertas_spark.operators.wordpiece",
     "alertas_spark.operators.ulm",
     "alertas_spark.operators.bpe_bytes",
     "alertas_spark.operators.sessionize",

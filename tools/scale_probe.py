@@ -113,6 +113,8 @@ QUERIES = [
     "dataset_mix_doremi",          # MW reweighting over unigram losses (r17)
     "simsearch_topk_ivfpq_residual",  # IVFADC: coarse cells + residual PQ (r17)
     "simsearch_topk_ivfpq_rerank",    # IVFADC+R: exact-cosine shortlist (r17)
+    "wordpiece_train_vocab",          # likelihood-merge trainer (r17)
+    "wordpiece_token_count",          # greedy longest-match apply (r17)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
