@@ -110,6 +110,7 @@ PERSISTENT_QUERIES = frozenset({
     "wordpiece_train_vocab",        # wordpiece.py likelihood-merge table
     "wordpiece_token_count",        # greedy apply over the same artifact
     "wordpiece_fertility",          # per-lang fertility over the same apply
+    "pack_sequences_wordpiece",     # packing on the wordpiece token counts
 })
 
 

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from alertas_spark.operators.artifacts import persistent_artifact
 from alertas_spark.operators.bpe import (VOCAB_TOP, _doc_token_counts,
                                          _doc_words, _WORD_RE)
+from alertas_spark.operators.packing import PACK_BUDGET
 from alertas_spark.registry import declare
 
 WP_MERGES = 16
@@ -357,3 +358,43 @@ def wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "n_words", "n_tokens",
                     F.expr("(10000 * n_tokens) div n_words").alias("fert_bp"))
             .orderBy("lang"))
+
+
+@declare(
+    "pack_sequences_wordpiece",
+    oracle=f"""
+    WITH {_wp_train_ctes()},
+    {_wp_apply_ctes()},
+    wp_dt AS MATERIALIZED (
+        SELECT docw.doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM docw JOIN tokc USING (word) GROUP BY docw.doc_id),
+    wp_ds AS (SELECT d.doc_id, d.source, t.n_tokens
+              FROM documents d JOIN wp_dt t USING (doc_id))
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {PACK_BUDGET} AS INTEGER) AS pack_id
+    FROM wp_ds
+    """,
+)
+def pack_sequences_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on WordPiece subword counts — the fourth and final
+    cell of the tokenizer × packing matrix (BPE / byte-BPE / ULM /
+    WordPiece): pack budgets cut on the greedy-longest-match token totals a
+    WordPiece-tokenized dataloader consumes.  Same scale shape as the
+    siblings: per-source shard windows only, never one global cumsum."""
+    from pyspark.sql import Window
+
+    from alertas_spark.sources.catalog import load_table
+
+    per_doc = (wordpiece_token_count(spark, sf_dir)
+               .select("doc_id", F.col("n_tokens")))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (docs.join(per_doc, "doc_id")
+            .select("doc_id", "source", "n_tokens",
+                    F.floor(cum_before / PACK_BUDGET).cast("int")
+                    .alias("pack_id")))

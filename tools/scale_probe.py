@@ -115,6 +115,7 @@ QUERIES = [
     "simsearch_topk_ivfpq_rerank",    # IVFADC+R: exact-cosine shortlist (r17)
     "wordpiece_train_vocab",          # likelihood-merge trainer (r17)
     "wordpiece_token_count",          # greedy longest-match apply (r17)
+    "pack_sequences_wordpiece",       # packing on wordpiece counts (r17)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
