@@ -111,6 +111,7 @@ PERSISTENT_QUERIES = frozenset({
     "wordpiece_token_count",        # greedy apply over the same artifact
     "wordpiece_fertility",          # per-lang fertility over the same apply
     "pack_sequences_wordpiece",     # packing on the wordpiece token counts
+    "decontaminate_minkprob",       # Min-K% over the lm_unigram artifact
 })
 
 

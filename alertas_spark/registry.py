@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.pq",
     "alertas_spark.operators.textops",
     "alertas_spark.operators.rulebattery",
+    "alertas_spark.operators.minkprob",
     "alertas_spark.operators.kneser_ney",
     "alertas_spark.operators.bpe",
     "alertas_spark.operators.wordpiece",

@@ -905,6 +905,33 @@ def test_doremi_weights_monotone_in_excess_and_conserved(spark):
     assert all(r.weight_bp == r.alpha_fp // 100 for r in rows)
 
 
+def test_minkprob_partial_boundary_slice_hand_computed(spark, tmp_path):
+    """The bottom-k% cut must take an exact PARTIAL slice of the boundary
+    type.  Corpus: doc1 = a×4 b×4 c×2, doc2 = a×3 b×7 → counts a=7, b=11,
+    c=2, N=20.  doc2 has n=10, k=2; its rarest type is a (dc=3), so the cut
+    takes 2 of the 3 'a' occurrences mid-type and Min-K% = ln(20/7).
+    doc1's cut takes all of c (dc=2) exactly: Min-K% = ln(20/2)."""
+    import math
+
+    import pandas as pd
+
+    from alertas_spark.registry import load_all
+
+    df = pd.DataFrame(
+        [(1, "a a a a b b b b c c", "en", "s", 19),
+         (2, "a a a b b b b b b b", "en", "s", 19)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = {r.doc_id: r for r in
+           load_all()["decontaminate_minkprob"]
+           .builder(spark, str(tmp_path)).collect()}
+    assert out[1].n_tokens == 10 and out[1].k_tokens == 2
+    assert out[1].mink_nats == round(math.log(20 / 2), 6)
+    assert out[2].mink_nats == round(math.log(20 / 7), 6)
+    # both well under τ on this tiny corpus → flagged as members
+    assert out[1].member_flag == 1 and out[2].member_flag == 1
+
+
 def test_lr_calibration_buckets_partition_the_fold(spark):
     from alertas_spark.registry import load_all
 

@@ -116,6 +116,7 @@ QUERIES = [
     "wordpiece_train_vocab",          # likelihood-merge trainer (r17)
     "wordpiece_token_count",          # greedy longest-match apply (r17)
     "pack_sequences_wordpiece",       # packing on wordpiece counts (r17)
+    "decontaminate_minkprob",         # Min-K% membership inference (r17)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
