@@ -112,6 +112,7 @@ PERSISTENT_QUERIES = frozenset({
     "wordpiece_fertility",          # per-lang fertility over the same apply
     "pack_sequences_wordpiece",     # packing on the wordpiece token counts
     "decontaminate_minkprob",       # Min-K% over the lm_unigram artifact
+    "wordpiece_vocab_census",       # greedy-path census, same wp artifact
 })
 
 

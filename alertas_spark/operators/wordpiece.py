@@ -251,13 +251,15 @@ def _wp_apply_ctes(n_merges: int = WP_MERGES) -> str:
         FROM wpm)""",
              f"""g0 AS MATERIALIZED (
         SELECT word, CAST(length(word) AS INTEGER) AS len,
-               1 AS pos, CAST(0 AS BIGINT) AS ntok
+               1 AS pos, CAST(0 AS BIGINT) AS ntok, '' AS path
         FROM (SELECT DISTINCT word FROM docw)
         WHERE length(word) <= {WP_LMAX})"""]
     for t in range(1, WP_LMAX + 1):
         parts.append(f"""bp{t} AS MATERIALIZED (
-        SELECT word, plen FROM (
+        SELECT word, plen, piece_out FROM (
             SELECT g.word, v.plen,
+                   CASE WHEN g.pos > 1 THEN '##' || v.match_text
+                        ELSE v.match_text END AS piece_out,
                    ROW_NUMBER() OVER (PARTITION BY g.word
                                       ORDER BY v.plen DESC) AS rn
             FROM g{t - 1} g JOIN wpv v
@@ -269,12 +271,17 @@ def _wp_apply_ctes(n_merges: int = WP_MERGES) -> str:
         SELECT g.word, g.len,
                CASE WHEN g.pos > g.len THEN g.pos
                     ELSE g.pos + bp.plen END AS pos,
-               g.ntok + CASE WHEN g.pos > g.len THEN 0 ELSE 1 END AS ntok
+               g.ntok + CASE WHEN g.pos > g.len THEN 0 ELSE 1 END AS ntok,
+               g.path || CASE WHEN g.pos > g.len THEN ''
+                              ELSE '||' || bp.piece_out END AS path
         FROM g{t - 1} g LEFT JOIN bp{t} bp USING (word))""")
+    # the horizon-fallback branch's path is its atom display — exactly the
+    # WordPiece initial state string
     parts.append(f"""tokc AS MATERIALIZED (
-        SELECT word, ntok FROM g{WP_LMAX}
+        SELECT word, ntok, path FROM g{WP_LMAX}
         UNION ALL
-        SELECT word, CAST(length(word) AS BIGINT) AS ntok
+        SELECT word, CAST(length(word) AS BIGINT) AS ntok,
+               {_STATE_WP_SQL} AS path
         FROM (SELECT DISTINCT word FROM docw)
         WHERE length(word) > {WP_LMAX})""")
     return ",\n".join(parts)
@@ -398,3 +405,77 @@ def pack_sequences_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_tokens",
                     F.floor(cum_before / PACK_BUDGET).cast("int")
                     .alias("pack_id")))
+
+
+def _wp_pieces(word: str, plain: set[str], cont: set[str],
+               maxlen: int) -> list[str]:
+    """Greedy piece LIST in display form (continuation pieces carry ``##``)
+    — :func:`_wp_ntok`'s twin for consumers needing identities, with the
+    same horizon fallback (atom display for words beyond ``WP_LMAX``)."""
+    if len(word) > WP_LMAX:
+        return _wp_atoms(word)
+    pos, out = 0, []
+    while pos < len(word):
+        vs = plain if pos == 0 else cont
+        take = 1
+        for ln in range(min(maxlen, len(word) - pos), 0, -1):
+            if word[pos:pos + ln] in vs:
+                take = ln
+                break
+        out.append(("##" if pos else "") + word[pos:pos + take])
+        pos += take
+    return out
+
+
+@declare(
+    "wordpiece_vocab_census",
+    oracle=f"""
+    WITH {_wp_train_ctes()},
+    {_wp_apply_ctes()},
+    wf AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM docw GROUP BY word),
+    wt AS MATERIALIZED (
+        SELECT word, t.tok AS piece
+        FROM (SELECT word, list_filter(string_split(path, '||'), x -> x <> '')
+                  AS tk FROM tokc),
+        LATERAL unnest(tk) AS t(tok))
+    SELECT wt.piece,
+           CAST(sum(wf.freq) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT wt.word) AS BIGINT) AS n_words
+    FROM wt JOIN wf USING (word)
+    GROUP BY wt.piece
+    ORDER BY n_occurrences DESC, piece
+    LIMIT 50
+    """,
+)
+def wordpiece_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The piece vocabulary the trained WordPiece tokenizer actually EMITS on
+    this corpus — top 50 pieces by word-frequency-weighted occurrence with
+    distinct-word reach, continuation pieces in their ``##`` display form —
+    the post-training inspection the BPE/byte-BPE/ULM censuses run, closing
+    the census symmetry across all four tokenizer families.
+
+    Scale shape: the census is the greedy apply's piece lists (Arrow UDF over
+    DISTINCT words) exploded against one corpus word-frequency hash agg; the
+    top-k is a TakeOrderedAndProject over a (piece)-keyed combinable agg.
+    (occurrences DESC, piece) is a total order, so the LIMIT is
+    deterministic."""
+    from alertas_spark.operators import memo
+
+    bc = memo.session_value(
+        spark, ("wp_vocab_bc", sf_dir),
+        lambda: spark.sparkContext.broadcast(_wp_vocab_sets(spark, sf_dir)))
+
+    @F.pandas_udf("array<string>")
+    def pieces(words: pd.Series) -> pd.Series:
+        plain, cont, maxlen = bc.value
+        return words.map(lambda w: _wp_pieces(w, plain, cont, maxlen))
+
+    docw = _doc_words(spark, sf_dir)
+    wf = docw.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    wt = wf.withColumn("piece", F.explode(pieces(F.col("word"))))
+    return (wt.groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("n_occurrences"),
+                 F.countDistinct("word").cast("bigint").alias("n_words"))
+            .orderBy(F.desc("n_occurrences"), "piece")
+            .limit(50))

@@ -117,6 +117,7 @@ QUERIES = [
     "wordpiece_token_count",          # greedy longest-match apply (r17)
     "pack_sequences_wordpiece",       # packing on wordpiece counts (r17)
     "decontaminate_minkprob",         # Min-K% membership inference (r17)
+    "wordpiece_vocab_census",         # greedy piece census (r17)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
