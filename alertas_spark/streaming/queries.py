@@ -648,3 +648,29 @@ def streaming_lr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ql = _REG["streaming_lr_gate"]
 _REG["streaming_lr_gate"] = _DQ(
     _ql.name, _ql.builder, _lr_gate_oracle(), _ql.doc, _ql.late)
+
+
+# ---------------------------------------------------------------------------
+# Heuristic rule battery served on the stream
+# ---------------------------------------------------------------------------
+
+def _rule_gate_oracle() -> str:
+    from alertas_spark.operators.rulebattery import RB_BITS_SQL
+
+    return RB_BITS_SQL
+
+
+@declare("streaming_rule_gate", oracle=_rule_gate_oracle())
+def streaming_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/C4 rule battery SERVED ON THE STREAM — the cheapest gate
+    in the streaming family: every rule is a pure JVM scan expression
+    (integer-comparison thresholds, no model, no artifact, no state), so the
+    tier pins only that the battery's regex/length algebra survives
+    incremental planning.  Emits each arriving document's per-rule bits and
+    the combined verdict; full replay equals the batch ``rule_bits`` relation
+    row-for-row, and the oracle IS that relation's SQL.  Stateless append
+    stream — no watermark, no state store."""
+    from alertas_spark.operators.rulebattery import rule_bits
+
+    docs = ev.read_documents_stream(spark, sf_dir)
+    return ev.run_to_memory(rule_bits(docs), output_mode="append")

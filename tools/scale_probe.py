@@ -118,6 +118,7 @@ QUERIES = [
     "pack_sequences_wordpiece",       # packing on wordpiece counts (r17)
     "decontaminate_minkprob",         # Min-K% membership inference (r17)
     "wordpiece_vocab_census",         # greedy piece census (r17)
+    "streaming_rule_gate",            # rule battery under micro-batch (r17)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
