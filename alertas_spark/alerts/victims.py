@@ -2,8 +2,11 @@
 
 MVVD ≙ /root/reference/src/alertas/alerta_mvvd.py:29-69 — the disjunctive-key join
 (SURVEY §2.3 J10): a new victim matches a past victim on person id ∨ CPF ∨ RG ∨
-(name, mother) ∨ (name, birthdate).  Spark cannot hash-join an OR-predicate, so it
-stays a UNION ALL of five equi-joins + DISTINCT, exactly like the reference.
+(name, mother) ∨ (name, birthdate).  The reference runs a 5-way UNION ALL of
+equi-joins + DISTINCT; this module instead explodes each victim into identity
+facets (one row per non-null key, tagged by facet kind) and runs a SINGLE equi
+join on the facet key — a result-identical rewrite that shuffles each side once
+instead of five times.  See the inline note below for the facet encoding.
 
 DT2I ≙ alerta_dt2i.py:27-97 — docs with a recent (≤7 days) andamento that also carry
 a ciência followed by a recurso (appeal chain reaching second instance).

@@ -112,6 +112,8 @@ PERSISTENT_QUERIES = frozenset({
     "wordpiece_fertility",          # per-lang fertility over the same apply
     "pack_sequences_wordpiece",     # packing on the wordpiece token counts
     "decontaminate_minkprob",       # Min-K% over the lm_unigram artifact
+    "decontaminate_panel",          # 5-axis panel — minkprob axis rides lm_unigram
+    "decontaminate_panel_marginal",  # per-axis ablation over the same panel
     "wordpiece_vocab_census",       # greedy-path census, same wp artifact
 })
 

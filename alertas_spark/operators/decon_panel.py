@@ -1,0 +1,270 @@
+"""Composed five-axis benchmark-decontamination panel — ONE leakage report.
+
+The corpus carries five independent leakage screens, each its own declared
+query: exact word-5-gram overlap (``decontaminate_overlap``), the bloom-filter
+sketch of the same grams (``decontaminate_bloom``), MinHash near-duplicate
+match (``decontaminate_minhash``), nearest-eval embedding cosine
+(``decontaminate_embedding``), and Min-K% Prob model-signal membership
+(``decontaminate_minkprob``).  A production decontamination run does not read
+five reports — it reads ONE per-document verdict relation with every axis's
+flag and evidence, plus a per-axis marginal-rejection ablation (the
+``gate_marginal_rejection`` pattern) telling it which screen is binding and
+which is redundant.  This module is that composition.
+
+Axis → document conventions (each inherited from its axis query, not
+re-decided here):
+
+* overlap / bloom / minhash / minkprob key directly on ``doc_id``;
+* the embedding axis sweeps the document's caption/text vector
+  ``embeddings[vec_id = doc_id]`` (the clipgate.py:11 caption convention) —
+  documents without a valid vector simply carry no embedding evidence;
+* a document that plays EVAL stand-in for some axis cannot be flagged by that
+  axis (it is not on that axis's training side) — its flag is 0 there, which
+  is the honest reading: the panel reports leakage *of the training corpus*.
+
+Oracle stitching: each axis's REGISTERED oracle is embedded verbatim as a
+scoped subquery (``FROM (WITH … SELECT …)``) — DuckDB scopes the inner WITH
+names locally, so the five axis namespaces (which collide heavily: ``bench``,
+``train``, ``scored``, the unigram ``tok/d/ct/g`` family) cannot mis-bind,
+and any future edit to an axis oracle flows into the panel automatically
+instead of desyncing a hand-copied fragment.  (minkprob's CTEs were
+additionally renamed to ``mkp_*`` so top-level stitches elsewhere stay safe.)
+
+Scale shape: the five axes keep their own audited shapes (broadcast
+benchmark sides, banded candidates, bounded model state); the stitch itself
+is five equi-joins on ``doc_id`` — the exchange partitioning is reused across
+all five joins, so the panel adds ONE corpus shuffle over the axis costs,
+and the marginal table collapses it to a conditional hash-agg + 5-row
+unpivot (map-side partials).
+
+No reference counterpart; extension operator per the training-data-pipeline
+brief (the DataComp/GPT-3 appendix-C decontamination REPORT, answered
+relationally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the five axis modules must be imported (declares run) before their oracles
+# are read out of REGISTRY below — keep decon_panel AFTER them in
+# registry._QUERY_MODULES
+from alertas_spark.operators.bloom import decontaminate_bloom
+from alertas_spark.operators.dedup import decontaminate_minhash
+from alertas_spark.operators.minkprob import decontaminate_minkprob
+from alertas_spark.operators.simsearch import decontaminate_embedding
+from alertas_spark.operators.textops import decontaminate_overlap
+from alertas_spark.registry import REGISTRY, declare
+from alertas_spark.sources.catalog import load_table
+
+#: panel axes in output order (alphabetical — the marginal table's ORDER BY).
+PANEL_AXES = ("bloom", "embedding", "minhash", "minkprob", "overlap")
+
+
+def _panel_ctes() -> str:
+    """The stitched CTE chain ending in ``pnl(doc_id, …flags…, n_axes,
+    leaked)`` — every axis oracle embedded verbatim as a scoped subquery."""
+    ov = REGISTRY["decontaminate_overlap"].oracle
+    bl = REGISTRY["decontaminate_bloom"].oracle
+    mh = REGISTRY["decontaminate_minhash"].oracle
+    em = REGISTRY["decontaminate_embedding"].oracle
+    mk = REGISTRY["decontaminate_minkprob"].oracle
+    return f"""pnl_ov AS MATERIALIZED (
+        SELECT doc_id, CAST(n_shared_ngrams AS BIGINT) AS ov_ngrams
+        FROM ({ov}) ov
+    ), pnl_bl AS MATERIALIZED (
+        SELECT doc_id, CAST(n_flagged_grams AS BIGINT) AS bl_grams
+        FROM ({bl}) bl
+    ), pnl_mh AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS mh_matches,
+               MAX(jaccard) AS mh_best_jaccard
+        FROM ({mh}) mh GROUP BY doc_id
+    ), pnl_em AS MATERIALIZED (
+        SELECT vec_id AS doc_id, score AS em_cos,
+               CAST(contaminated AS INTEGER) AS em_flag
+        FROM ({em}) em
+    ), pnl_mk AS MATERIALIZED (
+        SELECT doc_id, mink_nats, CAST(member_flag AS INTEGER) AS mk_flag
+        FROM ({mk}) mk
+    ), pnl AS MATERIALIZED (
+        SELECT d.doc_id,
+               COALESCE(ov.ov_ngrams, 0) AS n_shared_ngrams,
+               COALESCE(bl.bl_grams, 0) AS n_bloom_grams,
+               COALESCE(mh.mh_matches, 0) AS n_minhash_matches,
+               mh.mh_best_jaccard AS best_jaccard,
+               em.em_cos AS nearest_eval_cos,
+               mk.mink_nats AS mink_nats,
+               CAST(CASE WHEN ov.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END AS INTEGER) AS flag_overlap,
+               CAST(CASE WHEN bl.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END AS INTEGER) AS flag_bloom,
+               CAST(CASE WHEN mh.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END AS INTEGER) AS flag_minhash,
+               CAST(COALESCE(em.em_flag, 0) AS INTEGER) AS flag_embedding,
+               CAST(COALESCE(mk.mk_flag, 0) AS INTEGER) AS flag_minkprob
+        FROM documents d
+        LEFT JOIN pnl_ov ov ON ov.doc_id = d.doc_id
+        LEFT JOIN pnl_bl bl ON bl.doc_id = d.doc_id
+        LEFT JOIN pnl_mh mh ON mh.doc_id = d.doc_id
+        LEFT JOIN pnl_em em ON em.doc_id = d.doc_id
+        LEFT JOIN pnl_mk mk ON mk.doc_id = d.doc_id
+    )"""
+
+
+_PANEL_SELECT = """
+    SELECT doc_id, n_shared_ngrams, n_bloom_grams, n_minhash_matches,
+           best_jaccard, nearest_eval_cos, mink_nats,
+           flag_overlap, flag_bloom, flag_minhash, flag_embedding,
+           flag_minkprob,
+           CAST(flag_overlap + flag_bloom + flag_minhash + flag_embedding
+                + flag_minkprob AS INTEGER) AS n_axes,
+           CAST(CASE WHEN flag_overlap + flag_bloom + flag_minhash
+                          + flag_embedding + flag_minkprob >= 1
+                     THEN 1 ELSE 0 END AS INTEGER) AS leaked
+    FROM pnl
+"""
+
+
+def _panel_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of the ``pnl`` CTE — shared by the verdict query and
+    the marginal audit.
+
+    Each axis relation is materialized ONCE per session via the artifact memo
+    (``localCheckpoint``) before the five-way stitch: a single stitched
+    megaplan of all five axis plans measured ~5× slower than the sum of its
+    parts at sf0.01 — Catalyst optimization + whole-stage-codegen compile
+    cost grows superlinearly in plan size — and the checkpoint also lets the
+    verdict query and the marginal audit share the axis runs in a session.
+    The materialized relations are per-document thin projections (flag +
+    evidence), i.e. bounded by the corpus row count, never by pair work."""
+    from alertas_spark.operators.memo import session_artifact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ov = session_artifact(
+        spark, ("decon_axis_overlap", sf_dir),
+        lambda: decontaminate_overlap(spark, sf_dir)
+        .select("doc_id",
+                F.col("n_shared_ngrams").cast("bigint").alias("ov_ngrams"),
+                F.lit(1).alias("ov_hit")).localCheckpoint())
+    bl = session_artifact(
+        spark, ("decon_axis_bloom", sf_dir),
+        lambda: decontaminate_bloom(spark, sf_dir)
+        .select("doc_id",
+                F.col("n_flagged_grams").cast("bigint").alias("bl_grams"),
+                F.lit(1).alias("bl_hit")).localCheckpoint())
+    mh = session_artifact(
+        spark, ("decon_axis_minhash", sf_dir),
+        lambda: decontaminate_minhash(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mh_matches"),
+             F.max("jaccard").alias("mh_best_jaccard"))
+        .withColumn("mh_hit", F.lit(1)).localCheckpoint())
+    em = session_artifact(
+        spark, ("decon_axis_embedding", sf_dir),
+        lambda: decontaminate_embedding(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("score").alias("em_cos"),
+                F.col("contaminated").cast("int").alias("em_flag"))
+        .localCheckpoint())
+    mk = session_artifact(
+        spark, ("decon_axis_minkprob", sf_dir),
+        lambda: decontaminate_minkprob(spark, sf_dir)
+        .select("doc_id", "mink_nats",
+                F.col("member_flag").cast("int").alias("mk_flag"))
+        .localCheckpoint())
+    return (docs
+            .join(ov, "doc_id", "left")
+            .join(bl, "doc_id", "left")
+            .join(mh, "doc_id", "left")
+            .join(em, "doc_id", "left")
+            .join(mk, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("ov_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+                F.coalesce("bl_grams", F.lit(0)).alias("n_bloom_grams"),
+                F.coalesce("mh_matches", F.lit(0))
+                .alias("n_minhash_matches"),
+                F.col("mh_best_jaccard").alias("best_jaccard"),
+                F.col("em_cos").alias("nearest_eval_cos"),
+                "mink_nats",
+                F.coalesce("ov_hit", F.lit(0)).cast("int")
+                .alias("flag_overlap"),
+                F.coalesce("bl_hit", F.lit(0)).cast("int")
+                .alias("flag_bloom"),
+                F.coalesce("mh_hit", F.lit(0)).cast("int")
+                .alias("flag_minhash"),
+                F.coalesce("em_flag", F.lit(0)).cast("int")
+                .alias("flag_embedding"),
+                F.coalesce("mk_flag", F.lit(0)).cast("int")
+                .alias("flag_minkprob")))
+
+
+_FLAG_COLS = ("flag_overlap", "flag_bloom", "flag_minhash",
+              "flag_embedding", "flag_minkprob")
+
+
+@declare("decontaminate_panel",
+         oracle=f"WITH {_panel_ctes()} {_PANEL_SELECT}")
+def decontaminate_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document leakage report: every axis's flag plus its evidence
+    (shared-5-gram count, bloom-flagged-gram count, MinHash match count and
+    best verified Jaccard, nearest-eval cosine, Min-K% nats), the number of
+    axes flagging, and the any-axis ``leaked`` verdict a curation run
+    anti-joins against.
+
+    Plan: the five audited axis plans, stitched by five LEFT equi-joins on
+    ``doc_id`` (one reusable exchange partitioning).  Evidence columns are
+    NULL where an axis has no observation (no vector, no tokens, no match);
+    counts coalesce to 0."""
+    n_axes = sum(F.col(c) for c in _FLAG_COLS)
+    return (_panel_df(spark, sf_dir)
+            .withColumn("n_axes", n_axes.cast("int"))
+            .withColumn("leaked", (n_axes >= 1).cast("int")))
+
+
+def _oracle_marginal() -> str:
+    name = {"overlap": "flag_overlap", "bloom": "flag_bloom",
+            "minhash": "flag_minhash", "embedding": "flag_embedding",
+            "minkprob": "flag_minkprob"}
+    rows = " UNION ALL ".join(
+        f"""SELECT '{a}' AS axis, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({name[a]}) AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN {name[a]} = 1
+                              AND {" + ".join(name[o] for o in PANEL_AXES
+                                              if o != a)} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_marginal
+        FROM pnl""" for a in PANEL_AXES)
+    return f"WITH {_panel_ctes()} SELECT * FROM ({rows}) ORDER BY axis"
+
+
+@declare("decontaminate_panel_marginal", oracle=_oracle_marginal())
+def decontaminate_panel_marginal(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The panel's per-axis ablation: for each of the five screens, how many
+    documents it flags and how many it ALONE flags (no other axis sees them)
+    — the table that tells a decontamination run which screen is binding,
+    which is redundant, and what coverage is lost if an axis is dropped
+    (the ``gate_marginal_rejection`` question asked of leakage screens).
+
+    Plan: the panel relation, one conditional hash-agg to a single row
+    (map-side partials), a 5-row unpivot."""
+    pnl = _panel_df(spark, sf_dir)
+    flag = {"overlap": "flag_overlap", "bloom": "flag_bloom",
+            "minhash": "flag_minhash", "embedding": "flag_embedding",
+            "minkprob": "flag_minkprob"}
+    aggs = []
+    for a in PANEL_AXES:
+        others = [flag[o] for o in PANEL_AXES if o != a]
+        marginal = F.when((F.col(flag[a]) == 1)
+                          & (sum(F.col(o) for o in others) == 0),
+                          1).otherwise(0)
+        aggs += [F.sum(flag[a]).cast("bigint").alias(f"fl_{a}"),
+                 F.sum(marginal).cast("bigint").alias(f"mg_{a}")]
+    agg = pnl.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"), *aggs)
+    pairs = ", ".join(f"'{a}', fl_{a}, mg_{a}" for a in PANEL_AXES)
+    return (agg.selectExpr(
+                f"stack({len(PANEL_AXES)}, {pairs})"
+                " AS (axis, n_flagged, n_marginal)", "n_docs")
+            .select("axis", "n_docs", "n_flagged", "n_marginal")
+            .orderBy("axis"))

@@ -48,38 +48,39 @@ MINK_TAU = 3.44
 @declare(
     "decontaminate_minkprob",
     oracle=f"""
-    WITH tok AS (
+    WITH mkp_tok AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
             AS t
         FROM documents WHERE text IS NOT NULL
-    ), d AS (
-        SELECT doc_id, t, COUNT(*) AS dc FROM tok GROUP BY doc_id, t
-    ), ct AS (
-        SELECT t, SUM(dc) AS c FROM d GROUP BY t
-    ), g AS (
-        SELECT CAST(ROUND(LN(SUM(c)) * 1e9) AS BIGINT) AS qln_n FROM ct
-    ), mk AS MATERIALIZED (
-        SELECT d.doc_id, d.t, d.dc,
-               (CAST(ROUND(LN(ct.c) * 1e9) AS BIGINT) - g.qln_n) AS q_lp
-        FROM d JOIN ct USING (t) CROSS JOIN g
-    ), mtot AS (
+    ), mkp_d AS (
+        SELECT doc_id, t, COUNT(*) AS dc FROM mkp_tok GROUP BY doc_id, t
+    ), mkp_ct AS (
+        SELECT t, SUM(dc) AS c FROM mkp_d GROUP BY t
+    ), mkp_g AS (
+        SELECT CAST(ROUND(LN(SUM(c)) * 1e9) AS BIGINT) AS qln_n FROM mkp_ct
+    ), mkp_mk AS MATERIALIZED (
+        SELECT mkp_d.doc_id, mkp_d.t, mkp_d.dc,
+               (CAST(ROUND(LN(mkp_ct.c) * 1e9) AS BIGINT) - mkp_g.qln_n)
+                   AS q_lp
+        FROM mkp_d JOIN mkp_ct USING (t) CROSS JOIN mkp_g
+    ), mkp_tot AS (
         SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tokens
-        FROM mk GROUP BY doc_id
-    ), ordered AS (
+        FROM mkp_mk GROUP BY doc_id
+    ), mkp_ord AS (
         SELECT m.doc_id, m.dc, m.q_lp,
                COALESCE(SUM(m.dc) OVER (
                    PARTITION BY m.doc_id ORDER BY m.q_lp, m.t
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS cumb
-        FROM mk m
-    ), sel AS (
+        FROM mkp_mk m
+    ), mkp_sel AS (
         SELECT o.doc_id, t2.n_tokens,
                (t2.n_tokens + {MINK_DIV - 1}) // {MINK_DIV} AS k,
                SUM(LEAST(o.dc,
                          GREATEST((t2.n_tokens + {MINK_DIV - 1})
                                   // {MINK_DIV} - o.cumb, 0)) * o.q_lp)
                    AS sum_q
-        FROM ordered o JOIN mtot t2 USING (doc_id)
+        FROM mkp_ord o JOIN mkp_tot t2 USING (doc_id)
         GROUP BY o.doc_id, t2.n_tokens
     )
     SELECT doc_id, n_tokens, CAST(k AS BIGINT) AS k_tokens,
@@ -88,7 +89,7 @@ MINK_TAU = 3.44
            CAST(CASE WHEN -CAST(CAST(sum_q AS VARCHAR) AS DOUBLE) / k / 1e9
                           <= {MINK_TAU}
                      THEN 1 ELSE 0 END AS INTEGER) AS member_flag
-    FROM sel
+    FROM mkp_sel
     """,
 )
 def decontaminate_minkprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,7 +58,8 @@ from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
 
 M = 4        # subspaces
-SUBDIM = 16  # dims per subspace (M * SUBDIM = 64 = embedding dim)
+SUBDIM = 16  # dims per subspace
+DIM = M * SUBDIM  # full embedding width (64) — single definition for the module
 KSUB = 16    # codewords per subspace
 N_QUERIES = 10  # vec_id < 10 are the query vectors (simsearch.py convention)
 TOP_K = 5
@@ -626,7 +627,6 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 KC = 8
 #: coarse cells probed per query (of KC) — the IVF recall/cost knob.
 NPROBE = 4
-DIM = M * SUBDIM
 
 # -- DuckDB fragments --------------------------------------------------------
 
@@ -1044,8 +1044,6 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # int8 scalar quantization (per-dimension affine)
 # ---------------------------------------------------------------------------
-
-DIM = M * SUBDIM  # full embedding width
 
 
 @declare(

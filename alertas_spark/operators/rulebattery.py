@@ -177,6 +177,14 @@ def quality_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     table a curation run reads before trusting a threshold; the per-document
     verdict bit feeds ``pipeline_quality_ensemble`` as ``gate_rules``.
 
+    NULL-text convention (r17 advice): a NULL ``text`` makes every individual
+    rule predicate NULL, which the CASE ladder maps to bit 0 — so a NULL-text
+    document counts as FAILING every per-rule row here, not just the battery
+    row.  That conflates "no text" with "rule violated" in the per-rule
+    counts; it is deliberate (a NULL document must never pass curation, and
+    the convention is identical cross-engine) and documented rather than
+    special-cased.
+
     Plan: one scan projection to bits, one conditional hash-agg to a single
     row (map-side partials — no corpus-sized shuffle), one 10-row unpivot."""
     bits = rule_bits(load_table(spark, sf_dir, "documents"))

@@ -77,6 +77,9 @@ _QUERY_MODULES = (
     "alertas_spark.operators.bloom",
     "alertas_spark.operators.packing",
     "alertas_spark.operators.pipeline",
+    # reads the five decontamination axis oracles out of REGISTRY at declare
+    # time — must load after textops/bloom/dedup/simsearch/minkprob
+    "alertas_spark.operators.decon_panel",
     "alertas_spark.operators.graph",
     # range_bin loads before the §2 micro-modules so its (unique, first-time in r3)
     # driver row lands inside the 50-query window ahead of the redundant micros.

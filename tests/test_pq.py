@@ -153,7 +153,7 @@ def test_bruteforce_topk_invariant_under_adversarial_partitioning(spark):
 
 
 # ---------------------------------------------------------------------------
-# IVFADC residual tier (operators/ivfpq.py)
+# IVFADC residual tier (lives in operators/pq.py — see the import-order note)
 # ---------------------------------------------------------------------------
 
 

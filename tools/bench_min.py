@@ -37,11 +37,14 @@ def merge(records: list[dict]) -> dict:
         errored: set[str] = set()
         for r in records:
             for q, t in (r.get(tier) or {}).items():
-                if t is None or t <= 0:
+                if t is None or t < 0:
                     # bench.py writes -1.0 when a query errors; a sentinel
                     # must never beat a valid timing from another run
                     # (r16 advice).  Track it so an all-sentinel query
                     # fails the merge loudly instead of committing -1.0.
+                    # Strictly negative only: a legitimate timing rounded
+                    # to 0.0 is a valid (fast) measurement, not an error
+                    # (r17 advice).
                     errored.add(q)
                     continue
                 if q not in merged or t < merged[q]:

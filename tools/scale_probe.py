@@ -119,6 +119,8 @@ QUERIES = [
     "decontaminate_minkprob",         # Min-K% membership inference (r17)
     "wordpiece_vocab_census",         # greedy piece census (r17)
     "streaming_rule_gate",            # rule battery under micro-batch (r17)
+    "decontaminate_panel",            # 5-axis leakage panel, stitched (r18)
+    "decontaminate_panel_marginal",   # per-axis ablation over the panel (r18)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
