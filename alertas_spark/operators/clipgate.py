@@ -60,9 +60,15 @@ CLIP_PAIRS_CTES = f"""cg_v AS (
     )"""
 
 
-def clip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clip_pairs(spark: SparkSession, sf_dir: str,
+               docs: DataFrame | None = None) -> DataFrame:
     """``(doc_id, source, cos)`` — the Spark twin of ``cg_pairs``; consumed
-    by both declared queries and ``pipeline_quality_ensemble``."""
+    by both declared queries and ``pipeline_quality_ensemble``.
+
+    ``docs`` overrides the document relation (must carry ``doc_id, source``)
+    — the streaming tier passes the documents STREAM here, so the served
+    gate is literally the batch expression over an incremental source
+    (stream-static join: the embedding sides stay static)."""
     v = (load_table(spark, sf_dir, "embeddings")
          .select("vec_id",
                  F.col("embedding").cast("array<double>").alias("emb"))
@@ -72,7 +78,9 @@ def clip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm"))
     img = v.select(F.col("vec_id").alias("img_id"),
                    F.col("emb").alias("iemb"), F.col("nrm").alias("inrm"))
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id",
+                                                             "source")
     return (docs
             .join(cap, F.col("cap_id") == F.col("doc_id"))
             .join(img, F.col("img_id")
@@ -80,6 +88,17 @@ def clip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source",
                     (_dot(F.col("cemb"), F.col("iemb"))
                      / (F.col("cnrm") * F.col("inrm"))).alias("cos")))
+
+
+def gate_projection(pairs: DataFrame) -> DataFrame:
+    """The gate's output projection over a ``(doc_id, source, cos)`` relation
+    — shared by ``multimodal_clip_gate`` and ``streaming_clip_gate`` so the
+    served bit is the batch bit by construction (keep-decision from the
+    UNROUNDED cosine; the displayed score rounded for output only)."""
+    return pairs.select("doc_id", "source",
+                        F.round("cos", 6).alias("clip_score"),
+                        F.when(F.col("cos") >= CLIP_TAU, 1).otherwise(0)
+                        .cast("int").alias("clip_ok"))
 
 
 @declare(
@@ -97,12 +116,9 @@ def multimodal_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in and the keep bit at the published τ = {CLIP_TAU} — the bit is
     computed from the UNROUNDED cosine on both engines (the
     ``decontaminate_embedding`` contract), so the threshold never becomes a
-    rounding seam.  Feeds ``pipeline_quality_ensemble`` as ``gate_clip``."""
-    p = clip_pairs(spark, sf_dir)
-    return p.select("doc_id", "source",
-                    F.round("cos", 6).alias("clip_score"),
-                    F.when(F.col("cos") >= CLIP_TAU, 1).otherwise(0)
-                    .cast("int").alias("clip_ok"))
+    rounding seam.  Feeds ``pipeline_quality_ensemble`` as ``gate_clip`` and
+    ``streaming_clip_gate`` as the replay contract."""
+    return gate_projection(clip_pairs(spark, sf_dir))
 
 
 @declare(

@@ -646,6 +646,20 @@ def _duck_coarse() -> str:
     {_duck_assign('c1', 'a2')}"""
 
 
+#: the NPROBE probed coarse cells per query — shared by the IVFADC chain and
+#: the dashboard's candidate-count audit (requires ``v`` + ``c1`` in scope).
+_DUCK_QP = f"""qp AS (
+        SELECT query_id, cid, cvec, qemb FROM (
+            SELECT q.vec_id AS query_id, c.cid, c.cvec, q.emb AS qemb,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_D_FULL_DIST.format(n=DIM, a="q.emb",
+                                                     b="c.cvec")}, c.cid)
+                       AS rn
+            FROM v q, c1 c WHERE q.vec_id < {N_QUERIES})
+        WHERE rn <= {NPROBE}
+    )"""
+
+
 _DUCK_IVFPQ = f"""
     {_duck_coarse()},
     res AS (
@@ -698,16 +712,7 @@ _DUCK_IVFPQ = f"""
                                                      b="w.cvec")}, w.c) AS rn
             FROM rsubs s JOIN rcw1 w ON w.m = s.m) WHERE rn = 1
     ),
-    qp AS (
-        SELECT query_id, cid, cvec, qemb FROM (
-            SELECT q.vec_id AS query_id, c.cid, c.cvec, q.emb AS qemb,
-                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                       ORDER BY {_D_FULL_DIST.format(n=DIM, a="q.emb",
-                                                     b="c.cvec")}, c.cid)
-                       AS rn
-            FROM v q, c1 c WHERE q.vec_id < {N_QUERIES})
-        WHERE rn <= {NPROBE}
-    ),
+    {_DUCK_QP},
     qres AS (
         SELECT query_id, cid,
                list_transform(range(1, {DIM} + 1),
@@ -817,13 +822,11 @@ def _residual_codebook(spark: SparkSession, sf_dir: str,
                                build=train)
 
 
-def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, vec_id, adc_q): every candidate in each query's NPROBE
-    probed cells with its quantized ADC distance — the shared front half of
-    the residual tier and its +R refinement."""
-    c1 = _coarse_centroids(spark, sf_dir)
-    cw1 = _residual_codebook(spark, sf_dir, c1)
-    codes = _assign_sub(_residual_subs(spark, sf_dir, c1), cw1)
+def _probed_cells(spark: SparkSession, sf_dir: str,
+                  c1: DataFrame) -> DataFrame:
+    """``(query_id, cid, qr)``: each query's NPROBE nearest trained coarse
+    cells and its residual against their centroids — shared by the IVFADC
+    scorer and the dashboard's candidate-count audit."""
     q = (_normalized(spark, sf_dir)
          .filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
@@ -831,13 +834,23 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdist = ("aggregate(zip_with(qemb, cvec, (x, y) -> (x - y) * (x - y)), "
              "cast(0.0 as double), (acc, v) -> acc + v)")
     wq = Window.partitionBy("query_id").orderBy("qd", "cid")
-    probes = (q.crossJoin(F.broadcast(c1))
-              .withColumn("qd", F.expr(qdist))
-              .withColumn("rn", F.row_number().over(wq))
-              .filter(F.col("rn") <= NPROBE)
-              .select("query_id", "cid",
-                      F.zip_with("qemb", "cvec", lambda x, c: x - c)
-                      .alias("qr")))
+    return (q.crossJoin(F.broadcast(c1))
+            .withColumn("qd", F.expr(qdist))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= NPROBE)
+            .select("query_id", "cid",
+                    F.zip_with("qemb", "cvec", lambda x, c: x - c)
+                    .alias("qr")))
+
+
+def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc_q): every candidate in each query's NPROBE
+    probed cells with its quantized ADC distance — the shared front half of
+    the residual tier and its +R refinement."""
+    c1 = _coarse_centroids(spark, sf_dir)
+    cw1 = _residual_codebook(spark, sf_dir, c1)
+    codes = _assign_sub(_residual_subs(spark, sf_dir, c1), cw1)
+    probes = _probed_cells(spark, sf_dir, c1)
     lutsub = (f"aggregate(zip_with(slice(qr, (m - 1) * {SUBDIM} + 1, "
               f"{SUBDIM}), cvec, (x, y) -> (x - y) * (x - y)), "
               f"cast(0.0 as double), (acc, v) -> acc + v)")
@@ -930,6 +943,77 @@ def simsearch_topk_ivfpq_rerank(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 
+def _counts_sql() -> str:
+    """Per-(method, query) candidate-scan counts — ``counts(method,
+    query_id, n_candidates)``: how many database vectors each tier actually
+    evaluates a (compressed or exact) distance for.  Derived from the same
+    assignment relations the tiers themselves use (hyperplane buckets,
+    trained k-means cells, IVFADC probed cells), so the numbers are exact,
+    not estimates; rerank tiers share their base tier's scan count (the
+    re-rank touches a SHORTLIST-bounded subset of it)."""
+    from alertas_spark.operators.embgate import EMB_VALID_SQL
+    from alertas_spark.operators.kmeans import K as KM_K
+    from alertas_spark.operators.kmeans import _duck_assign, _duck_update
+    from alertas_spark.operators.simsearch import (_BUCKET_FROM_DOTS,
+                                                   _WEAK_PLANE, _dots_select)
+
+    hyper = f"""cnt_hyper AS MATERIALIZED (
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                   WHERE {EMB_VALID_SQL}),
+        d AS (SELECT vec_id, emb, {_dots_select(one_based=True)} FROM v),
+        b AS (SELECT vec_id, {_BUCKET_FROM_DOTS} AS bucket,
+                     {_WEAK_PLANE} AS weak FROM d),
+        h AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket)
+        SELECT q.vec_id AS query_id,
+               h1.c - 1 AS n_ivf,
+               h1.c + COALESCE(h2.c, 0) - 1 AS n_multi
+        FROM b q
+        JOIN h h1 ON h1.bucket = q.bucket
+        LEFT JOIN h h2 ON h2.bucket = xor(q.bucket, 1 << q.weak)
+        WHERE q.vec_id < {N_QUERIES}
+    )"""
+    trained = f"""cnt_trained AS MATERIALIZED (
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                   WHERE {EMB_VALID_SQL}),
+        c0 AS (SELECT vec_id AS cid, emb AS cvec FROM v
+               WHERE vec_id < {KM_K}),
+        {_duck_assign('c0', 'a1')},
+        {_duck_update('a1', 'c1')},
+        {_duck_assign('c1', 'a2')},
+        h AS (SELECT cid, COUNT(*) AS c FROM a2 GROUP BY cid)
+        SELECT a.vec_id AS query_id, h.c - 1 AS n_candidates
+        FROM a2 a JOIN h USING (cid) WHERE a.vec_id < {N_QUERIES}
+    )"""
+    pqc = f"""cnt_pq AS MATERIALIZED (
+        WITH v AS (SELECT vec_id FROM embeddings WHERE {EMB_VALID_SQL})
+        SELECT vec_id AS query_id,
+               (SELECT COUNT(*) FROM v) - 1 AS n_candidates
+        FROM v WHERE vec_id < {N_QUERIES}
+    )"""
+    ivfpq = f"""cnt_ivfpq AS MATERIALIZED (
+        WITH {_DUCK_V},
+        {_duck_coarse()},
+        {_DUCK_QP},
+        h AS (SELECT cid, COUNT(*) AS c FROM a2 GROUP BY cid)
+        SELECT qp.query_id, SUM(h.c) - 1 AS n_candidates
+        FROM qp JOIN h USING (cid) GROUP BY qp.query_id
+    )"""
+    union = """counts AS MATERIALIZED (
+        SELECT 'ivf' AS method, query_id, n_ivf AS n_candidates
+        FROM cnt_hyper
+        UNION ALL SELECT 'ivf_multiprobe', query_id, n_multi FROM cnt_hyper
+        UNION ALL SELECT 'ivf_trained', query_id, n_candidates
+        FROM cnt_trained
+        UNION ALL SELECT 'pq', query_id, n_candidates FROM cnt_pq
+        UNION ALL SELECT 'pq_rerank', query_id, n_candidates FROM cnt_pq
+        UNION ALL SELECT 'ivfpq_residual', query_id, n_candidates
+        FROM cnt_ivfpq
+        UNION ALL SELECT 'ivfpq_rerank', query_id, n_candidates
+        FROM cnt_ivfpq
+    )"""
+    return ",\n    ".join([hyper, trained, pqc, ivfpq, union])
+
+
 def _recall_oracle() -> str:
     # module imports (not just REGISTRY) so a standalone `import pq` still sees
     # the sibling declares — load_all() order already puts both before pq
@@ -956,9 +1040,97 @@ def _recall_oracle() -> str:
       ON bf.query_id = ap.query_id AND bf.cand_id = ap.cand_id
     GROUP BY bf.query_id""" for name, sql in methods.items())
     return f"""
-    WITH bf AS ({_duck_topk_sql(same_label=False)})
-    {evals}
+    WITH bf AS ({_duck_topk_sql(same_label=False)}),
+    {_counts_sql()}
+    SELECT e.method, e.query_id, e.n_match, e.recall_at_k,
+           CAST(c.n_candidates AS BIGINT) AS n_candidates
+    FROM ({evals}) e
+    JOIN counts c ON c.method = e.method AND c.query_id = e.query_id
     """
+
+
+def _candidate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of the oracle's ``counts`` CTE: per (method, query),
+    how many database vectors the tier's scan stage evaluates a distance for
+    — exact integers derived from the same assignment relations the tiers
+    use, so the dashboard judges every tier recall-VS-COST, not recall
+    alone (a probe-1 trained tier that scans an eighth of the corpus is not
+    comparable to an IVFADC tier scanning NPROBE cells of codes)."""
+    from alertas_spark.operators.kmeans import trained_assignment
+    from alertas_spark.operators.simsearch import (_BUCKET_FROM_DOTS,
+                                                   _WEAK_PLANE,
+                                                   _plane_dot_exprs)
+
+    # hyperplane buckets over the valid embeddings (ivf + multiprobe)
+    b = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("emb"))
+         .withColumn("nrm", F.sqrt(F.expr(
+             "aggregate(transform(emb, x -> x * x), cast(0.0 as double), "
+             "(acc, v) -> acc + v)")))
+         .filter(valid_nrm(F.col("nrm")))
+         .selectExpr("vec_id", *[
+             f"({d}) AS d{p}" for p, d
+             in enumerate(_plane_dot_exprs(one_based=False))])
+         .withColumn("bucket", F.expr(_BUCKET_FROM_DOTS))
+         .withColumn("weak", F.expr(_WEAK_PLANE))
+         .select("vec_id", "bucket", "weak"))
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))  # ≤16 rows
+    hyper = (b.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"), "bucket", "weak")
+             .join(F.broadcast(h.select(F.col("bucket").alias("b1"),
+                                        F.col("c").alias("c1"))),
+                   F.col("bucket") == F.col("b1"))
+             .join(F.broadcast(h.select(F.col("bucket").alias("b2"),
+                                        F.col("c").alias("c2"))),
+                   F.expr("bucket ^ shiftleft(1, weak)") == F.col("b2"),
+                   "left")
+             .select("query_id",
+                     (F.col("c1") - 1).alias("n_ivf"),
+                     (F.col("c1") + F.coalesce("c2", F.lit(0)) - 1)
+                     .alias("n_multi")))
+    # trained k-means cells (probe-1)
+    ta = trained_assignment(spark, sf_dir).select("vec_id", "cid")
+    th = ta.groupBy("cid").agg(F.count(F.lit(1)).alias("c"))
+    trained = (ta.filter(F.col("vec_id") < N_QUERIES)
+               .join(F.broadcast(th), "cid")
+               .select(F.col("vec_id").alias("query_id"),
+                       (F.col("c") - 1).alias("n_candidates")))
+    # flat ADC: every valid vector except self
+    v = _normalized(spark, sf_dir).select("vec_id")
+    pqc = (v.filter(F.col("vec_id") < N_QUERIES)
+           .crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("nv"))))
+           .select(F.col("vec_id").alias("query_id"),
+                   (F.col("nv") - 1).alias("n_candidates")))
+    # IVFADC: vectors in the NPROBE probed trained cells, except self
+    c1 = _coarse_centroids(spark, sf_dir)
+    ch = (_assign(_normalized(spark, sf_dir), c1)
+          .groupBy("cid").agg(F.count(F.lit(1)).alias("c")))
+    ivfpq = (_probed_cells(spark, sf_dir, c1).select("query_id", "cid")
+             .join(F.broadcast(ch), "cid")
+             .groupBy("query_id")
+             .agg((F.sum("c") - 1).alias("n_candidates")))
+    tiers = [
+        hyper.select(F.lit("ivf").alias("method"), "query_id",
+                     F.col("n_ivf").alias("n_candidates")),
+        hyper.select(F.lit("ivf_multiprobe").alias("method"), "query_id",
+                     F.col("n_multi").alias("n_candidates")),
+        trained.select(F.lit("ivf_trained").alias("method"), "query_id",
+                       "n_candidates"),
+        pqc.select(F.lit("pq").alias("method"), "query_id", "n_candidates"),
+        pqc.select(F.lit("pq_rerank").alias("method"), "query_id",
+                   "n_candidates"),
+        ivfpq.select(F.lit("ivfpq_residual").alias("method"), "query_id",
+                     "n_candidates"),
+        ivfpq.select(F.lit("ivfpq_rerank").alias("method"), "query_id",
+                     "n_candidates"),
+    ]
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out.select("method", "query_id",
+                      F.col("n_candidates").cast("bigint")
+                      .alias("n_candidates"))
 
 
 @declare("simsearch_recall_dashboard", oracle=_recall_oracle())
@@ -970,10 +1142,17 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and oracle-checked) at any scale; each tier is the declared plan itself,
     joined to the truth set on (query, candidate).
 
-    Mean recall@5 on the sf0.01 fixture: ivf 0.20, ivf_multiprobe 0.30,
-    ivfpq_residual 0.30, pq 0.34, pq_rerank 0.58, ivf_trained 0.76,
-    ivfpq_rerank 0.84 — the cost/quality ladder a user picks from (probe
-    count, training, residual encoding, and re-ranking are the four knobs).
+    Each row also carries ``n_candidates`` — how many database vectors that
+    tier's scan stage evaluates a distance for (exact, derived from the same
+    assignment relations the tiers use; rerank tiers share their base scan
+    count, the re-rank adds ≤{SHORTLIST} exact distances) — so tiers are
+    judged recall-VS-COST, the actual ANN-selection question.  Mean
+    (recall@5, candidates) on the sf0.01 fixture (499 valid vectors): ivf
+    (0.20, 34), ivf_multiprobe (0.30, 63), ivfpq_residual (0.30, 255
+    compressed codes at 32× compression), pq (0.34, 499 codes), pq_rerank
+    (0.58, 499), ivf_trained (0.76, 62 exact), ivfpq_rerank (0.84, 255) —
+    the cost/quality ladder a user picks from (probe count, training,
+    residual encoding, and re-ranking are the four knobs).
     At sf0.1 the residual tier overtakes flat PQ decisively (0.22 vs 0.14)
     while scanning only NPROBE=4 of the 8 cells — the published IVFADC
     property (the sf0.01 gap is two pairs of seed noise on a 500-vector
@@ -1031,6 +1210,9 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("am"), F.col("query_id").alias("aq"),
             F.col("cand_id").alias("ac"))
         ap = tier if ap is None else ap.unionByName(tier)
+    counts = session_artifact(
+        spark, ("dashboard_counts", sf_dir),
+        lambda: _candidate_counts(spark, sf_dir).localCheckpoint())
     return (
         bf.join(F.broadcast(ap), (F.col("method") == F.col("am"))
                 & (F.col("query_id") == F.col("aq"))
@@ -1038,6 +1220,7 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("method", "query_id")
         .agg(F.count("ac").cast("int").alias("n_match"),
              F.round(F.count("ac") / TOP_K, 6).alias("recall_at_k"))
+        .join(F.broadcast(counts), ["method", "query_id"])
     )
 
 

@@ -674,3 +674,42 @@ def streaming_rule_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ev.read_documents_stream(spark, sf_dir)
     return ev.run_to_memory(rule_bits(docs), output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# CLIP alignment gate served on the stream
+# ---------------------------------------------------------------------------
+
+def _clip_gate_oracle() -> str:
+    import alertas_spark.operators.clipgate as _cg  # runs its declares
+
+    return _REG[_cg.multimodal_clip_gate.__name__].oracle
+
+
+@declare("streaming_clip_gate", oracle=None)  # late attach below
+def streaming_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAION/DataComp CLIP alignment gate SERVED ON THE STREAM — the
+    multimodal member of the model-serving family (NB, bloom, LR, rule
+    battery, now the alignment cut): arriving documents stream-static join
+    their caption and image embeddings (both sides static — the embedding
+    store does not move with the document stream), the cosine is the same
+    scan-level sequential-fold expression as the batch tier, and the keep
+    bit thresholds the UNROUNDED cosine at τ = CLIP_TAU.
+
+    The builder passes the document STREAM into the batch tier's own
+    ``clip_pairs``/``gate_projection`` (operators/clipgate.py), so full
+    replay equals ``multimodal_clip_gate`` row-for-row BY CONSTRUCTION and
+    the oracle IS that query's SQL.  Stateless append stream — no watermark,
+    no state store; per micro-batch the static embedding sides join exactly
+    as the batch plan does (broadcast at fixture scale, bucket-colocatable
+    at deployment scale)."""
+    from alertas_spark.operators.clipgate import clip_pairs, gate_projection
+
+    docs = ev.read_documents_stream(spark, sf_dir).select("doc_id", "source")
+    return ev.run_to_memory(gate_projection(clip_pairs(spark, sf_dir, docs)),
+                            output_mode="append")
+
+
+_qc = _REG["streaming_clip_gate"]
+_REG["streaming_clip_gate"] = _DQ(
+    _qc.name, _qc.builder, _clip_gate_oracle(), _qc.doc, _qc.late)

@@ -240,3 +240,19 @@ def test_streaming_lr_gate_replay_equals_batch(spark):
              load_all()["lr_quality_score"].builder(spark, sf).collect()}
     assert stream == batch
     assert stream  # non-degenerate
+
+
+def test_streaming_clip_gate_replay_equals_batch(spark):
+    """Full replay of the streamed CLIP gate equals the batch tier
+    row-for-row (the serving contract: the stream is passed through the
+    batch tier's own clip_pairs/gate_projection, so the cosine and the
+    keep bit are the batch expressions by construction)."""
+    from alertas_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    stream = {tuple(r) for r in
+              load_all()["streaming_clip_gate"].builder(spark, sf).collect()}
+    batch = {tuple(r) for r in
+             load_all()["multimodal_clip_gate"].builder(spark, sf).collect()}
+    assert stream == batch
+    assert stream  # non-degenerate

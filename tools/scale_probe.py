@@ -121,6 +121,7 @@ QUERIES = [
     "streaming_rule_gate",            # rule battery under micro-batch (r17)
     "decontaminate_panel",            # 5-axis leakage panel, stitched (r18)
     "decontaminate_panel_marginal",   # per-axis ablation over the panel (r18)
+    "streaming_clip_gate",            # CLIP gate under micro-batch (r18)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
