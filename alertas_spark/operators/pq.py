@@ -130,7 +130,15 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(transform(e0, x -> x * x), cast(0.0 as double), "
             "(acc, v) -> acc + v)")))
         .filter(valid_nrm(F.col("nrm")))  # embgate, free off the existing fold
-        .select("vec_id", F.expr("transform(e0, x -> x / nrm)").alias("emb"))
+        # nullif guard: the filter already excludes nrm = 0, but Catalyst's
+        # InferFiltersFromGenerate can synthesize a `size(emb) > 0` predicate
+        # for a downstream posexplode and reorder it BEFORE the validity
+        # filter — under ANSI mode the plain division then faults on the
+        # excluded zero-norm row (r18, caught by the adversarial fixture).
+        # nullif makes the expression total; surviving rows are bit-identical.
+        .select("vec_id",
+                F.expr("transform(e0, x -> x / nullif(nrm, cast(0.0 as "
+                       "double)))").alias("emb"))
     )
 
 
@@ -939,6 +947,123 @@ def simsearch_topk_ivfpq_rerank(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar-quantized ANN tier (SQ8 full scan)
+# ---------------------------------------------------------------------------
+#
+# The scalar-quantization baseline every PQ paper compares against (FAISS's
+# SQ8 index): per-dimension affine codes over the NORMALIZED embeddings
+# (so L2² on reconstructions is monotone in cosine, the same target as the
+# PQ tiers), ranked by the SYMMETRIC integer code distance Σ(cq−cc)² — a
+# pure-integer full scan at 8× compression (64 bytes vs 512).  Exactness is
+# structural: codes are integers on both engines (the embedding_quantize_
+# int8 contract), the distance is integer algebra, ties break on cand_id.
+
+#: shared normalized-SQ8 oracle front half ending in ``i8(vec_id, codes)``.
+_DUCK_INT8 = f"""{_DUCK_V},
+    i8_dims AS (
+        SELECT i, MIN(emb[i]) AS mn, (MAX(emb[i]) - MIN(emb[i])) / 255.0 AS sc
+        FROM v, (SELECT unnest(generate_series(1, {DIM})) AS i) idx
+        GROUP BY i
+    ),
+    i8_stats AS (SELECT list(mn ORDER BY i) AS mins,
+                        list(sc ORDER BY i) AS scales
+                 FROM i8_dims),
+    i8 AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {DIM}),
+                   i -> CASE WHEN scales[i] = 0 THEN 0
+                             ELSE CAST(round((emb[i] - mins[i]) / scales[i])
+                                       AS INTEGER) END) AS codes
+        FROM v, i8_stats
+    )"""
+
+
+def _int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, codes)`` — the Spark twin of the ``i8`` CTE: per-dimension
+    affine SQ8 codes over the normalized embeddings.  One global min/max
+    aggregate (2·DIM partials) broadcast into a scan-side projection."""
+    v = _normalized(spark, sf_dir)
+    # per-dimension min/max via posexplode + a DIM-row agg (the kmeans
+    # _update idiom): a 2·DIM-wide single-row aggregate compiles a ~200-
+    # expression codegen stage for the same numbers and measured ~2× slower
+    dims = (v.select(F.posexplode("emb").alias("pos", "x"))
+            .groupBy((F.col("pos") + 1).alias("dim"))
+            .agg(F.min("x").alias("mn"),
+                 ((F.max("x") - F.min("x")) / F.lit(255.0)).alias("sc")))
+    stats = dims.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "mn"))),
+                    lambda s: s["mn"]).alias("mins"),
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "sc"))),
+                    lambda s: s["sc"]).alias("scales"))
+    codes = F.expr(f"""
+        transform(sequence(1, {DIM}),
+            i -> CASE WHEN element_at(scales, i) = 0.0D THEN 0
+                      ELSE cast(round((element_at(emb, i)
+                                       - element_at(mins, i))
+                                      / element_at(scales, i)) as int) END)
+    """)
+    return (v.crossJoin(F.broadcast(stats))
+            .withColumn("codes", codes)
+            .select("vec_id", "codes"))
+
+
+@declare(
+    "simsearch_topk_int8",
+    oracle=f"""
+    WITH {_DUCK_INT8},
+    i8q AS (SELECT vec_id, codes FROM i8 WHERE vec_id < {N_QUERIES}),
+    i8scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_reduce(list_transform(generate_series(1, {DIM}),
+                   i -> CAST(q.codes[i] - c.codes[i] AS BIGINT)
+                        * (q.codes[i] - c.codes[i])), (a, b) -> a + b) AS d2
+        FROM i8q q JOIN i8 c ON c.vec_id <> q.vec_id
+    ),
+    i8ranked AS (
+        SELECT query_id, cand_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, cand_id) AS rnk
+        FROM i8scored
+    )
+    SELECT query_id, cand_id, CAST(rnk AS INTEGER) AS rnk,
+           CAST(d2 AS BIGINT) AS score
+    FROM i8ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def simsearch_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 top-k: every candidate scored by the symmetric integer code
+    distance Σ(cq−cc)² over per-dimension affine int8 codes of the
+    normalized embeddings — the scalar-quantization ANN baseline (8×
+    compression, full scan, ~brute-force recall; compare the PQ rows'
+    256× compression at lower recall on the dashboard).  ``score`` is the
+    exact integer distance: max per-dim diff 255² = 65025, ×{DIM} dims ≤
+    4.2e6 — no overflow, no float seam anywhere in the ranking.
+
+    Scale shape: one 2·{DIM}-partial global aggregate broadcast into a
+    scan-side code projection, queries broadcast against the coded corpus
+    scan, two-phase exact top-k — the ``simsearch_topk_pq`` plan class with
+    integer arithmetic instead of LUT lookups."""
+    from alertas_spark.operators.topk import ranked_topk
+
+    coded = _int8_codes(spark, sf_dir)
+    q = (coded.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("codes").alias("qcodes")))
+    d2 = F.expr("aggregate(zip_with(qcodes, codes, "
+                "(a, b) -> cast(a - b as bigint) * (a - b)), "
+                "cast(0 as bigint), (acc, x) -> acc + x)")
+    scored = (coded.join(F.broadcast(q),
+                         F.col("query_id") != F.col("vec_id"))
+              .withColumn("d2", d2)
+              .select("query_id", "vec_id", "d2"))
+    return (ranked_topk(scored, "query_id", "d2", "vec_id", TOP_K,
+                        ascending=True)
+            .select("query_id", F.col("vec_id").alias("cand_id"),
+                    F.col("rnk").cast("int").alias("rnk"),
+                    F.col("d2").cast("bigint").alias("score")))
+
+
+# ---------------------------------------------------------------------------
 # ANN quality dashboard: recall@k of every approximate tier vs brute force
 # ---------------------------------------------------------------------------
 
@@ -1010,6 +1135,7 @@ def _counts_sql() -> str:
         FROM cnt_ivfpq
         UNION ALL SELECT 'ivfpq_rerank', query_id, n_candidates
         FROM cnt_ivfpq
+        UNION ALL SELECT 'int8', query_id, n_candidates FROM cnt_pq
     )"""
     return ",\n    ".join([hyper, trained, pqc, ivfpq, union])
 
@@ -1030,6 +1156,7 @@ def _recall_oracle() -> str:
         "pq_rerank": REGISTRY["simsearch_topk_pq_reranked"].oracle,
         "ivfpq_residual": REGISTRY["simsearch_topk_ivfpq_residual"].oracle,
         "ivfpq_rerank": REGISTRY["simsearch_topk_ivfpq_rerank"].oracle,
+        "int8": REGISTRY["simsearch_topk_int8"].oracle,
     }
     evals = "\nUNION ALL\n".join(f"""
     SELECT '{name}' AS method, bf.query_id,
@@ -1124,6 +1251,8 @@ def _candidate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_candidates"),
         ivfpq.select(F.lit("ivfpq_rerank").alias("method"), "query_id",
                      "n_candidates"),
+        pqc.select(F.lit("int8").alias("method"), "query_id",
+                   "n_candidates"),
     ]
     out = tiers[0]
     for t in tiers[1:]:
@@ -1150,9 +1279,10 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall@5, candidates) on the sf0.01 fixture (499 valid vectors): ivf
     (0.20, 34), ivf_multiprobe (0.30, 63), ivfpq_residual (0.30, 255
     compressed codes at 32× compression), pq (0.34, 499 codes), pq_rerank
-    (0.58, 499), ivf_trained (0.76, 62 exact), ivfpq_rerank (0.84, 255) —
-    the cost/quality ladder a user picks from (probe count, training,
-    residual encoding, and re-ranking are the four knobs).
+    (0.58, 499), ivf_trained (0.76, 62 exact), ivfpq_rerank (0.84, 255),
+    int8 (0.86, 499 SQ8 codes at 8× compression) — the cost/quality ladder
+    a user picks from (probe count, training, residual encoding,
+    quantization width, and re-ranking are the five knobs).
     At sf0.1 the residual tier overtakes flat PQ decisively (0.22 vs 0.14)
     while scanning only NPROBE=4 of the 8 cells — the published IVFADC
     property (the sf0.01 gap is two pairs of seed noise on a 500-vector
@@ -1184,6 +1314,7 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_rerank": lambda: _rerank_from_adc(spark, sf_dir, shortlist),
         "ivfpq_residual": lambda: simsearch_topk_ivfpq_residual(spark, sf_dir),
         "ivfpq_rerank": lambda: simsearch_topk_ivfpq_rerank(spark, sf_dir),
+        "int8": lambda: simsearch_topk_int8(spark, sf_dir),
     }
     # Truth set computed ONCE (the brute-force scan is the expensive side),
     # replicated across the five method labels; all tiers union into one tiny

@@ -122,6 +122,7 @@ QUERIES = [
     "decontaminate_panel",            # 5-axis leakage panel, stitched (r18)
     "decontaminate_panel_marginal",   # per-axis ablation over the panel (r18)
     "streaming_clip_gate",            # CLIP gate under micro-batch (r18)
+    "simsearch_topk_int8",            # SQ8 integer full-scan ANN tier (r18)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
