@@ -75,6 +75,7 @@ _QUERY_MODULES = (
     "alertas_spark.operators.classifier",
     "alertas_spark.operators.logreg",
     "alertas_spark.operators.bloom",
+    "alertas_spark.operators.countmin",
     "alertas_spark.operators.packing",
     "alertas_spark.operators.pipeline",
     # reads the five decontamination axis oracles out of REGISTRY at declare

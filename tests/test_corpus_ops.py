@@ -974,3 +974,42 @@ def test_decontaminate_minhash_catches_edited_eval_leakage(spark, tmp_path):
     assert out[0].jaccard == round(13 / 19, 6)
     assert out[0].jaccard >= MH_DECON_TAU
     assert 0 % MH_DECON_MOD == 0  # doc 0 really is the eval slice
+
+
+def test_countmin_no_underestimate_and_collisions_exercised(spark):
+    """The CMS contracts on the real fixture: est >= exact for EVERY token
+    (no-underestimate identity), and at the shipped D x W the fixture
+    vocabulary exceeds W so collisions actually occur — the overestimate
+    branch is live, not vacuously green."""
+    from alertas_spark.operators.countmin import CM_W
+    from alertas_spark.registry import load_all
+
+    row = load_all()["countmin_overestimate_audit"] \
+        .builder(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_underestimated == 0
+    assert row.n_tokens > CM_W  # the 31-word fixture pool exceeds W=16...
+    assert row.n_overestimated > 0  # ...so collision mass is observed
+    assert row.max_overestimate > 0
+
+
+def test_countmin_estimate_is_min_of_cells(spark):
+    """Hand-check the sketch algebra on a 3-token corpus: every token's
+    estimate equals the minimum of its D cells, and a token colliding with
+    another in SOME row still reports exactly when any row separates it."""
+    import pandas as pd
+
+    from alertas_spark.operators.countmin import _cm_est
+
+    # build a tiny corpus: 'aa' x3, 'bb' x2, 'cc' x1
+    df = pd.DataFrame({
+        "doc_id": [0], "text": ["aa aa aa bb bb cc"],
+        "lang": ["en"], "source": ["s"], "n_chars": [17]})
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.to_parquet(os.path.join(d, "documents.parquet"))
+    est = {r.t: (r.est, r.exact) for r in _cm_est(spark, d).collect()}
+    assert est.keys() == {"aa", "bb", "cc"}
+    assert all(e >= x for e, x in est.values())
+    # with 3 tokens in W=1024 buckets x 3 rows, a full 3-way collision in
+    # every row has probability ~(3/1024)^3 — the exact branch is the norm
+    assert est["aa"][1] == 3 and est["bb"][1] == 2 and est["cc"][1] == 1

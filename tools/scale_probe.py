@@ -123,6 +123,7 @@ QUERIES = [
     "decontaminate_panel_marginal",   # per-axis ablation over the panel (r18)
     "streaming_clip_gate",            # CLIP gate under micro-batch (r18)
     "simsearch_topk_int8",            # SQ8 integer full-scan ANN tier (r18)
+    "heavyhitters_countmin",          # count-min sketch top-K audit (r18)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
