@@ -242,3 +242,154 @@ def pack_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").cast("bigint").alias("n_tokens"),
                  (F.count(F.lit(1)) * F.max("n_tokens")
                   - F.sum("n_tokens")).cast("bigint").alias("padding_waste")))
+
+
+# ---------------------------------------------------------------------------
+# Token-level concat-and-chunk: documents SPLIT across pack boundaries
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "pack_concat_chunk_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        FROM documents
+    ), laid AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM toks WHERE n_tokens > 0
+    ), spans AS (
+        SELECT doc_id, source, n_tokens, cum_before,
+               cum_before // {PACK_BUDGET} AS p0,
+               (cum_before + n_tokens - 1) // {PACK_BUDGET} AS p1,
+               unnest(generate_series(
+                   CAST(cum_before // {PACK_BUDGET} AS BIGINT),
+                   CAST((cum_before + n_tokens - 1)
+                        // {PACK_BUDGET} AS BIGINT))) AS p
+        FROM laid
+    )
+    SELECT doc_id, source, CAST(p AS INTEGER) AS pack_id,
+           CAST(LEAST((p + 1) * {PACK_BUDGET}, cum_before + n_tokens)
+                - GREATEST(p * {PACK_BUDGET}, cum_before) AS INTEGER)
+               AS n_in_pack,
+           CAST(p1 - p0 + 1 AS INTEGER) AS n_spans,
+           CAST(CASE WHEN p1 > p0 THEN 1 ELSE 0 END AS INTEGER) AS is_split
+    FROM spans
+    """,
+)
+def pack_concat_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKEN-level concat-and-chunk manifest — what a GPT-style
+    pre-training dataloader actually materializes: documents laid end-to-end
+    per source shard and cut every {PACK_BUDGET} tokens WITHOUT respecting
+    document boundaries, so a document crossing a cut contributes a row per
+    pack it spans with its token count in that pack.  (``pack_sequences``
+    is the boundary-respecting variant that assigns whole documents to the
+    pack where they start; this tier is the zero-padding-waste one — every
+    pack is exactly full except each shard's last.)
+
+    Pure integer algebra: global offsets from the per-shard window cumsum,
+    span packs by floor division, per-pack contribution by LEAST/GREATEST —
+    no float anywhere.  Scale shape: one shuffle on the shard key for the
+    window, then a scan-side explode of ≤ (n_tokens // budget + 1) span
+    rows per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                           F.lit("[a-z0-9]+"), 0))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    laid = (docs.select("doc_id", "source",
+                        n_tokens.cast("bigint").alias("n_tokens"))
+            .filter(F.col("n_tokens") > 0)
+            .withColumn("cum_before",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))))
+    spans = (laid
+             .withColumn("p0", F.expr(f"cum_before div {PACK_BUDGET}"))
+             .withColumn("p1", F.expr(f"(cum_before + n_tokens - 1) "
+                                      f"div {PACK_BUDGET}"))
+             .withColumn("p", F.explode(F.expr("sequence(p0, p1)"))))
+    n_in_pack = (F.least((F.col("p") + 1) * PACK_BUDGET,
+                         F.col("cum_before") + F.col("n_tokens"))
+                 - F.greatest(F.col("p") * PACK_BUDGET, F.col("cum_before")))
+    return spans.select(
+        "doc_id", "source",
+        F.col("p").cast("int").alias("pack_id"),
+        n_in_pack.cast("int").alias("n_in_pack"),
+        (F.col("p1") - F.col("p0") + 1).cast("int").alias("n_spans"),
+        (F.col("p1") > F.col("p0")).cast("int").alias("is_split"))
+
+
+@declare(
+    "pack_concat_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        FROM documents
+    ), nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+    laid AS (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM nz
+    ),
+    -- ONE aggregation (no join back on source: a NULL source group would
+    -- fall out of a USING join — NULL never equals NULL — while the Spark
+    -- twin's single agg keeps it; adversarial-fixture caught)
+    per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN (cum_before + n_tokens - 1)
+                                  // {PACK_BUDGET}
+                                  > cum_before // {PACK_BUDGET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        FROM laid GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           (n_tokens + {PACK_BUDGET - 1}) // {PACK_BUDGET} AS n_packs,
+           n_split_docs,
+           (10000 * (n_tokens - ((n_tokens + {PACK_BUDGET - 1})
+                                 // {PACK_BUDGET} - 1) * {PACK_BUDGET}))
+               // {PACK_BUDGET} AS tail_fill_bp
+    FROM per_src
+    ORDER BY source
+    """,
+)
+def pack_concat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the concat-and-chunk layout: documents, tokens,
+    packs cut, documents split across a boundary, and the fill of the one
+    partial (tail) pack in basis points — every pack but the tail is exactly
+    full BY CONSTRUCTION, so this one number is the shard's whole padding
+    story (contrast ``pack_length_bucketed``'s per-batch padding_waste).
+    Pure integer algebra; one shard-keyed window + one hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                           F.lit("[a-z0-9]+"), 0))
+    nz = (docs.select("doc_id", "source",
+                      n_tokens.cast("bigint").alias("n_tokens"))
+          .filter(F.col("n_tokens") > 0))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    laid = nz.withColumn("cum_before",
+                         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    crosses = (F.expr(f"(cum_before + n_tokens - 1) div {PACK_BUDGET}")
+               > F.expr(f"cum_before div {PACK_BUDGET}")).cast("int")
+    agg = (laid.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.sum(crosses).cast("bigint").alias("n_split_docs")))
+    return (agg.select(
+                "source", "n_docs", "n_tokens",
+                F.expr(f"(n_tokens + {PACK_BUDGET - 1}) div {PACK_BUDGET}")
+                .alias("n_packs"),
+                "n_split_docs",
+                F.expr(f"(10000 * (n_tokens - ((n_tokens + {PACK_BUDGET - 1})"
+                       f" div {PACK_BUDGET} - 1) * {PACK_BUDGET}))"
+                       f" div {PACK_BUDGET}").alias("tail_fill_bp"))
+            .orderBy("source"))

@@ -1013,3 +1013,40 @@ def test_countmin_estimate_is_min_of_cells(spark):
     # with 3 tokens in W=1024 buckets x 3 rows, a full 3-way collision in
     # every row has probability ~(3/1024)^3 — the exact branch is the norm
     assert est["aa"][1] == 3 and est["bb"][1] == 2 and est["cc"][1] == 1
+
+
+def test_concat_chunk_spans_conserve_tokens_and_fill_packs(spark):
+    """Span-relation invariants on the real fixture: (a) each document's
+    span contributions sum to its token count, (b) every pack except each
+    shard's tail holds exactly PACK_BUDGET tokens (zero padding waste by
+    construction), (c) the audit's split count equals the span relation's."""
+    from collections import defaultdict
+
+    from alertas_spark.operators.packing import PACK_BUDGET
+    from alertas_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    spans = load_all()["pack_concat_chunk_spans"].builder(spark, sf).collect()
+    audit = {r.source: r for r in
+             load_all()["pack_concat_audit"].builder(spark, sf).collect()}
+    per_doc = defaultdict(int)
+    per_pack = defaultdict(int)
+    last_pack = {}
+    for r in spans:
+        per_doc[r.doc_id] += r.n_in_pack
+        per_pack[(r.source, r.pack_id)] += r.n_in_pack
+        last_pack[r.source] = max(last_pack.get(r.source, -1), r.pack_id)
+    toks = {r.doc_id: r.n_tokens for r in
+            load_all()["pack_sequences"].builder(spark, sf).collect()
+            if r.n_tokens > 0}
+    assert per_doc == toks  # token conservation
+    for (src, p), n in per_pack.items():
+        if p < last_pack[src]:
+            assert n == PACK_BUDGET, (src, p, n)  # full packs, zero padding
+        else:
+            assert 0 < n <= PACK_BUDGET
+    split_docs = {r.doc_id for r in spans if r.is_split}
+    for src, a in audit.items():
+        got = len({r.doc_id for r in spans if r.is_split and r.source == src})
+        assert got == a.n_split_docs, (src, got, a.n_split_docs)
+    assert split_docs  # the fixture actually exercises boundary splits

@@ -124,6 +124,7 @@ QUERIES = [
     "streaming_clip_gate",            # CLIP gate under micro-batch (r18)
     "simsearch_topk_int8",            # SQ8 integer full-scan ANN tier (r18)
     "heavyhitters_countmin",          # count-min sketch top-K audit (r18)
+    "pack_concat_chunk_spans",        # token-level concat-chunk manifest (r18)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
