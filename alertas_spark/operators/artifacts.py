@@ -114,6 +114,7 @@ PERSISTENT_QUERIES = frozenset({
     "decontaminate_minkprob",       # Min-K% over the lm_unigram artifact
     "decontaminate_panel",          # 5-axis panel — minkprob axis rides lm_unigram
     "decontaminate_panel_marginal",  # per-axis ablation over the same panel
+    "pipeline_train_ready",         # capstone: ensemble + panel + dedup packs
     "wordpiece_vocab_census",       # greedy-path census, same wp artifact
 })
 

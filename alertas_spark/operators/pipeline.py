@@ -438,3 +438,102 @@ def gate_marginal_rejection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS (gate, n_reject, n_marginal)", "n_docs")
             .select("gate", "n_docs", "n_reject", "n_marginal")
             .orderBy("gate"))
+
+
+# ---------------------------------------------------------------------------
+# r18 capstone: quality ensemble ∧ leakage panel ∧ dedup → train-ready packs
+# ---------------------------------------------------------------------------
+
+def _oracle_train_ready() -> str:
+    """The four-gate ensemble (``qe``), the five-axis leakage panel
+    (``pnl``) and keep-first exact dedup stitched into the final manifest.
+    Namespaces are disjoint by construction: qe's lr_*/tok/d/ct/g/rb_*/cg_*
+    top-level CTEs never collide with the panel's pnl_* (each panel axis
+    oracle is scoped inside its own subquery) or the ptr_* CTEs here."""
+    from alertas_spark.operators.decon_panel import _panel_ctes
+    from alertas_spark.operators.packing import PACK_BUDGET
+
+    return f"""
+    WITH {_qe_ctes()},
+    {_panel_ctes()},
+    ptr_kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        WHERE text IS NOT NULL GROUP BY md5(text)
+    ),
+    ptr AS MATERIALIZED (
+        SELECT q.doc_id, d.source, q.lang,
+               CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(p.flag_minkprob AS INTEGER) AS mink_member
+        FROM qe q
+        JOIN pnl p ON p.doc_id = q.doc_id
+        JOIN ptr_kept k ON k.doc_id = q.doc_id
+        JOIN documents d ON d.doc_id = q.doc_id
+        WHERE q.keep = 1
+          AND p.flag_overlap + p.flag_bloom + p.flag_minhash
+              + p.flag_embedding = 0
+    )
+    SELECT doc_id, source, lang, n_tokens, mink_member,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {PACK_BUDGET} AS INTEGER) AS pack_id
+    FROM ptr
+    """
+
+
+@declare("pipeline_train_ready", oracle=_oracle_train_ready())
+def pipeline_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the published curation pipeline in one relation: a
+    document of the shared held-out fold enters the training manifest iff
+    it clears all FOUR quality gates (LR ∧ perplexity tercile ∧ rule
+    battery ∧ CLIP — ``pipeline_quality_ensemble``), no CONTENT-based
+    leakage screen flags it (``decontaminate_panel``'s overlap, bloom,
+    MinHash and embedding axes clean), and it is its exact-duplicate
+    group's keep-first winner — then the survivors are laid into
+    per-source fixed-budget packs.  The panel's fifth axis (Min-K% Prob)
+    rides along as the ``mink_member`` AUDIT column instead of a hard
+    drop: membership inference is a detection signal calibrated against a
+    held-out FPR in the published practice (Shi et al. 2023), and at the
+    fixture-median τ it flags ~95 % of the sf0.1 corpus — a bulk drop
+    would empty the manifest, which is exactly the operating lesson the
+    column documents.  Output: (doc_id, source, lang, n_tokens,
+    mink_member, pack_id) — what a dataloader reads.
+
+    Every stage is an independently-oracled operator; this query pins the
+    full composition (≈12 operators deep) cross-engine.  Scale shape: the
+    stages' own audited shapes, three doc_id equi-joins to stitch (one
+    reusable exchange partitioning), one shard-keyed packing window."""
+    from alertas_spark.operators.decon_panel import _panel_df
+    from alertas_spark.operators.packing import PACK_BUDGET
+    from pyspark.sql import Window
+
+    qe = (_ensemble_df(spark, sf_dir)
+          .filter(F.col("keep") == 1)
+          .select("doc_id", "lang"))
+    content_flags = ("flag_overlap", "flag_bloom", "flag_minhash",
+                     "flag_embedding")
+    clean = (_panel_df(spark, sf_dir)
+             .filter(sum(F.col(c) for c in content_flags) == 0)
+             .select("doc_id",
+                     F.col("flag_minkprob").cast("int")
+                     .alias("mink_member")))
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    kept = (docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    n_tokens = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                           F.lit("[a-z0-9]+"), 0))
+    surv = (qe.join(clean, "doc_id")
+            .join(kept, "doc_id")
+            .join(docs.select("doc_id", "source",
+                              n_tokens.cast("bigint").alias("n_tokens")),
+                  "doc_id"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # BIGINT `div`, never floor-over-double-division (r16 advice)
+    return (surv.withColumn("cum_before", cum)
+            .select("doc_id", "source", "lang", "n_tokens", "mink_member",
+                    F.expr(f"cast(cum_before div {PACK_BUDGET} as int)")
+                    .alias("pack_id")))

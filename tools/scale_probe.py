@@ -125,6 +125,7 @@ QUERIES = [
     "simsearch_topk_int8",            # SQ8 integer full-scan ANN tier (r18)
     "heavyhitters_countmin",          # count-min sketch top-K audit (r18)
     "pack_concat_chunk_spans",        # token-level concat-chunk manifest (r18)
+    "pipeline_train_ready",           # capstone: ensemble ∧ panel ∧ dedup (r18)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
