@@ -82,27 +82,60 @@ _CM_EST_CTES = f"""cm_tok AS (
     )"""
 
 
-def _cm_est(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(t, est, exact)`` — the Spark twin of ``cm_est``."""
-    ct = (load_table(spark, sf_dir, "documents")
-          .filter(F.col("text").isNotNull())
-          .select(F.explode(F.regexp_extract_all(
-              F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t"))
-          .groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
-    # D probe rows per token, positions as TOP-LEVEL projections (codegen)
-    probes = (ct.withColumn("pr", F.explode(F.array(*[
-                  F.struct(F.lit(d).alias("d"),
-                           F.expr(_h_spark(d)).alias("pos"))
-                  for d in range(CM_D)])))
-              .select("t", "c", F.col("pr.d").alias("d"),
-                      F.col("pr.pos").alias("pos")))
-    cells = (probes.groupBy("d", "pos")
-             .agg(F.sum("c").cast("bigint").alias("cell")))
+def _cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(t, c)`` — exact per-token occurrence counts over the corpus."""
+    return (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.explode(F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t"))
+            .groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+
+
+def _cm_probe_rows(df: DataFrame) -> DataFrame:
+    """D probe rows per input row carrying a ``t`` column — probe id + hash
+    position as TOP-LEVEL projections (codegen, never inside an array
+    lambda)."""
+    return (df.withColumn("pr", F.explode(F.array(*[
+                F.struct(F.lit(d).alias("d"),
+                         F.expr(_h_spark(d)).alias("pos"))
+                for d in range(CM_D)])))
+            .select(*df.columns, F.col("pr.d").alias("d"),
+                    F.col("pr.pos").alias("pos")))
+
+
+def _cm_est_from_cells(probes: DataFrame, cells: DataFrame) -> DataFrame:
+    """``(t, est, exact)`` from probe rows and a ``(d, pos, cell)`` sketch
+    relation — the query side of the sketch, shared by the batch tier and
+    the streamed sketch (whose replayed cells equal the batch cells)."""
     return (probes
             .join(F.broadcast(cells), ["d", "pos"])  # ≤ D·W rows
             .groupBy("t")
             .agg(F.min("cell").cast("bigint").alias("est"),
                  F.min("c").cast("bigint").alias("exact")))
+
+
+def _cm_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(t, est, exact)`` — the Spark twin of ``cm_est`` (probe rows built
+    once; cells derived from the same relation — one corpus scan)."""
+    probes = _cm_probe_rows(_cm_token_counts(spark, sf_dir))
+    cells = (probes.groupBy("d", "pos")
+             .agg(F.sum("c").cast("bigint").alias("cell")))
+    return _cm_est_from_cells(probes, cells)
+
+
+def cm_topk_report(spark, est: DataFrame) -> DataFrame:
+    """The heavy-hitter report projection over a ``(t, est, exact)``
+    relation — shared by the batch and streamed tiers so the served report
+    is the batch report by construction."""
+    from alertas_spark.operators.topk import ranked_topk
+
+    ranked = ranked_topk(est.withColumn("grp", F.lit(0)),
+                         "grp", "est", "t", CM_K, ascending=False)
+    return ranked.select(F.col("t").alias("token"),
+                         F.col("rnk").cast("int").alias("rnk"),
+                         "est", "exact",
+                         (F.col("est") - F.col("exact"))
+                         .alias("overestimate"))
 
 
 @declare(
@@ -128,14 +161,7 @@ def heavyhitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: token-count hash agg → D-way probe explode → broadcast join to
     the ≤ D·W-row cell table → min-agg → two-phase top-K."""
-    from alertas_spark.operators.topk import ranked_topk
-
-    est = _cm_est(spark, sf_dir).withColumn("grp", F.lit(0))
-    return (ranked_topk(est, "grp", "est", "t", CM_K, ascending=False)
-            .select(F.col("t").alias("token"),
-                    F.col("rnk").cast("int").alias("rnk"),
-                    "est", "exact",
-                    (F.col("est") - F.col("exact")).alias("overestimate")))
+    return cm_topk_report(spark, _cm_est(spark, sf_dir))
 
 
 @declare(

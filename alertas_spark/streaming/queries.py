@@ -713,3 +713,53 @@ def streaming_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _qc = _REG["streaming_clip_gate"]
 _REG["streaming_clip_gate"] = _DQ(
     _qc.name, _qc.builder, _clip_gate_oracle(), _qc.doc, _qc.late)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch maintained on the stream
+# ---------------------------------------------------------------------------
+
+def _countmin_oracle() -> str:
+    import alertas_spark.operators.countmin as _cm  # runs its declares
+
+    return _REG[_cm.heavyhitters_countmin.__name__].oracle
+
+
+@declare("streaming_countmin_topk", oracle=None)  # late attach below
+def streaming_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained INCREMENTALLY on the stream — the
+    canonical streaming-sketch deployment (Cormode & Muthukrishnan's own
+    setting): each arriving document's token occurrences update the D×W
+    cell table through a stateful complete-mode aggregate (state bounded by
+    the SKETCH GEOMETRY, ≤ D·W rows, regardless of stream length), and the
+    heavy-hitter report is then read off the replayed sketch against the
+    static vocabulary with the batch tier's own query side
+    (``_cm_est_from_cells`` / ``cm_topk_report``).
+
+    Full replay makes the streamed cells equal the batch cells relation
+    (per-occurrence count ≡ sum of per-token counts), so the report equals
+    ``heavyhitters_countmin`` row-for-row BY CONSTRUCTION and the oracle IS
+    that query's SQL."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.countmin import (_cm_est_from_cells,
+                                                  _cm_probe_rows,
+                                                  _cm_token_counts,
+                                                  cm_topk_report)
+
+    docs = ev.read_documents_stream(spark, sf_dir)
+    occ = (docs.filter(F.col("text").isNotNull())
+           .select(F.explode(F.regexp_extract_all(
+               F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("t")))
+    cells = (_cm_probe_rows(occ)
+             .groupBy("d", "pos")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cell")))
+    replayed = ev.run_to_memory(cells, output_mode="complete",
+                                shuffle_partitions=8)
+    probes = _cm_probe_rows(_cm_token_counts(spark, sf_dir))
+    return cm_topk_report(spark, _cm_est_from_cells(probes, replayed))
+
+
+_qcm = _REG["streaming_countmin_topk"]
+_REG["streaming_countmin_topk"] = _DQ(
+    _qcm.name, _qcm.builder, _countmin_oracle(), _qcm.doc, _qcm.late)

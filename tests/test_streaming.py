@@ -256,3 +256,21 @@ def test_streaming_clip_gate_replay_equals_batch(spark):
              load_all()["multimodal_clip_gate"].builder(spark, sf).collect()}
     assert stream == batch
     assert stream  # non-degenerate
+
+
+def test_streaming_countmin_replay_equals_batch(spark):
+    """Full replay of the stream-maintained count-min sketch yields the
+    batch heavy-hitter report row-for-row (per-occurrence streamed cell
+    counts equal the batch sum-of-token-counts cells; the query side is
+    the batch tier's own code)."""
+    from alertas_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    stream = {tuple(r) for r in
+              load_all()["streaming_countmin_topk"]
+              .builder(spark, sf).collect()}
+    batch = {tuple(r) for r in
+             load_all()["heavyhitters_countmin"]
+             .builder(spark, sf).collect()}
+    assert stream == batch
+    assert stream  # non-degenerate

@@ -126,6 +126,7 @@ QUERIES = [
     "heavyhitters_countmin",          # count-min sketch top-K audit (r18)
     "pack_concat_chunk_spans",        # token-level concat-chunk manifest (r18)
     "pipeline_train_ready",           # capstone: ensemble ∧ panel ∧ dedup (r18)
+    "streaming_countmin_topk",        # CMS maintained on the stream (r18)
 ]
 
 #: trade-graph probe: pagerank needs the EDGE SET to grow, which the main
