@@ -21,11 +21,27 @@ inside each query would repeat full-corpus scans.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import threading
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, DataFrame] = {}
+
+#: per-key build locks so concurrent consumers of the SAME artifact build it
+#: once (the second thread blocks, then reads the memo) while DIFFERENT
+#: artifacts build concurrently (:func:`overlap`).  ``_LOCKS_GUARD`` protects
+#: the lock dict itself; individual dict get/set on ``_CACHE`` are GIL-atomic.
+_LOCKS_GUARD = threading.Lock()
+_LOCKS: dict[tuple, threading.Lock] = {}
+
+
+def _key_lock(k: tuple) -> threading.Lock:
+    with _LOCKS_GUARD:
+        lock = _LOCKS.get(k)
+        if lock is None:
+            lock = _LOCKS[k] = threading.Lock()
+        return lock
 
 
 def session_artifact(spark: SparkSession, key: tuple,
@@ -37,11 +53,18 @@ def session_artifact(spark: SparkSession, key: tuple,
 
     Keyed by ``applicationId`` (unique per SparkContext), not ``id(spark)``: a
     stopped context invalidates its checkpointed blocks, and a Python object id
-    can be reused after GC — either would hand a dead artifact to a new session."""
+    can be reused after GC — either would hand a dead artifact to a new session.
+
+    Thread-safe under :func:`overlap`: a per-key lock serializes same-key
+    builds (two concurrent ANN tiers sharing one trained codebook train it
+    once), while distinct keys build concurrently."""
     k = (spark.sparkContext.applicationId, *key)
     df = _CACHE.get(k)
     if df is None:
-        df = _CACHE[k] = build()
+        with _key_lock(k):
+            df = _CACHE.get(k)
+            if df is None:
+                df = _CACHE[k] = build()
     return df
 
 
@@ -52,11 +75,41 @@ def session_value(spark: SparkSession, key: tuple, build: Callable[[], object]):
     """:func:`session_artifact` for non-DataFrame artifacts — e.g. the ONE
     ``sc.broadcast`` of a trained merge list that several UDF constructors
     share (building per constructor would ship one copy per consumer).  Same
-    ``applicationId`` keying, cleared by :func:`clear`."""
+    ``applicationId`` keying and per-key locking, cleared by :func:`clear`."""
     k = (spark.sparkContext.applicationId, *key)
     if k not in _VALUES:
-        _VALUES[k] = build()
+        with _key_lock(k):
+            if k not in _VALUES:
+                _VALUES[k] = build()
     return _VALUES[k]
+
+
+def overlap(thunks: Sequence[Callable[[], DataFrame]],
+            max_workers: int = 3) -> list[DataFrame]:
+    """Materialize independent artifact relations CONCURRENTLY (optimization
+    guide §2.6 "overlap independent jobs"): each ``localCheckpoint`` is its own
+    Spark action, and running them back-to-back from the driver leaves the
+    cluster idle through every job's straggler tail.  Spark's scheduler runs
+    concurrent jobs FIFO — the next job's tasks back-fill executors freed by
+    the current job's tail — so a small pool cuts the wall-clock of an
+    N-artifact build toward the longest single artifact without changing any
+    result (every build is deterministic and lands in the same memo slot it
+    would sequentially; same-key races are serialized by the per-key lock in
+    :func:`session_artifact`).
+
+    Pool size 3 by default per the guide: enough in flight to fill stage
+    tails, not so many that jobs fight for task slots (or, locally, that
+    concurrent aggregation buffers stack up in one heap).  Thunk exceptions
+    propagate — results come back in input order, all-or-nothing."""
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futures]
 
 
 _PERSISTED: list[DataFrame] = []
@@ -83,6 +136,8 @@ def clear() -> None:
     (tests / bench / plan audits that need cold builds)."""
     _CACHE.clear()
     _VALUES.clear()
+    with _LOCKS_GUARD:
+        _LOCKS.clear()
     for df in _PERSISTED:
         try:
             df.unpersist()

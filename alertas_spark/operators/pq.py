@@ -1332,18 +1332,30 @@ def simsearch_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("query_id", "cand_id"))
           .crossJoin(F.broadcast(
               spark.createDataFrame([(m,) for m in methods], "method string"))))
+    # the eight tier materializations (and the candidate-count audit) are
+    # independent Spark actions — overlap them (guide §2.6) so the dashboard's
+    # wall-clock tracks the slowest tier instead of the sum; tiers sharing a
+    # trained artifact (the IVFADC pair's coarse centroids + residual
+    # codebook) serialize on that artifact's per-key memo lock and train it
+    # once, exactly as sequentially
+    from alertas_spark.operators.memo import overlap
+
+    tiers = overlap([
+        (lambda n=name, b=build: session_artifact(
+            spark, ("dashboard_tier", n, sf_dir),
+            lambda: b().select("query_id", "cand_id").localCheckpoint()))
+        for name, build in methods.items()
+    ] + [lambda: session_artifact(
+        spark, ("dashboard_counts", sf_dir),
+        lambda: _candidate_counts(spark, sf_dir).localCheckpoint())],
+        max_workers=5)
+    counts = tiers.pop()
     ap = None
-    for name, build in methods.items():
-        tier = session_artifact(
-            spark, ("dashboard_tier", name, sf_dir),
-            lambda b=build: b().select("query_id", "cand_id").localCheckpoint()
-        ).select(
+    for name, tier_df in zip(methods, tiers):
+        tier = tier_df.select(
             F.lit(name).alias("am"), F.col("query_id").alias("aq"),
             F.col("cand_id").alias("ac"))
         ap = tier if ap is None else ap.unionByName(tier)
-    counts = session_artifact(
-        spark, ("dashboard_counts", sf_dir),
-        lambda: _candidate_counts(spark, sf_dir).localCheckpoint())
     return (
         bf.join(F.broadcast(ap), (F.col("method") == F.col("am"))
                 & (F.col("query_id") == F.col("aq"))

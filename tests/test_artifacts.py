@@ -233,3 +233,44 @@ def test_lm_tables_roundtrip_identical_scores(spark, tmp_path):
             spark.conf.unset(artifacts.CONF_KEY)
             memo.clear()
         assert base == first == warm and len(base) > 0, name
+
+
+def test_overlap_concurrent_builds_memoize_once(spark):
+    """memo.overlap materializes independent artifacts concurrently, and the
+    per-key lock makes concurrent same-key consumers build exactly once —
+    the invariant the panel/dashboard §2.6 overlap rests on."""
+    import threading
+
+    from alertas_spark.operators import memo
+
+    memo.clear()
+    builds = {"a": 0, "b": 0}
+    lock = threading.Lock()
+
+    def make(key):
+        def build():
+            with lock:
+                builds[key] += 1
+            return spark.range(5).selectExpr(
+                "id", f"'{key}' as k").localCheckpoint()
+        return build
+
+    # two distinct keys, each requested by TWO concurrent thunks
+    thunks = [
+        (lambda k=k: memo.session_artifact(spark, ("ovl_test", k), make(k)))
+        for k in ("a", "b", "a", "b")
+    ]
+    results = memo.overlap(thunks, max_workers=4)
+    assert builds == {"a": 1, "b": 1}  # same-key races serialized, built once
+    # both consumers of a key got the SAME memoized relation
+    assert results[0] is results[2] and results[1] is results[3]
+    assert sorted(r.first()["k"] for r in results) == ["a", "a", "b", "b"]
+    # exceptions propagate all-or-nothing
+    def boom():
+        raise RuntimeError("axis failed")
+    try:
+        memo.overlap([boom, lambda: results[0]], max_workers=2)
+        raise AssertionError("expected the thunk's exception to propagate")
+    except RuntimeError as ex:
+        assert "axis failed" in str(ex)
+    memo.clear()
