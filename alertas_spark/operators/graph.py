@@ -104,17 +104,25 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
     edges = (pair.select(c.alias("src"), s.alias("dst"), "w")
              .unionByName(pair.select(s.alias("src"), c.alias("dst"), "w")))
-    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     # The loop's invariants are built ONCE and pinned through the tracked
     # operator cache (memo.cached: materialized on first use, unpersisted by
-    # the cold-protocol clear): the normalized edge table is cached
-    # HASH-PARTITIONED ON src, and InMemoryRelation preserves that output
-    # partitioning — so each iteration's rank⋈edge join shuffles only the
-    # node-count-sized rank side, never the edges.
+    # the cold-protocol clear).  Out-weight normalization is a WINDOW over
+    # src, not an agg + join-back: the agg form duplicated the whole
+    # orders⋈lineitem→edges subtree (Catalyst does not dedupe identical
+    # subtrees — both sides of the self-join re-ran the scan and group-by)
+    # and needed its own exchange + an explicit repartition; the window
+    # computes sum(w) over the SAME exchange that establishes the src hash
+    # partitioning the loop needs (guide §2.4: operations keyed the same way
+    # share one exchange).  InMemoryRelation preserves that partitioning, so
+    # each iteration's rank⋈edge join shuffles only the node-count-sized
+    # rank side, never the edges.  sum(w) over bigint counts is exact, so
+    # w/sum(w) is bit-identical to the former w/wout.
+    from pyspark.sql import Window as W
+
     edges_n = memo.cached(
-        edges.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("wout")).alias("wn"))
-        .repartition("src"))
+        edges.select("src", "dst",
+                     (F.col("w") / F.sum("w").over(W.partitionBy("src")))
+                     .alias("wn")))
     nodes = memo.cached(edges_n.select(F.col("src").alias("node")).distinct())
     # node count: a 1-row driver scalar (the sanctioned S15-class pull —
     # same contract as alerts/sanitation.py).  Pulling N to the driver folds

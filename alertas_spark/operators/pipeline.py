@@ -505,15 +505,27 @@ def pipeline_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages' own audited shapes, three doc_id equi-joins to stitch (one
     reusable exchange partitioning), one shard-keyed packing window."""
     from alertas_spark.operators.decon_panel import _panel_df
+    from alertas_spark.operators.memo import overlap, session_artifact
     from alertas_spark.operators.packing import PACK_BUDGET
     from pyspark.sql import Window
 
-    qe = (_ensemble_df(spark, sf_dir)
-          .filter(F.col("keep") == 1)
-          .select("doc_id", "lang"))
+    # the ensemble (LR retrain + scorer + battery + CLIP) and the five-axis
+    # panel are independent until the stitch join — materialize the ensemble's
+    # keep set concurrently with the panel's axis builds (guide §2.6; the
+    # panel overlaps its own five axes internally), so the capstone's
+    # wall-clock tracks its slowest branch instead of panel + ensemble in
+    # sequence.  The checkpoint is a thin (doc_id, lang) keep-set projection.
+    qe, clean = overlap([
+        lambda: session_artifact(
+            spark, ("train_ready_keep_set", sf_dir),
+            lambda: _ensemble_df(spark, sf_dir)
+            .filter(F.col("keep") == 1)
+            .select("doc_id", "lang").localCheckpoint()),
+        lambda: _panel_df(spark, sf_dir),
+    ], max_workers=2)
     content_flags = ("flag_overlap", "flag_bloom", "flag_minhash",
                      "flag_embedding")
-    clean = (_panel_df(spark, sf_dir)
+    clean = (clean
              .filter(sum(F.col(c) for c in content_flags) == 0)
              .select("doc_id",
                      F.col("flag_minkprob").cast("int")
