@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from alertas_spark.operators import memo
 from alertas_spark.operators.embgate import EMB_VALID_SQL, np_valid_mask
 from alertas_spark.operators.textops import WS_RE
 from alertas_spark.registry import declare
@@ -179,18 +180,24 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hashed_shingle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``(doc_id, h)``: each doc's DISTINCT 31-bit shingle hashes, one row per
-    hash — ``_shingle_rows`` pushed through the engine-shared md5/conv hash as
-    a top-level codegen projection (same domain as ``_SHINGLE_HASHES_DUCK``,
-    so oracles agree bit-for-bit)."""
+def _hash_shingles(shing: DataFrame) -> DataFrame:
+    """``(doc_id, s)`` → distinct ``(doc_id, h)`` via the engine-shared
+    md5/conv hash (same domain as ``_SHINGLE_HASHES_DUCK``)."""
     return (
-        _shingle_rows(spark, sf_dir)
+        shing
         .select("doc_id", (F.expr(
             "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
             % F.lit(_MH_PRIME)).alias("h"))
         .dropDuplicates(["doc_id", "h"])
     )
+
+
+def _hashed_shingle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, h)``: each doc's DISTINCT 31-bit shingle hashes, one row per
+    hash — ``_shingle_rows`` pushed through the engine-shared md5/conv hash as
+    a top-level codegen projection (same domain as ``_SHINGLE_HASHES_DUCK``,
+    so oracles agree bit-for-bit)."""
+    return _hash_shingles(_shingle_rows(spark, sf_dir))
 
 
 #: prefix filtering is the HIGH-threshold exact path: prefix length is
@@ -377,7 +384,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
-def _mh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mh_band_rows(spark: SparkSession, sf_dir: str,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """(doc_id, band_idx, band_hash): every document's LSH band keys.
 
     32 affine min-hashes as plain codegen'd MIN aggregates over the exploded
@@ -386,8 +394,11 @@ def _mh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     was the corpus's hidden hot spot once cold timings stopped hitting the
     subplan cache.  min over the same set, bit-identical signatures.
     Shared by the within-corpus pair generator and the train-vs-eval
-    decontamination tier."""
-    toks = _hashed_shingle_tokens(spark, sf_dir)
+    decontamination tier.  ``shingles`` lets a caller that ALSO consumes the
+    raw shingle strings (the pair verifier) pass one shared relation so the
+    document scan → explode → shingle window runs once, not per consumer."""
+    toks = (_hash_shingles(shingles) if shingles is not None
+            else _hashed_shingle_tokens(spark, sf_dir))
     sig = (
         toks.groupBy("doc_id")
         .agg(*[F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME))
@@ -409,7 +420,12 @@ def _mh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _mh_band_rows(spark, sf_dir)
+    # ONE shared shingle relation (tracked operator cache): the band chain and
+    # the verify chain each need the full shingle set, and Catalyst does not
+    # dedupe the two identical scan → explode → window subtrees — uncached,
+    # the document tokenization ran twice per invocation
+    shing = memo.cached(_shingle_rows(spark, sf_dir))
+    bands = _mh_band_rows(spark, sf_dir, shingles=shing)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -423,7 +439,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 10x fixture scale the auto-chosen broadcast OOMed the driver
     # (tools/scale_probe.py).  Pin the scale-correct strategy: shuffle hash
     # join on the high-cardinality doc_id keys.
-    strs = (_shingle_rows(spark, sf_dir).groupBy("doc_id")
+    strs = (shing.groupBy("doc_id")
             .agg(F.collect_list("s").alias("shingles")))
     sa = strs.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sha")) \
         .hint("shuffle_hash")
@@ -470,20 +486,27 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     edge set — 2 key-shuffles over data that only shrinks; ``localCheckpoint``
     truncates lineage per round.  Convergence is detected from a per-round
     (count, hash-sum) digest — a driver-side scalar (S15-class), not a data
-    collect.  Raises ``RuntimeError`` if the cap is hit before the edge set is
-    stable: unconverged labels are wrong labels, and must never be returned
+    collect — observed DURING the checkpoint's materialization job
+    (``Observation`` + ``CollectMetrics``), so each round costs exactly one
+    Spark action instead of checkpoint + a separate digest scan.  Raises
+    ``RuntimeError`` if the cap is hit before the edge set is stable:
+    unconverged labels are wrong labels, and must never be returned
     silently."""
-    e = (edges.select(F.greatest("src", "dst").alias("u"),
-                      F.least("src", "dst").alias("v"))
-         .filter(F.col("u") != F.col("v"))
-         .distinct().localCheckpoint())
+    from pyspark.sql import Observation
 
-    def digest(df: DataFrame):
-        row = df.agg(F.count(F.lit(1)).alias("n"),
-                     F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
-        return (row["n"], row["h"])
+    def checkpoint_with_digest(df: DataFrame):
+        obs = Observation()
+        out = df.observe(obs, F.count(F.lit(1)).alias("n"),
+                         F.bit_xor(F.xxhash64("u", "v")).alias("h")
+                         ).localCheckpoint()
+        m = obs.get  # metrics fired by the checkpoint job — no extra action
+        return out, (m["n"], m["h"])
 
-    prev = digest(e)
+    e, prev = checkpoint_with_digest(
+        edges.select(F.greatest("src", "dst").alias("u"),
+                     F.least("src", "dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct())
     rounds = 0
     converged = prev[0] == 0
     while not converged and rounds < max_iters:
@@ -499,13 +522,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                  .filter(F.col("u") != F.col("v")).distinct())
         # small-star: orient (u > v); smaller neighbors and u itself → min
         m2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (large.join(m2, "u")
-                 .select(F.col("v").alias("x"), "m")
-                 .filter(F.col("x") != F.col("m"))
-                 .unionByName(m2.select(F.col("u").alias("x"), "m"))
-                 .select(F.col("x").alias("u"), F.col("m").alias("v"))
-                 .distinct().localCheckpoint())
-        cur = digest(small)
+        small, cur = checkpoint_with_digest(
+            large.join(m2, "u")
+            .select(F.col("v").alias("x"), "m")
+            .filter(F.col("x") != F.col("m"))
+            .unionByName(m2.select(F.col("u").alias("x"), "m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct())
         converged = cur == prev
         prev, e = cur, small
     if not converged:
