@@ -11,10 +11,13 @@ re-runs):
   contract) — the one step where naive double summation would diverge between
   partitionings and engines.
 
-Scale shape per iteration: one broadcast join (K×dim centroids are always tiny) +
-one argmin shuffle on vec_id + one (cluster, dim) aggregation with map-side
-combine.  The loop structure is exactly GraphX/Spark-ML's kmeans; the decimal-sum
-means are the price of cross-engine bit-equality and cost one extra cast.
+Scale shape per iteration: one 1-row broadcast of the packed centroid array
+(K×dim doubles are always tiny), the argmin evaluated INSIDE the scan
+projection (zero exchange — r18; the former crossJoin + vec_id-window shape
+shuffled a full copy of every embedding per round), and one (cluster, dim)
+aggregation with map-side combine.  The loop structure is exactly
+GraphX/Spark-ML's kmeans; the decimal-sum means are the price of cross-engine
+bit-equality and cost one extra cast.
 
 The trained assignment feeds ``simsearch_topk_ivf`` / the blocked dedup as their
 coarse partition — closing the loop from raw embeddings to a *trained* IVF index
@@ -35,8 +38,6 @@ K = 8
 ITERS = 2
 DIM = 64
 
-_SPARK_DIST = ("aggregate(zip_with(emb, cvec, (x, c) -> (x - c) * (x - c)), "
-               "cast(0.0 as double), (acc, v) -> acc + v)")
 _DUCK_DIST = ("list_reduce(list_transform(range(1, 65), "
               "i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i])), "
               "(x, y) -> x + y)")
@@ -79,16 +80,36 @@ _DUCK_ORACLE = f"""
 """
 
 
+#: argmin over the packed centroid array, evaluated scan-side: per vector,
+#: build (dist, cid) structs for every centroid with a higher-order
+#: ``transform`` and take ``array_min`` — structs compare field-by-field, so
+#: the minimum IS (lowest dist, ties to lowest cid), the oracle's
+#: ROW_NUMBER() ORDER BY dist, cid tiebreak, bit-identical.
+_SPARK_BEST = ("array_min(transform(cs, c -> named_struct("
+               "'dist', aggregate(zip_with(emb, c.cvec, "
+               "(x, ce) -> (x - ce) * (x - ce)), "
+               "cast(0.0 as double), (acc, v) -> acc + v), "
+               "'cid', c.cid)))")
+
+
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    scored = (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", F.expr(_SPARK_DIST))
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # ZERO-exchange assignment: the K centroids collapse to ONE broadcast row
+    # holding an array of (cid, cvec) structs, and the argmin runs inside the
+    # scan projection (``_SPARK_BEST``).  The former shape — crossJoin each
+    # vector against all K centroids, then argmin via a vec_id window —
+    # shuffled and sorted one full copy of every embedding per Lloyd round
+    # (measured at sf0.1: 2,000 records / 820 KB per round, the dominant
+    # exchange of the trainer); here assignment is a narrow projection and
+    # the only exchanges left in a round are the tiny (cid, dim) mean
+    # partials.  min-over-set is order-independent, so the unordered
+    # collect_list is deterministic in the result.
+    cs = centroids.groupBy().agg(
+        F.collect_list(F.struct("cid", "cvec")).alias("cs"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cid", "dist")
+        emb.crossJoin(F.broadcast(cs))
+        .withColumn("best", F.expr(_SPARK_BEST))
+        .select("vec_id", "emb", F.col("best.cid").alias("cid"),
+                F.col("best.dist").alias("dist"))
     )
 
 

@@ -538,22 +538,27 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw0 = (subs.filter(F.col("vec_id") < KSUB)
            .select("m", F.col("vec_id").cast("int").alias("c"),
                    F.col("sub").alias("cvec")))
-    dist = ("aggregate(zip_with(sub, cvec, (x, y) -> (x - y) * (x - y)), "
-            "cast(0.0 as double), (acc, v) -> acc + v)")
-
     def assign(cw: DataFrame) -> DataFrame:
-        scored = (subs.join(F.broadcast(cw), "m")
-                  .withColumn("d", F.expr(dist)))
-        return (scored.groupBy("vec_id", "m")
-                .agg(F.min(F.struct("d", "c")).alias("best"))
+        # ZERO-exchange sub-assignment (r18, kmeans._assign's exact shape per
+        # subspace): the KSUB codewords of each subspace pack into ONE array
+        # row, the 4-row packed codebook broadcasts, and the argmin runs
+        # inside the scan projection via array_min over (d, c) structs —
+        # field-by-field struct comparison IS the (lowest d, ties to lowest
+        # c) contract.  The former crossJoin-by-m + (vec_id, m) struct-min
+        # agg shuffled every sub-vector once per assign pass; now ``sub``
+        # stays on the row for free (the Lloyd mean needs it — previously a
+        # join-back against a second evaluation of the subs subtree).
+        cwp = cw.groupBy("m").agg(
+            F.collect_list(F.struct("c", "cvec")).alias("cs"))
+        return (subs.join(F.broadcast(cwp), "m")
+                .withColumn("best", F.expr(_SUB_BEST))
                 .select("vec_id", "m", F.col("best.c").alias("c"),
-                        F.col("best.d").alias("d")))
+                        F.col("best.d").alias("d"), "sub"))
 
     def train_codebook() -> DataFrame:
         a1 = assign(cw0)
         mean1 = (
-            a1.join(subs, ["vec_id", "m"])
-            .select("m", "c", F.posexplode("sub").alias("pos", "x"))
+            a1.select("m", "c", F.posexplode("sub").alias("pos", "x"))
             .groupBy("m", "c", (F.col("pos") + 1).alias("dim"))
             .agg((F.sum(F.col("x").cast("decimal(29,6)")).cast("double")
                   / F.count("*")).alias("mu"))
@@ -782,17 +787,32 @@ def _residual_subs(spark: SparkSession, sf_dir: str,
         .select("vec_id", "cid", (F.col("m0") + 1).alias("m"), "sub"))
 
 
-_SUBASSIGN_DIST = ("aggregate(zip_with(sub, cvec, (x, y) -> (x - y) * (x - y)), "
-                   "cast(0.0 as double), (acc, v) -> acc + v)")
+#: scan-side sub-argmin over the packed per-subspace codeword array (r18):
+#: array_min over (d, c) structs = the oracle's ORDER BY d, c — struct
+#: comparison is field-by-field, d is the same sequential fold both ways.
+_SUB_BEST = ("array_min(transform(cs, cc -> named_struct("
+             "'d', aggregate(zip_with(sub, cc.cvec, "
+             "(x, y) -> (x - y) * (x - y)), "
+             "cast(0.0 as double), (acc, v) -> acc + v), "
+             "'c', cc.c)))")
+
+
+def _packed_codebook(cw: DataFrame) -> DataFrame:
+    """(m, array<(c, cvec)>): one row per subspace — the broadcast shape that
+    lets the argmin run inside the scan projection (``_SUB_BEST``) with zero
+    exchange; min-over-set is order-independent, so the unordered
+    collect_list is deterministic in the result."""
+    return cw.groupBy("m").agg(
+        F.collect_list(F.struct("c", "cvec")).alias("cs"))
 
 
 def _assign_sub(subs: DataFrame, cw: DataFrame) -> DataFrame:
     """Per (vec_id, m): the codeword minimizing the sequential-fold sub-L2²,
-    ties to the lowest id (struct-min = the oracle's ORDER BY d, c)."""
-    return (subs.join(F.broadcast(cw), "m")
-            .withColumn("d", F.expr(_SUBASSIGN_DIST))
-            .groupBy("vec_id", "cid", "m")
-            .agg(F.min(F.struct("d", "c")).alias("best"))
+    ties to the lowest id — evaluated scan-side against the packed codebook
+    (zero-exchange; the former crossJoin-by-m + struct-min agg shuffled every
+    residual sub-vector once per pass)."""
+    return (subs.join(F.broadcast(_packed_codebook(cw)), "m")
+            .withColumn("best", F.expr(_SUB_BEST))
             .select("vec_id", "cid", "m", F.col("best.c").alias("c")))
 
 
@@ -805,14 +825,15 @@ def _residual_codebook(spark: SparkSession, sf_dir: str,
         cw0 = (subs.filter(F.col("vec_id") < KSUB)
                .select("m", F.col("vec_id").cast("int").alias("c"),
                        F.col("sub").alias("cvec")))
-        a1 = (subs.join(F.broadcast(cw0), "m")
-              .withColumn("d", F.expr(_SUBASSIGN_DIST))
-              .groupBy("vec_id", "m")
-              .agg(F.min(F.struct("d", "c")).alias("best"))
-              .select("vec_id", "m", F.col("best.c").alias("c")))
+        # scan-side argmin against the packed codebook (zero exchange) —
+        # ``sub`` stays on the row for the Lloyd mean, where the former
+        # shape paid a join-back against a SECOND evaluation of the subs
+        # subtree (Catalyst does not dedupe identical subtrees)
+        a1 = (subs.join(F.broadcast(_packed_codebook(cw0)), "m")
+              .withColumn("best", F.expr(_SUB_BEST))
+              .select("vec_id", "m", F.col("best.c").alias("c"), "sub"))
         mean1 = (
-            a1.join(subs.select("vec_id", "m", "sub"), ["vec_id", "m"])
-            .select("m", "c", F.posexplode("sub").alias("pos", "x"))
+            a1.select("m", "c", F.posexplode("sub").alias("pos", "x"))
             .groupBy("m", "c", (F.col("pos") + 1).alias("dim"))
             .agg((F.sum(F.col("x").cast("decimal(29,6)")).cast("double")
                   / F.count("*")).alias("mu"))
