@@ -337,16 +337,30 @@ def _ensemble_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertas_spark.operators.textops import ccnet_perplexity_buckets
     from alertas_spark.sources.catalog import load_table
 
-    lr = _lr_scored(spark, sf_dir)
+    from alertas_spark.operators.memo import overlap
+
+    # the four gate sides are INDEPENDENT full-corpus passes and the LR side
+    # is driver-serial (IRLS collect rounds) — materialize them concurrently
+    # (guide §2.6: later jobs' tasks back-fill executors freed by the current
+    # job's tail, and the scorer/rule/CLIP scans run WHILE the driver steps
+    # the IRLS loop).  Each lands in the same deterministic relation it would
+    # sequentially; the final stitch joins four thin checkpoint scans.
+    lr, ppl, rb, cg = overlap([
+        lambda: _lr_scored(spark, sf_dir).localCheckpoint(),
+        lambda: ccnet_perplexity_buckets(spark, sf_dir).localCheckpoint(),
+        lambda: (rule_bits(load_table(spark, sf_dir, "documents"))
+                 .select("doc_id", "battery_ok").localCheckpoint()),
+        lambda: (clip_pairs(spark, sf_dir)
+                 .select("doc_id", F.col("cos").alias("clip_cos"))
+                 .localCheckpoint()),
+    ], max_workers=4)
+    # the 2-number training prior reads the trainer's registered cache (the
+    # canonicalized train subplan is substituted by the CacheManager), so
+    # this costs one tiny agg, not a second tokenize pass
     prior = (_lr_features(spark, sf_dir)
              .filter(F.col("doc_id") % LR_FOLDS != 0)
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_tr"),
                   F.sum("y").cast("bigint").alias("y_tr")))
-    ppl = ccnet_perplexity_buckets(spark, sf_dir)
-    rb = (rule_bits(load_table(spark, sf_dir, "documents"))
-          .select("doc_id", "battery_ok"))
-    cg = (clip_pairs(spark, sf_dir)
-          .select("doc_id", F.col("cos").alias("clip_cos")))
     gate_lr = (F.col("mu") * F.col("n_tr")
                >= 1000000 * F.col("y_tr")).cast("int")
     gate_ppl = (F.col("bucket") != "tail").cast("int")
