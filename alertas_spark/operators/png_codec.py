@@ -50,30 +50,36 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     h, w, c = a.shape
     color = {1: 0, 3: 2, 4: 6}[c]
     bpp = c
-    raw = bytearray()
-    prior = np.zeros(w * c, dtype=np.int16)
-    for y in range(h):
-        line = a[y].reshape(-1).astype(np.int16)
-        left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]]) \
-            if w * c > bpp else np.zeros_like(line)
-        up = prior
-        upleft = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]]) \
-            if w * c > bpp else np.zeros_like(prior)
-        if filter_type == 0:
-            filt = line
-        elif filter_type == 1:
-            filt = line - left
-        elif filter_type == 2:
-            filt = line - up
-        elif filter_type == 3:
-            filt = line - (left + up) // 2
-        elif filter_type == 4:
-            filt = line - _paeth(left, up, upleft)
-        else:
-            raise ValueError(f"bad filter {filter_type}")
-        raw.append(filter_type)
-        raw.extend((filt % 256).astype(np.uint8).tobytes())
-        prior = line
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter {filter_type}")
+    # One filter type for the whole image means every scanline's filter is a
+    # closed-form function of the pixel matrix and its shifts — the per-
+    # scanline loop this replaced spent its time in numpy call overhead on
+    # PNG_W-sized rows (16-wide rasters → hundreds of tiny array ops per
+    # image).  Same arithmetic, same dtypes, byte-identical IDAT.
+    stride = w * c
+    lines = a.reshape(h, stride).astype(np.int16)
+    left = np.zeros_like(lines)
+    up = np.zeros_like(lines)
+    upleft = np.zeros_like(lines)
+    if stride > bpp:
+        left[:, bpp:] = lines[:, :-bpp]
+        upleft[1:, bpp:] = lines[:-1, :-bpp]
+    up[1:] = lines[:-1]
+    if filter_type == 0:
+        filt = lines
+    elif filter_type == 1:
+        filt = lines - left
+    elif filter_type == 2:
+        filt = lines - up
+    elif filter_type == 3:
+        filt = lines - (left + up) // 2
+    else:
+        filt = lines - _paeth(left, up, upleft)
+    raw = np.empty((h, stride + 1), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = filt % 256
+    raw = raw.tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -125,6 +131,26 @@ def decode_png(buf: bytes) -> np.ndarray:
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("bad pixel payload size")
+    mat = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = mat[:, 0]
+    if h and (ftypes == ftypes[0]).all() and ftypes[0] in (0, 1, 2):
+        # Uniform-filter fast path (what this engine's own encoder always
+        # emits): the whole image reconstructs in one vectorized expression —
+        # None: identity; Sub: per-lane prefix sum along x (the same cumsum
+        # the per-row branch below runs, lifted over all rows at once); Up:
+        # prefix sum down the rows.  int64 cumsums guard the pre-mod totals.
+        # Byte-identical to the scanline loop, which remains the general path
+        # for Average/Paeth and mixed-filter images.
+        filt = mat[:, 1:]
+        if ftypes[0] == 0:
+            out = filt.copy()
+        elif ftypes[0] == 1:
+            out = (filt.reshape(h, w, c).astype(np.int64).cumsum(axis=1)
+                   % 256).astype(np.uint8).reshape(h, stride)
+        else:
+            out = (filt.astype(np.int64).cumsum(axis=0)
+                   % 256).astype(np.uint8)
+        return out.reshape(h, w, c)
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int16)
     for y in range(h):
