@@ -88,7 +88,14 @@ _BLOOM_HITS_CTES = f"""tokd AS (
 
 def _train_bench_grams(spark: SparkSession,
                        sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(train grams (doc_id, g), distinct benchmark grams (g))."""
+    """(train grams (doc_id, g), distinct benchmark grams (g)).
+
+    Deliberately NOT cached (r18, measured): the ``doc_id % MOD`` filters
+    push below the tokenize+explode, so the bench side only tokenizes 1/MOD
+    of the corpus — the two "duplicate" subtree evaluations cost ~one full
+    pass combined, while caching the full gram stream costs a full tokenize
+    PLUS the columnar cache build (probed: equal CPU at best, and a
+    corpus-sized cache at 100 TB)."""
     docs = load_table(spark, sf_dir, "documents")
     grams = (docs.withColumn("tok", F.regexp_extract_all(
                  F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
@@ -111,10 +118,13 @@ def _probe_rows(df: DataFrame) -> DataFrame:
                     F.col("pr.pos").alias("pos")))
 
 
-def _bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bloom_hits(spark: SparkSession, sf_dir: str,
+                train: DataFrame = None, bench: DataFrame = None) -> DataFrame:
     """(doc_id, g) training grams flagged by the benchmark bloom filter —
-    the Spark twin of ``_BLOOM_HITS_CTES``."""
-    train, bench = _train_bench_grams(spark, sf_dir)
+    the Spark twin of ``_BLOOM_HITS_CTES``.  Callers that already built the
+    gram split (the fp audit) pass it in so the cached stream is shared."""
+    if train is None:
+        train, bench = _train_bench_grams(spark, sf_dir)
     filt = _probe_rows(bench).select("probe", "pos").distinct()
     return (_probe_rows(train)
             .join(F.broadcast(filt), ["probe", "pos"])
@@ -168,11 +178,17 @@ def bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a measurable false-positive count (0 at the shipped m/k on the fixture;
     tests drive m down to force FPs).  The exact side reuses the broadcast
     bench-gram join, so the audit is two broadcast joins and a 1-row agg."""
+    from alertas_spark.operators import memo
+
     train, bench = _train_bench_grams(spark, sf_dir)
-    hits = _bloom_hits(spark, sf_dir)
-    exact = (train.join(F.broadcast(bench.select(F.col("g").alias("bg"))),
-                        F.col("g") == F.col("bg"))
-             .select("doc_id", "g").distinct())
+    hits = _bloom_hits(spark, sf_dir, train, bench)
+    # cached: the exact tier feeds BOTH the flagged-join branch and the
+    # independent n_exact count below — without the cache the broadcast
+    # bench join re-ran per branch
+    exact = memo.cached(
+        train.join(F.broadcast(bench.select(F.col("g").alias("bg"))),
+                   F.col("g") == F.col("bg"))
+        .select("doc_id", "g").distinct())
     flagged = (hits.join(exact.withColumn("ex", F.lit(1)),
                          ["doc_id", "g"], "left")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"),

@@ -80,6 +80,7 @@ def _kn_tables(spark: SparkSession, sf_dir: str
     store (the ``_lm_bigram_tables`` lifecycle).  Everything KN needs
     (context totals, continuation counts, the three scalars) derives from
     these by type-table-sized aggs at scoring time."""
+    from alertas_spark.operators import memo
     from alertas_spark.operators.artifacts import persistent_artifact
 
     ref = F.col("doc_id") % PPL_REF_MOD != 0
@@ -100,12 +101,18 @@ def _kn_tables(spark: SparkSession, sf_dir: str
         return (_ppl_tok(spark, sf_dir).filter(ref).groupBy("t")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
 
-    tri = persistent_artifact(spark, sf_dir, "kn_trigram",
-                              KN_CODE_VERSION, "documents", build_tri)
-    big = persistent_artifact(spark, sf_dir, "kn_bigram",
-                              KN_CODE_VERSION, "documents", build_big)
-    uni = persistent_artifact(spark, sf_dir, "kn_unigram",
-                              KN_CODE_VERSION, "documents", build_uni)
+    # the three count tables are independent full-corpus aggregations — build
+    # them CONCURRENTLY (memo.overlap, guide §2.6): each lands in its own
+    # session/store slot exactly as sequentially, and the tri/big/uni jobs'
+    # stage tails back-fill each other instead of leaving the cluster idle
+    tri, big, uni = memo.overlap([
+        lambda: persistent_artifact(spark, sf_dir, "kn_trigram",
+                                    KN_CODE_VERSION, "documents", build_tri),
+        lambda: persistent_artifact(spark, sf_dir, "kn_bigram",
+                                    KN_CODE_VERSION, "documents", build_big),
+        lambda: persistent_artifact(spark, sf_dir, "kn_unigram",
+                                    KN_CODE_VERSION, "documents", build_uni),
+    ])
     return tri, big, uni
 
 

@@ -385,10 +385,16 @@ def lr_nb_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     many of those documents the NB language classifier also got right —
     the evaluation artifact for composing the two gates.  ≤4 rows from one
     agg over the two prediction relations (both fold-pruned scans)."""
+    from alertas_spark.operators import memo
     from alertas_spark.operators.classifier import _nb_predictions
 
-    lr = _lr_scored(spark, sf_dir)
-    nb = _nb_predictions(spark, sf_dir)
+    # the two prediction relations are independent — the NB side's scan runs
+    # WHILE the driver steps the LR trainer's IRLS collect rounds
+    # (memo.overlap, guide §2.6; the _ensemble_df pattern)
+    lr, nb = memo.overlap([
+        lambda: _lr_scored(spark, sf_dir).localCheckpoint(),
+        lambda: _nb_predictions(spark, sf_dir).localCheckpoint(),
+    ], max_workers=2)
     nb_hit = F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
     return (lr.join(nb, "doc_id")
             .select("y", (2 * F.col("mu") >= 1000000).cast("int")

@@ -57,20 +57,30 @@ def _oracle() -> str:
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → exact-dedup → near-dedup the documents table; returns the
     surviving (doc_id, n_tokens)."""
-    quality = text_quality(spark, sf_dir).filter("quality_ok = 1") \
-        .select("doc_id", "n_tokens")
+    from alertas_spark.operators.memo import overlap
+
+    # the quality gate scan and the LSH pair artifact are INDEPENDENT passes
+    # that meet only at the final stitch — materialize them concurrently
+    # (memo.overlap, guide §2.6).  The quality relation is checkpointed thin
+    # because it feeds both the exact-dedup hash agg and the final join
+    # (Catalyst does not dedupe identical subtrees); the pair set stays the
+    # session artifact shared with any other composition in the session —
+    # the standalone dedup_minhash_lsh query keeps its full plan, only
+    # compositions consume the materialized pairs.
+    quality, pairs = overlap([
+        lambda: (text_quality(spark, sf_dir).filter("quality_ok = 1")
+                 .select("doc_id", "n_tokens").localCheckpoint()),
+        lambda: session_artifact(
+            spark, ("minhash_verified_pairs", sf_dir),
+            lambda: dedup_minhash_lsh(spark, sf_dir).localCheckpoint()),
+    ], max_workers=2)
     hashes = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("h"))
-    passing = quality.join(hashes, "doc_id")
-    exact_kept = passing.groupBy("h").agg(F.min("doc_id").alias("doc_id")) \
-        .select("doc_id")
-    # the LSH band self-join is the pipeline's one heavy stage; its verified pair
-    # set is a per-dataset artifact shared with any other composition in the
-    # session (operators/memo.py) — the standalone dedup_minhash_lsh query keeps
-    # its full plan, only compositions consume the materialized pairs
-    pairs = session_artifact(
-        spark, ("minhash_verified_pairs", sf_dir),
-        lambda: dedup_minhash_lsh(spark, sf_dir).localCheckpoint())
+    # checkpointed: consumed three times below (two pair-side joins + the
+    # left-anti keeper filter)
+    exact_kept = (quality.join(hashes, "doc_id")
+                  .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+                  .select("doc_id").localCheckpoint())
     both_kept = (
         pairs.join(exact_kept.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(exact_kept.withColumnRenamed("doc_id", "doc_b"), "doc_b")
@@ -255,15 +265,24 @@ def pipeline_dsir_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertas_spark.operators.topk import ranked_topk
     from pyspark.sql import Window as W
 
+    from alertas_spark.operators.memo import overlap
+
     sel_w = W.orderBy(F.col("avg_logratio_nats").desc(), "doc_id")
     # the K cut over the corpus-sized score relation rides the two-phase
-    # top-k (r15 advice) — only the ≤K-row downstream windows stay global
-    sel = (ranked_topk(
-               _dsir_scores(spark, sf_dir).withColumn("grp", F.lit(0)),
-               "grp", "avg_logratio_nats", "doc_id", DSIR_K,
-               ascending=False, rank_col="sel_rank")
-           .drop("grp"))
-    flagged = _bloom_hits(spark, sf_dir).select("doc_id").distinct()
+    # top-k (r15 advice) — only the ≤K-row downstream windows stay global.
+    # The DSIR selection (hashed-LM artifact + score scan) and the bloom
+    # flag set (tokenize + probe join) are INDEPENDENT full-corpus passes
+    # that only meet at the anti-join — materialize them concurrently
+    # (memo.overlap, guide §2.6; the _ensemble_df pattern).
+    sel, flagged = overlap([
+        lambda: (ranked_topk(
+                     _dsir_scores(spark, sf_dir).withColumn("grp", F.lit(0)),
+                     "grp", "avg_logratio_nats", "doc_id", DSIR_K,
+                     ascending=False, rank_col="sel_rank")
+                 .drop("grp").localCheckpoint()),
+        lambda: (_bloom_hits(spark, sf_dir).select("doc_id").distinct()
+                 .localCheckpoint()),
+    ], max_workers=2)
     clean = sel.join(F.broadcast(flagged), "doc_id", "left_anti")
     cum = F.sum("n_tokens").over(sel_w.rowsBetween(W.unboundedPreceding, -1))
     return clean.select(

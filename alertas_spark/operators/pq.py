@@ -1011,11 +1011,19 @@ def _int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy((F.col("pos") + 1).alias("dim"))
             .agg(F.min("x").alias("mn"),
                  ((F.max("x") - F.min("x")) / F.lit(255.0)).alias("sc")))
-    stats = dims.agg(
+    from alertas_spark.operators import memo
+
+    # the 1-row stats relation is memo.cached: the query side and the
+    # candidate side of simsearch_topk_int8 each re-evaluated this full
+    # posexplode + DIM-row aggregate (Catalyst does not dedupe identical
+    # subtrees) — a 1-row cache makes the corpus-sized pass run once, at
+    # zero cache-build cost (probed r18: caching the full coded relation
+    # instead cost MORE CPU than the duplicate pass it saved)
+    stats = memo.cached(dims.agg(
         F.transform(F.array_sort(F.collect_list(F.struct("dim", "mn"))),
                     lambda s: s["mn"]).alias("mins"),
         F.transform(F.array_sort(F.collect_list(F.struct("dim", "sc"))),
-                    lambda s: s["sc"]).alias("scales"))
+                    lambda s: s["sc"]).alias("scales")))
     codes = F.expr(f"""
         transform(sequence(1, {DIM}),
             i -> CASE WHEN element_at(scales, i) = 0.0D THEN 0

@@ -71,10 +71,19 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(fc, F.lit([0.5, 0.95])).alias(f"{c}__pcts"),
             F.round(F.stddev_samp(fc), 6).alias(f"{c}__sd"),
         ]
-    distincts = li.agg(*[
-        F.count_distinct(finite(F.col(c))).alias(f"{c}__n_distinct")
-        for c in _COLS])
-    wide = li.agg(*aggs).crossJoin(distincts)
+    # the two single-row aggregates are INDEPENDENT full-table passes (split
+    # deliberately — see above); materialize them concurrently so the
+    # percentile pass's long sort tail and the distinct pass's Expand stage
+    # back-fill each other (memo.overlap, guide §2.6)
+    from alertas_spark.operators import memo
+
+    stats_row, dist_row = memo.overlap([
+        lambda: li.agg(*aggs).localCheckpoint(),
+        lambda: li.agg(*[
+            F.count_distinct(finite(F.col(c))).alias(f"{c}__n_distinct")
+            for c in _COLS]).localCheckpoint(),
+    ], max_workers=2)
+    wide = stats_row.crossJoin(dist_row)
     structs = F.array(*[
         F.struct(
             F.lit(c).alias("column_name"),

@@ -103,30 +103,6 @@ def _admissible_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("text").isNotNull() & (F.length("text") >= K)))
 
 
-def _gram_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(gh, gh2, doc_id, cnt): occurrences of each K-gram (by fingerprint)
-    within each document — ``spans``'s wide stage.
-
-    The shingle explode is scan-side and narrow; the hash agg is the corpus-
-    character-sized shuffle — keyed on the 16-byte fingerprint, so the
-    40-char strings never cross the wire at all (measured ~CPU-neutral on
-    single-node page-cache shuffle, 23.0 vs 23.4 s at the 10× replica; the
-    win is shuffle BYTES, which a network cluster pays for and a local
-    probe cannot see)."""
-    shingles = _shingles(_admissible_docs(spark, sf_dir))
-    # ONE wide shuffle, keyed on the fingerprint alone: HashPartitioning
-    # (gh, gh2) satisfies clustering for the (gram, doc_id) agg, the gram
-    # window, AND the per-gram rollup downstream (the groupBy-first shape
-    # shuffled twice — agg exchange on (gram, doc_id), window re-exchange
-    # on gram; measured 4.4 -> 3.0 s at sf0.1 on the string tier).
-    # Map-side combine is not lost in any way that matters: K-gram keys are
-    # near-unique per doc, so the partial agg collapsed almost nothing.
-    n = shingles.sparkSession.sparkContext.defaultParallelism
-    return (shingles.repartition(n, "gh", "gh2")
-            .groupBy("gh", "gh2", "doc_id")
-            .agg(F.count(F.lit(1)).alias("cnt")))
-
-
 @declare(
     "dedup_substring_spans",
     oracle=f"""
@@ -153,14 +129,32 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 2 times in the corpus — the ExactSubstr memorization-risk signal
     (``n_dup / n_pos`` is the duplicated fraction; counts are emitted raw so
     the cross-engine compare never crosses a float seam).  Documents shorter
-    than {K} chars have no window and are excluded."""
-    pg = _gram_doc_counts(spark, sf_dir)
-    tot = F.sum("cnt").over(W.partitionBy("gh", "gh2"))
-    return (pg.withColumn("tot", tot)
-            .groupBy("doc_id")
-            .agg(F.sum("cnt").cast("bigint").alias("n_pos"),
-                 F.sum(F.when(F.col("tot") >= 2, F.col("cnt"))
-                       .otherwise(F.lit(0))).cast("bigint").alias("n_dup")))
+    than {K} chars have no window and are excluded.
+
+    Computed by complement (r18): a position is duplicated iff its gram's
+    corpus total is >= 2, so ``n_dup = n_pos - #singleton positions`` — and a
+    SINGLETON gram (total 1) has exactly one position in exactly one document,
+    so the per-doc singleton count is one hash agg over the gram totals, and
+    ``n_pos = length - K + 1`` comes straight off the scan (every admissible
+    document contributes each of its positions exactly once).  This shape
+    drops the r12 plan's (gram, doc) pre-aggregation level AND the per-gram
+    window sort entirely: the only corpus-sized exchange left is the gram-
+    total hash agg, and everything downstream is singleton-sized.  Exact
+    integer identity — bit-identical to the window form the oracle mirrors."""
+    docs = _admissible_docs(spark, sf_dir)
+    singles = (_shingles(docs)
+               .groupBy("gh", "gh2")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.min("doc_id").alias("doc_id"))
+               .filter(F.col("cnt") == 1)
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_uniq")))
+    base = docs.select("doc_id", (F.length("text") - (K - 1))
+                       .cast("bigint").alias("n_pos"))
+    return (base.join(singles, "doc_id", "left")
+            .select("doc_id", "n_pos",
+                    (F.col("n_pos") - F.coalesce("n_uniq", F.lit(0)))
+                    .cast("bigint").alias("n_dup")))
 
 
 @declare(
