@@ -5,8 +5,8 @@ MinHash/SimHash (operators/dedup.py) catch token-level overlap; an
 edit-distance join catches character-level mutations (OCR noise, typos,
 template fills) that token shingles miss.  The scale shape is a LOSSLESS
 q-gram filtered join (the AllPairs/PPJoin machinery of
-``dedup_jaccard_prefix_filter`` instantiated for edit distance, plus the
-exact Gravano count filter as a mid-stage):
+``dedup_jaccard_prefix_filter`` instantiated for edit distance, with the
+Gravano count bound driving the filter geometry):
 
 * **signature projection** — compare on a fixed-length normalized prefix
   (``SIG_LEN`` chars of ``lower(text)``), not whole documents: edit distance
@@ -37,9 +37,9 @@ exact Gravano count filter as a mid-stage):
   contributes a CONSTANT <= PREFIX NARROW rows (ids + counters, no
   strings) to the self-join, and candidates must appear in >= L_PREFIX
   distinct prefix-gram buckets — a hash-agg count that cuts the
-  pair stream ~5x before the expensive intersect stage (sf0.1: 5.6M
-  distinct 1-prefix pairs -> 1.1M at L_PREFIX=4, measured lossless: the
-  same 67,966 pairs survive the exact count filter either way).  The
+  pair stream ~5x before verification (sf0.1: 5.6M distinct 1-prefix
+  pairs -> 1.1M at L_PREFIX=4, measured lossless: the same 67,966 pairs
+  survive the exact count filter either way).  The
   per-row positional filter is relaxed to ``t_pair - (L_PREFIX-1)`` for
   this to stay lossless: the j-th shared prefix gram (j <= L_PREFIX) still
   has >= t_pair - (j-1) common grams at-or-after it.  This machinery
@@ -49,21 +49,17 @@ exact Gravano count filter as a mid-stage):
   incomplete (pairs differing inside the first 4 chars were silently
   missed).  On the skewed-prefix adversarial fixture (3k docs, one shared
   prefix, uniform-random tails) candidates are output-bound.
-* **exact count-filter verification** — prefix matching alone degrades on
-  flat gram-frequency spectra (the sf0.1 fixture corpus draws its text from
-  ~25 words, so NO gram is rare: 6.2M of 12.5M possible pairs share a
-  prefix gram).  Candidate rows therefore join each side's full tagged-gram
-  array and keep only pairs with ``size(array_intersect) >= t`` — the EXACT
-  Gravano bound, which admits just 76k pairs on the same corpus.  Tagged
-  grams are unique within a doc by construction, so the arrays are sets and
-  ``array_intersect`` computes the bag overlap exactly (no hashing, no
-  collision caveat).
 * **banded verification** — ``levenshtein(a, b, threshold)``: Spark's
   three-argument form runs the banded O(d·n) DP and returns -1 past the
-  threshold.  Only count-filter survivors reach it, and only true matches
-  reach the final pair-dedup.  The result is EXACT and COMPLETE — every
-  pair with ``ED(sig_a, sig_b) <= MAX_DIST`` — which is why the DuckDB
-  oracle can brute-force the bare predicate.
+  threshold.  Every deduplicated l-prefix candidate reaches it directly:
+  the banded DP on two ``SIG_LEN``-char sigs costs ~(2·MAX_DIST+1)·SIG_LEN
+  char ops — cheaper per pair than the r11-r17 intermediate stage that
+  verified the EXACT Gravano count bound by intersecting the two ~29-string
+  tagged-gram arrays (measured r18: dropping that stage halved the query's
+  executor CPU on the same candidates; it was a conservative pre-filter and
+  the DP decides membership either way).  The result is EXACT and COMPLETE
+  — every pair with ``ED(sig_a, sig_b) <= MAX_DIST`` — which is why the
+  DuckDB oracle can brute-force the bare predicate.
 
 ``Q = 4`` is the measured sweet spot for the PREFIX stage: on the skewed
 fixture the 1-prefix candidate count is 889k at Q=2, 37k at Q=3, 323 at Q=4
@@ -88,10 +84,10 @@ Plan: scan → position explode (narrow) → occurrence-tag window (shuffle on
 (doc_id, gram)) → df hash-agg (map-side combined) + join-back → per-doc
 re-agg (shuffle on doc_id) → [cached] → <=PREFIX-row-per-doc NARROW prefix
 self-join (shuffle on rare grams) → pair hash-agg (count >= L_PREFIX
-shared prefix grams — pairs leave this stage DISTINCT) → gram-array join +
-exact count filter → sig join → banded verify.
-Every stage is linear in input + candidate output.  The gram-array and sig
-joins are broadcast ONLY below ``BROADCAST_MAX_UNITS`` distinct signatures
+shared prefix grams — pairs leave this stage DISTINCT) → sig join →
+banded verify.
+Every stage is linear in input + candidate output.  The sig joins are
+broadcast ONLY below ``BROADCAST_MAX_UNITS`` distinct signatures
 (the unit count is known exactly from the eager materialization — no
 estimator guesswork); above the gate they degrade to shuffle joins on doc
 ids with no code edit, which is why candidates are deduplicated before the
@@ -209,12 +205,12 @@ def _maybe_broadcast(df: DataFrame, n_units: int) -> DataFrame:
     return F.broadcast(df) if n_units <= BROADCAST_MAX_UNITS else df
 
 
-def _candidate_pairs(gram: DataFrame, n_units: int) -> DataFrame:
+def _candidate_pairs(gram: DataFrame) -> DataFrame:
     """Distinct UNIT (doc_a, doc_b) pairs surviving the l-prefix, length,
-    positional, and EXACT count filters — a provable superset of the true
+    and positional filters — a provable superset of the true
     distinct-signature pairs, already deduplicated (the prefix hash-agg
     groups on the pair, so exactly one row per candidate reaches the
-    intersect stage)."""
+    banded verify)."""
     pref = _prefix_tokens(gram)
     cols = ("doc_id", "l", "n", "p")
     a = pref.select(*[F.col(c).alias(f"{c}_a") for c in cols], "g")
@@ -239,32 +235,24 @@ def _candidate_pairs(gram: DataFrame, n_units: int) -> DataFrame:
              # l-prefix count: a qualifying pair appears in >= req distinct
              # prefix-gram buckets (module docstring proof); the hash agg
              # both enforces that and DEDUPLICATES the pair stream before
-             # the expensive intersect stage (sf0.1: 9.7M joined rows ->
-             # 1.1M distinct surviving pairs)
+             # verification (sf0.1: 9.7M joined rows -> 1.1M distinct
+             # surviving pairs)
              .groupBy(F.col("doc_id_a").alias("doc_a"),
                       F.col("doc_id_b").alias("doc_b"))
              .agg(F.count(F.lit(1)).alias("shared"), F.first(req).alias("req"))
              .filter(F.col("shared") >= F.col("req"))
              .select("doc_a", "doc_b"))
-    # exact count filter: tagged grams are unique per doc, so the per-doc
-    # arrays are sets and array_intersect IS the bag overlap.  Both sides
-    # project the CACHED gram table (InMemoryTableScan — the q-gram pipeline
-    # does not re-run), and are broadcast only under the unit-count gate so
-    # the deduplicated candidate rows stream through both joins + the
-    # intersect filter in one pipeline stage with the wide arrays never
-    # shuffled; above the gate the joins degrade to shuffles keyed on doc
-    # ids.
-    gsets = gram.select("doc_id", "l",
-                        F.expr("transform(ord, s -> s.g)").alias("gs"))
-    ga = gsets.select(F.col("doc_id").alias("doc_a"), F.col("l").alias("la"),
-                      F.col("gs").alias("gs_a"))
-    gb = gsets.select(F.col("doc_id").alias("doc_b"), F.col("l").alias("lb"),
-                      F.col("gs").alias("gs_b"))
-    return (rough.join(_maybe_broadcast(ga, n_units), "doc_a")
-            .join(_maybe_broadcast(gb, n_units), "doc_b")
-            .filter(F.size(F.array_intersect("gs_a", "gs_b"))
-                    >= F.greatest("la", "lb") - F.lit(_T_SUB))
-            .select("doc_a", "doc_b"))
+    # NO exact count filter between the prefix agg and the banded verify
+    # (r18, measured): the r11-r17 shape joined each side's full tagged-gram
+    # array here and kept pairs with size(array_intersect) >= t before the
+    # levenshtein — but the banded DP on two 32-char sigs costs ~(2d+1)·n
+    # char ops, CHEAPER per pair than hashing two ~29-string arrays through
+    # an intersect (stage profile at sf0.1: the intersect stage burned 25
+    # executor-CPU-seconds; dropping it cut the query's total CPU ~2× with
+    # the identical result — the count filter was a conservative pre-filter,
+    # and the levenshtein decides membership either way).  Candidates flow
+    # straight to the sig join + banded verify, both linear in candidates.
+    return rough
 
 
 @declare(
@@ -286,7 +274,7 @@ def _candidate_pairs(gram: DataFrame, n_units: int) -> DataFrame:
 def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL character-level near-duplicate pairs: documents whose normalized
     {SIG_LEN}-char signatures are within edit distance {MAX_DIST}, found via
-    a lossless q-gram prefix + exact count filter (module docstring) with
+    a lossless q-gram l-prefix filter (module docstring) with
     banded-levenshtein verification.  Exact AND complete — the filters are
     conservative supersets of the true pair set, so the DuckDB oracle
     brute-forces the bare predicate.  Documents shorter than {MIN_LEN} chars
@@ -294,15 +282,15 @@ def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     on such strings is not near-duplication)."""
     # the two shared relations, each built ONCE: docs (the sig projection —
     # consumed by the unit collapse, the member expansion, and the same-sig
-    # join) and gram (the q-gram pipeline — consumed by the prefix rows, the
-    # gram-set arrays, and the sig verify join).  memo.cached registers both
+    # join) and gram (the q-gram pipeline — consumed by the prefix rows and
+    # the sig verify join).  memo.cached registers both
     # with the cold-timing protocol; the single eager count materializes the
     # whole chain exactly once (docs populates as gram's upstream) and
     # returns the exact unit count that gates the broadcasts below.
     docs = memo.cached(_doc_sigs(spark, sf_dir))
     gram = memo.cached(_gram_docs(_units(docs)))
     n_units = gram.count()
-    cand = _candidate_pairs(gram, n_units)
+    cand = _candidate_pairs(gram)
     ua = gram.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     ub = gram.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     # banded DP: -1 past the threshold, so the filter keeps 0..MAX_DIST;

@@ -362,8 +362,16 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("pe").isNull()
                            | (F.col("i") > F.col("pe")), 1).otherwise(0))
                     .over(wd.rowsBetween(W.unboundedPreceding, 0))))
-    islands = (numbered.groupBy("doc_id", "g")
-               .agg(F.min("i").alias("s"), F.max("e").alias("e")))
+    # cached: islands feeds FOUR consumers (the before-fragments, the tail
+    # fragment, the untouched-documents anti join, and the removed-length
+    # rollup), and Catalyst does not dedupe identical subtrees — uncached,
+    # the whole shc-scan → keep-first join → interval window pipeline ran
+    # four times (four identical stages measured at sf0.1, ~3/4 of the
+    # query's executor time).  The relation is duplicated-interval-sized,
+    # tiny next to the shingle stream.
+    islands = memo.cached(
+        numbered.groupBy("doc_id", "g")
+        .agg(F.min("i").alias("s"), F.max("e").alias("e")))
     # kept fragments: before each island, after the last island, and the
     # whole document when nothing was removed
     wi = W.partitionBy("doc_id").orderBy("s")
