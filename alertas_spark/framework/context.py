@@ -14,6 +14,7 @@ Replaces the reference's ``options`` dict of schema names threaded through every
 from __future__ import annotations
 
 import datetime as dt
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,13 @@ class AlertContext:
     #: (≙ base.py:10-14 enableHiveSupport + jobs.py:183-185 saveAsTable)
     catalog: Catalog | None = None
     _views: dict[str, DataFrame] = field(default_factory=dict)
+    #: guards _views so concurrent alert builds (engine.run_all's staging
+    #: pool) construct each shared base view exactly once — the eager cache
+    #: + count in documentos_ativos must not run per thread.  REENTRANT:
+    #: building documentos_ativos calls ctx.view("documento"/"vista") on the
+    #: same thread (base_views.py:31), which re-enters this lock.
+    _views_lock: threading.RLock = field(default_factory=threading.RLock,
+                                         repr=False, compare=False)
 
     def __post_init__(self) -> None:
         if self.catalog is None:
@@ -64,11 +72,15 @@ class AlertContext:
 
     # -- shared base views (≙ jobs.py:190-250) ------------------------------
     def view(self, name: str) -> DataFrame:
-        if name not in self._views:
-            from alertas_spark.framework.base_views import build_view
+        df = self._views.get(name)
+        if df is None:
+            with self._views_lock:
+                df = self._views.get(name)
+                if df is None:
+                    from alertas_spark.framework.base_views import build_view
 
-            self._views[name] = build_view(self, name)
-        return self._views[name]
+                    df = self._views[name] = build_view(self, name)
+        return df
 
     # -- injected clock -----------------------------------------------------
     @property

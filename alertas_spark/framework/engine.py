@@ -95,19 +95,41 @@ def normalize(df: DataFrame, sigla: str, family: StructType) -> DataFrame:
     return df.select(*[f.name for f in family.fields])
 
 
-def run_alert(ctx: AlertContext, definition: AlertDefinition) -> None:
-    """Compute one alert and append into its family staging table (jobs.py:258-277).
+def _stage_name(family_table: str, sigla: str) -> str:
+    """Per-sigla staging table (r18): alerts write DISJOINT tables so the
+    compute phase can run concurrently — concurrent appends into one path
+    would race on the output committer's _temporary dir.  The family's
+    publication unions its sigla stagings, so the published tables are
+    row-identical to the serial single-table append."""
+    return f"temp_{family_table}__{sigla.lower()}"
+
+
+def run_alert(ctx: AlertContext, definition: AlertDefinition,
+              stage_table: str | None = None) -> None:
+    """Compute one alert and append into its staging table (jobs.py:258-277).
     The write is the action that executes the lazy plan; 4 output files keep the
-    staging dir small (the reference used coalesce(20) for a 75-core cluster)."""
+    staging dir small (the reference used coalesce(20) for a 75-core cluster).
+    ``stage_table`` defaults to the family staging table; run_all passes the
+    per-sigla name so alerts stage concurrently."""
     ctx.spark.sparkContext.setJobGroup(definition.sigla, definition.sigla)
     df = normalize(definition.builder(ctx), definition.sigla, definition.family_schema)
-    ctx.write_table("alertas", f"temp_{definition.family_table}", df,
-                    mode="append", coalesce=4)
+    ctx.write_table("alertas", stage_table or f"temp_{definition.family_table}",
+                    df, mode="append", coalesce=4)
 
 
-def publish(ctx: AlertContext, family_table: str) -> None:
-    """Snapshot + hist-partition publication for one family (jobs.py:284-320)."""
-    staged = ctx.table("alertas", f"temp_{family_table}")
+def publish(ctx: AlertContext, family_table: str,
+            sigla_tables: tuple[str, ...] = ()) -> None:
+    """Snapshot + hist-partition publication for one family (jobs.py:284-320).
+
+    Reads the legacy single staging table and/or the per-sigla staging tables
+    run_all wrote (their union IS the family staging relation the serial
+    append produced — row-identical, publication unchanged)."""
+    staged_names = [n for n in (f"temp_{family_table}", *sigla_tables)
+                    if ctx.table_exists("alertas", n)]
+    parts = [ctx.table("alertas", n) for n in staged_names]
+    staged = parts[0]
+    for p in parts[1:]:
+        staged = staged.unionByName(p)
     # current snapshot (jobs.py:290-293); repartition(3) ≙ small-file control
     ctx.write_table("alertas", family_table, staged.repartition(3))
 
@@ -132,13 +154,29 @@ def publish(ctx: AlertContext, family_table: str) -> None:
     else:
         ctx.write_table("alertas", hist_name, hist,
                         partition_by="dt_partition", coalesce=3)
-    ctx.drop_table("alertas", f"temp_{family_table}")
+    for n in staged_names:
+        ctx.drop_table("alertas", n)
 
 
 def generate_types_table(ctx: AlertContext) -> None:
     """≙ generateTypesTable (jobs.py:147-185)."""
     df = ctx.spark.createDataFrame(schemas.ALERT_TYPES, "alrt_sigla string, alrt_descricao string")
     ctx.write_table("alertas", "mmps_alertas_tipos", df, coalesce=1)
+
+
+def _batch_pool_size(spark) -> int:
+    """Concurrent-alert pool size: conf ``spark.alertas.batch.alertParallelism``
+    when set, else scale-adaptive from the session's core count (cores // 2,
+    capped at 16 = the active-alert count).  The alert jobs are LATENCY-bound
+    (each is a chain of small stages over the fixture-scale inputs), so the
+    pool needs most of the registry in flight to keep task slots fed —
+    measured at local[32]: serial 19.6 s, pool 8 → 15.1 s, pool 16 → 7.2 s,
+    pool 32 → 8.1 s (min of 3 cold passes each).  1 disables the pool (the
+    serial reference shape)."""
+    conf = spark.conf.get("spark.alertas.batch.alertParallelism", None)
+    if conf is not None:
+        return max(1, int(conf))
+    return max(1, min(16, spark.sparkContext.defaultParallelism // 2))
 
 
 def run_all(ctx: AlertContext, siglas: tuple[str, ...] = ACTIVE,
@@ -148,20 +186,60 @@ def run_all(ctx: AlertContext, siglas: tuple[str, ...] = ACTIVE,
 
     Each phase runs under a ``Timer`` (≙ timer.py:5-13 wrapping every alert,
     jobs.py:253) and its Spark jobs carry the alert's job group for UI attribution;
-    returns ``{phase: seconds}`` for the CLI report."""
+    returns ``{phase: seconds}`` for the CLI report.
+
+    The compute phase stages alerts CONCURRENTLY into per-sigla staging tables
+    (r18, guide §2.6): the 16 alert jobs are independent — the reference ran
+    them back-to-back, leaving the cluster idle through every job's straggler
+    tail — and their published union is row-identical to the serial append
+    (pinned by test_framework/test_alerts e2e).  Publication runs one family
+    per thread (disjoint tables).  Shared base views build once under the
+    context's view lock."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
     from alertas_spark.framework.timing import Timer
 
     timings: dict[str, float] = {}
     defs = registry()
-    families = {defs[s].family_table for s in siglas}
+    families = sorted({defs[s].family_table for s in siglas})
     for fam in families:  # ≙ leftover-temp cleanup jobs.py:138-141
         ctx.drop_table("alertas", f"temp_{fam}")
     for sigla in siglas:
+        ctx.drop_table("alertas", _stage_name(defs[sigla].family_table, sigla))
+
+    def _run(sigla: str) -> None:
         with Timer(f"alert {sigla}", timings, quiet=quiet):
-            run_alert(ctx, defs[sigla])
+            run_alert(ctx, defs[sigla],
+                      _stage_name(defs[sigla].family_table, sigla))
+
+    workers = _batch_pool_size(ctx.spark)
+    if workers <= 1 or len(siglas) <= 1:
+        for sigla in siglas:
+            _run(sigla)
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(inheritable_thread_target(
+                lambda s=sigla: _run(s))) for sigla in siglas]
+            for f in futures:
+                f.result()
     ctx.spark.catalog.clearCache()  # ≙ jobs.py:285
-    for fam in families:
+
+    def _pub(fam: str) -> None:
         ctx.spark.sparkContext.setJobGroup(f"publish:{fam}", f"publish:{fam}")
         with Timer(f"publish {fam}", timings, quiet=quiet):
-            publish(ctx, fam)
+            publish(ctx, fam, tuple(
+                _stage_name(fam, s) for s in siglas
+                if defs[s].family_table == fam))
+
+    if workers <= 1 or len(families) <= 1:
+        for fam in families:
+            _pub(fam)
+    else:
+        with ThreadPoolExecutor(max_workers=min(workers, len(families))) as pool:
+            futures = [pool.submit(inheritable_thread_target(
+                lambda f_=fam: _pub(f_))) for fam in families]
+            for f in futures:
+                f.result()
     return timings

@@ -94,3 +94,29 @@ def test_run_all_single_alert_end_to_end(ctx):
     assert snap.filter("alrt_sigla != 'VADF'").count() == 0
     assert snap.filter("alrt_key NOT LIKE 'VADF.%'").count() == 0
     assert ctx.table("alertas", "mmps_alertas_tipos").count() == 25
+
+
+def test_concurrent_staging_equals_serial(ctx):
+    """The r18 concurrent compute phase (per-sigla staging tables unioned at
+    publish) publishes the SAME rows as the serial reference shape — and
+    leaves no staging tables behind."""
+    fam = "mmps_alertas_mgp"
+    siglas = ("VADF", "OUVI")
+
+    ctx.spark.conf.set("spark.alertas.batch.alertParallelism", "4")
+    try:
+        engine.run_all(ctx, siglas=siglas, quiet=True)
+        concurrent_rows = {tuple(r) for r in ctx.table("alertas", fam).collect()}
+        ctx.drop_table("alertas", fam)
+        ctx.drop_table("alertas", f"hist_{fam}")
+
+        ctx.spark.conf.set("spark.alertas.batch.alertParallelism", "1")
+        engine.run_all(ctx, siglas=siglas, quiet=True)
+        serial_rows = {tuple(r) for r in ctx.table("alertas", fam).collect()}
+    finally:
+        ctx.spark.conf.unset("spark.alertas.batch.alertParallelism")
+
+    assert concurrent_rows == serial_rows and concurrent_rows
+    # per-sigla staging cleaned up by publish
+    for s in siglas:
+        assert not ctx.table_exists("alertas", engine._stage_name(fam, s))
