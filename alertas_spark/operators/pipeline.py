@@ -122,14 +122,22 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertas_spark.operators.dedup import dedup_cluster_representative
     from alertas_spark.operators.textops import source_quality_gate
 
-    gated = source_quality_gate(spark, sf_dir).select("doc_id", "source")
+    from alertas_spark.operators.memo import overlap
+
     # cluster election = MinHash pairs + iterative star contraction — the most
     # expensive repeated subcomputation in the corpus; one per-dataset artifact
-    # (one row per near-dup cluster) serves every composition in the session
-    reps = session_artifact(
-        spark, ("cluster_representatives", sf_dir),
-        lambda: dedup_cluster_representative(spark, sf_dir).localCheckpoint()
-    ).select(F.col("rep_doc_id").alias("doc_id"), "cluster_size")
+    # (one row per near-dup cluster) serves every composition in the session.
+    # The origin-gate scan is independent of it — materialize both
+    # concurrently (memo.overlap, guide §2.6).
+    gated, reps0 = overlap([
+        lambda: (source_quality_gate(spark, sf_dir)
+                 .select("doc_id", "source").localCheckpoint()),
+        lambda: session_artifact(
+            spark, ("cluster_representatives", sf_dir),
+            lambda: dedup_cluster_representative(spark, sf_dir)
+            .localCheckpoint()),
+    ], max_workers=2)
+    reps = reps0.select(F.col("rep_doc_id").alias("doc_id"), "cluster_size")
     return gated.join(reps, "doc_id").select("doc_id", "source", "cluster_size")
 
 
@@ -187,18 +195,25 @@ def pipeline_corpus_to_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alertas_spark.operators.textops import quality_gate_cond
     from pyspark.sql import Window
 
-    ntok = ntok_udf(spark, sf_dir)
+    from alertas_spark.operators.memo import overlap
+
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), WS_RE, " ")
     gated = (docs
              .filter(quality_gate_cond())
              .select("doc_id", "source", F.md5(norm).alias("h")))
     kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    per_doc = (_doc_token_counts(spark, sf_dir, ntok)
-               .select("doc_id", "n_tokens"))
-    ds = (gated.join(kept.select("doc_id"), "doc_id")
-          .join(per_doc, "doc_id")
-          .select("doc_id", "source", "n_tokens"))
+    # the gate+dedup side and the tokenizer side are independent until the
+    # final join — the gate scan materializes WHILE the BPE trainer's driver
+    # loop steps (memo.overlap, guide §2.6; ntok_udf builds inside its thunk
+    # so the artifact work lands on the pool thread)
+    gk, per_doc = overlap([
+        lambda: (gated.join(kept.select("doc_id"), "doc_id")
+                 .select("doc_id", "source").localCheckpoint()),
+        lambda: (_doc_token_counts(spark, sf_dir, ntok_udf(spark, sf_dir))
+                 .select("doc_id", "n_tokens").localCheckpoint()),
+    ], max_workers=2)
+    ds = gk.join(per_doc, "doc_id").select("doc_id", "source", "n_tokens")
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
