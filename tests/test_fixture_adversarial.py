@@ -444,7 +444,12 @@ def test_fuzzy_candidates_output_bound_under_prefix_skew(spark, skew_doc_dir):
 
     n_true = load_fuzzy_true_pairs(skew_doc_dir)
     gram = _gram_docs(_units(_doc_sigs(spark, skew_doc_dir)))
-    cand = (_candidate_pairs(gram, gram.count())
+    gram.count()  # materialize the tracked cache, as the query path does
+    # r18: _candidate_pairs emits the l-prefix survivors directly (the exact
+    # count filter between the prefix agg and the banded verify was measured
+    # more expensive than the verify and removed) — the output-bound property
+    # must now hold at THIS stage, which is exactly what this test pins
+    cand = (_candidate_pairs(gram)
             .select("doc_a", "doc_b").distinct().count())
     naive_block_pairs = _N_SKEW * (_N_SKEW - 1) // 2
     assert cand < naive_block_pairs / 1000, cand
