@@ -114,6 +114,15 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _update(assigned: DataFrame) -> DataFrame:
+    # Kept as posexplode + (cid, dim) + (cid) two-level aggregation: the r18
+    # single-groupBy rewrite (DIM=64 per-dimension decimal sum columns in one
+    # agg) was built and MEASURED WORSE — interleaved in-session A/B on
+    # kmeans_assign: 2.42 s vs 1.29 s min-of-4, every pass slower; the 64-wide
+    # decimal(29,6) buffer update per row costs more than the exploded narrow
+    # agg saves, and spark.sql.codegen.maxFields=400 did not recover it.  The
+    # 16-wide twin on SUBDIM sub-vectors (pq._sub_mean) measured a wash and
+    # ships; at this width the explode is the better local plan and both
+    # exchanges are model-geometry-sized.
     sums = (
         assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
         .groupBy("cid", (F.col("pos") + 1).alias("dim"))

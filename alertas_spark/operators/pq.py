@@ -501,6 +501,25 @@ _DUCK_TRAINED = f"""
     )"""
 
 
+def _sub_mean(a1: DataFrame) -> DataFrame:
+    """(m, c, cvec): decimal-exact per-dimension mean of the assigned
+    sub-vectors in ONE groupBy(m, c) — SUBDIM per-dimension decimal sum
+    columns with map-side combine (r18; the former posexplode +
+    groupBy(m, c, dim) + groupBy(m, c) shape paid two exchanges and a
+    SUBDIM× row explosion).  Decimal addition is exact and order-
+    independent, so each dimension's sum, double cast, and divide are
+    bit-identical to the exploded form; COUNT(*) per (m, c) mirrors the
+    oracle's per-group count (sub-vectors are always full SUBDIM length)."""
+    sums = a1.groupBy("m", "c").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col("sub")[i].cast("decimal(29,6)")).alias(f"s{i}")
+          for i in range(SUBDIM)])
+    return sums.select(
+        "m", "c",
+        F.array(*[F.col(f"s{i}").cast("double") / F.col("n")
+                  for i in range(SUBDIM)]).alias("cvec"))
+
+
 @declare(
     "pq_encode_trained",
     oracle=f"""
@@ -557,18 +576,17 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def train_codebook() -> DataFrame:
         a1 = assign(cw0)
-        mean1 = (
-            a1.select("m", "c", F.posexplode("sub").alias("pos", "x"))
-            .groupBy("m", "c", (F.col("pos") + 1).alias("dim"))
-            .agg((F.sum(F.col("x").cast("decimal(29,6)")).cast("double")
-                  / F.count("*")).alias("mu"))
-            .groupBy("m", "c")
-            .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-                             lambda s: s["mu"]).alias("cvec"))
-        )
+        # ONE exchange (r18, kmeans._update's exact shape per subspace): the
+        # per-dimension decimal sums ride SUBDIM agg columns in a single
+        # groupBy(m, c) — the former posexplode + groupBy(m, c, dim) +
+        # groupBy(m, c) paid two exchanges and a SUBDIM× row explosion for
+        # bit-identical numbers (decimal sums are order-independent).
+        mean1 = _sub_mean(a1)
         return (
-            cw0.drop("cvec").join(mean1, ["m", "c"], "left")
-            .join(cw0.select("m", "c", F.col("cvec").alias("seed")), ["m", "c"])
+            # one join: seed-aliased cw0 left-joins the means (keys unique) —
+            # the former drop+join+join evaluated the cw0 subtree twice
+            cw0.select("m", "c", F.col("cvec").alias("seed"))
+            .join(mean1, ["m", "c"], "left")
             .select("m", "c", F.coalesce("cvec", "seed").alias("cvec"))
             # 64 tiny rows; lazy — persistent_artifact owns materialization
         )
@@ -832,18 +850,11 @@ def _residual_codebook(spark: SparkSession, sf_dir: str,
         a1 = (subs.join(F.broadcast(_packed_codebook(cw0)), "m")
               .withColumn("best", F.expr(_SUB_BEST))
               .select("vec_id", "m", F.col("best.c").alias("c"), "sub"))
-        mean1 = (
-            a1.select("m", "c", F.posexplode("sub").alias("pos", "x"))
-            .groupBy("m", "c", (F.col("pos") + 1).alias("dim"))
-            .agg((F.sum(F.col("x").cast("decimal(29,6)")).cast("double")
-                  / F.count("*")).alias("mu"))
-            .groupBy("m", "c")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-                lambda s: s["mu"]).alias("cvec")))
-        return (cw0.drop("cvec").join(mean1, ["m", "c"], "left")
-                .join(cw0.select("m", "c", F.col("cvec").alias("seed")),
-                      ["m", "c"])
+        # single-exchange per-dimension means + one seed-coalesce join — see
+        # pq_encode_trained.train_codebook (identical rewrite, r18)
+        mean1 = _sub_mean(a1)
+        return (cw0.select("m", "c", F.col("cvec").alias("seed"))
+                .join(mean1, ["m", "c"], "left")
                 .select("m", "c", F.coalesce("cvec", "seed").alias("cvec")))
 
     return persistent_artifact(spark, sf_dir, "ivfpq_residual_codebook",

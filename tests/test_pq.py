@@ -226,3 +226,34 @@ def test_ivfpq_rerank_beats_adc_and_scores_exactly(spark):
     for pair, score in rr.items():
         if pair in bf:
             assert score == bf[pair]
+
+
+def test_single_exchange_sub_mean_equals_exploded_form(spark):
+    """r18: the residual/PQ codebook Lloyd mean runs as ONE groupBy with
+    SUBDIM per-dimension decimal sum columns (pq._sub_mean).  Pin
+    bit-equality against the former posexplode + per-(m, c, dim) aggregate
+    on values that exercise decimal accumulation (0.1-style doubles whose
+    naive double-sum order matters)."""
+    from pyspark.sql import functions as F
+
+    from alertas_spark.operators.pq import SUBDIM, _sub_mean
+
+    vals = [[(0.1 * (i + 1) + 0.7 * r) % 1.3 for i in range(SUBDIM)]
+            for r in range(9)]
+    subs = spark.createDataFrame(
+        [(r, 1 + r % 4, r % 3, vals[r]) for r in range(9)],
+        "vec_id bigint, m int, c int, sub array<double>")
+    got_s = {(r.m, r.c): r.cvec for r in _sub_mean(subs).collect()}
+    # reference: the exploded two-level form this rewrite replaced
+    ref_s_rows = (
+        subs.select("m", "c", F.posexplode("sub").alias("pos", "x"))
+        .groupBy("m", "c", "pos")
+        .agg((F.sum(F.col("x").cast("decimal(29,6)")).cast("double")
+              / F.count("*")).alias("mu"))
+        .collect())
+    ref_s: dict[tuple, dict[int, float]] = {}
+    for r in ref_s_rows:
+        ref_s.setdefault((r.m, r.c), {})[r.pos] = r.mu
+    assert set(got_s) == set(ref_s)
+    for key, cvec in got_s.items():
+        assert cvec == [ref_s[key][p] for p in range(SUBDIM)]
