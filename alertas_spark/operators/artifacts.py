@@ -47,7 +47,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from alertas_spark.operators.memo import session_artifact
+from alertas_spark.operators.memo import session_artifact, session_value
 
 #: Spark conf key (checked first) and env fallback naming the artifact root.
 CONF_KEY = "spark.alertas.artifacts.dir"
@@ -239,6 +239,45 @@ def persistent_artifact(spark: SparkSession, sf_dir: str, name: str,
     return session_artifact(
         spark, (name, sf_dir, "persistent", version),
         lambda: load_or_build(spark, root, name, version, build))
+
+
+def bounded_rows(df: DataFrame, max_rows: int, what: str) -> list:
+    """Collect a MODEL-GEOMETRY relation to the driver (the sanctioned
+    S15-class bounded pull): ``max_rows`` states the geometry bound and is
+    ENFORCED — this helper must never see a corpus-sized relation.  Doubles
+    arrive bit-exactly (collect yields the binary C double)."""
+    rows = df.collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"bounded_rows({what}): {len(rows)} rows exceed the stated "
+            f"model-geometry bound {max_rows} — refusing the driver pull")
+    return rows
+
+
+def persistent_artifact_rows(spark: SparkSession, sf_dir: str, name: str,
+                             code_version: str, table: str,
+                             build: Callable[[], DataFrame],
+                             max_rows: int) -> list:
+    """:func:`persistent_artifact` for MODEL-GEOMETRY tables (≤ ``max_rows``
+    rows: trained centroid/codeword relations), returning the COLLECTED ROWS
+    instead of a distributed relation.  Consumers bake the rows into literal
+    (constant-folded) expressions — deleting the per-consumer pack
+    aggregation, BroadcastExchange job, and join that a relation-shaped
+    artifact costs (the trainer chains are job-count-bound:
+    OPTIMIZATION_r18 "Not yet optimized" / ADVICE item 2).  The cold build
+    pays ONE collect action, replacing the memo branch's localCheckpoint
+    action; the store branch persists/loads the same parquet as
+    :func:`persistent_artifact` (identical name/version keys — stores
+    written by either tier serve both) and collects the read-back."""
+    root = artifact_root(spark)
+    if root is None:
+        return session_value(spark, (name, sf_dir, "rows"),
+                             lambda: bounded_rows(build(), max_rows, name))
+    version = f"{code_version}-{dataset_fingerprint(sf_dir, table)}"
+    return session_value(
+        spark, (name, sf_dir, "persistent-rows", version),
+        lambda: bounded_rows(load_or_build(spark, root, name, version, build),
+                             max_rows, name))
 
 
 def versions(root: str, name: str) -> list[str]:

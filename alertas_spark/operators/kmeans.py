@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from alertas_spark.operators.artifacts import persistent_artifact
+from alertas_spark.operators.artifacts import bounded_rows, persistent_artifact
 from alertas_spark.operators.embgate import EMB_VALID_SQL, valid_embeddings
 from alertas_spark.registry import declare
 from alertas_spark.sources.catalog import load_table
@@ -84,18 +84,47 @@ _DUCK_ORACLE = f"""
 #: build (dist, cid) structs for every centroid with a higher-order
 #: ``transform`` and take ``array_min`` — structs compare field-by-field, so
 #: the minimum IS (lowest dist, ties to lowest cid), the oracle's
-#: ROW_NUMBER() ORDER BY dist, cid tiebreak, bit-identical.
-_SPARK_BEST = ("array_min(transform(cs, c -> named_struct("
-               "'dist', aggregate(zip_with(emb, c.cvec, "
-               "(x, ce) -> (x - ce) * (x - ce)), "
-               "cast(0.0 as double), (acc, v) -> acc + v), "
-               "'cid', c.cid)))")
+#: ROW_NUMBER() ORDER BY dist, cid tiebreak, bit-identical.  ``cs_expr`` is
+#: either the packed broadcast column or a constant-folded literal array;
+#: ``with_cvec`` carries the winning centroid's vector on the struct (a
+#: third tiebreak field never consulted — cid is unique), so residual
+#: consumers need no join-back against the centroid table.
+def _spark_best(cs_expr: str, with_cvec: bool = False) -> str:
+    cvec = ", 'cvec', c.cvec" if with_cvec else ""
+    return (f"array_min(transform({cs_expr}, c -> named_struct("
+            "'dist', aggregate(zip_with(emb, c.cvec, "
+            "(x, ce) -> (x - ce) * (x - ce)), "
+            "cast(0.0 as double), (acc, v) -> acc + v), "
+            f"'cid', c.cid{cvec})))")
 
 
-def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+_SPARK_BEST = _spark_best("cs")
+
+
+def dlit(x: float) -> str:
+    """SQL double literal reproducing the exact binary64 value: ``repr`` is
+    the shortest round-trip decimal, and both Spark's parser and
+    ``Double.parseDouble`` reconstruct the identical double from it."""
+    return repr(float(x)) + "D"
+
+
+def lit_centroid_array(rows, cid_suffix: str = "L") -> str:
+    """The K trained centroids as ONE literal ``array<struct<cid, cvec>>``
+    SQL expression (constant-folded by Catalyst into a single Literal):
+    consumers evaluate the argmin against a CONSTANT — no pack aggregation,
+    no BroadcastExchange job, no join.  Element order is sorted by cid for
+    reproducibility; min-over-set is order-independent."""
+    items = ", ".join(
+        f"named_struct('cid', {int(r['cid'])}{cid_suffix}, "
+        f"'cvec', array({', '.join(dlit(x) for x in r['cvec'])}))"
+        for r in sorted(rows, key=lambda r: r["cid"]))
+    return f"array({items})"
+
+
+def _assign(emb: DataFrame, centroids, with_cvec: bool = False) -> DataFrame:
     # ZERO-exchange assignment: the K centroids collapse to ONE broadcast row
     # holding an array of (cid, cvec) structs, and the argmin runs inside the
-    # scan projection (``_SPARK_BEST``).  The former shape — crossJoin each
+    # scan projection (``_spark_best``).  The former shape — crossJoin each
     # vector against all K centroids, then argmin via a vec_id window —
     # shuffled and sorted one full copy of every embedding per Lloyd round
     # (measured at sf0.1: 2,000 records / 820 KB per round, the dominant
@@ -103,13 +132,36 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     # the only exchanges left in a round are the tiny (cid, dim) mean
     # partials.  min-over-set is order-independent, so the unordered
     # collect_list is deterministic in the result.
+    #
+    # ``centroids`` is a DataFrame only for the seed round (c0 rides the
+    # corpus scan lazily); DRIVER-HELD rows (post-update rounds, the trained
+    # coarse-centroid artifact) become a constant-folded LITERAL array
+    # instead — no pack aggregation, no BroadcastExchange job, no join
+    # (the trainer chains are job-count-bound; artifacts.bounded_rows).
+    #
+    # ``cid`` is coalesced against a sentinel that never occurs: the argmin
+    # over a non-empty centroid set is never null, so values are identical —
+    # but the coalesce makes the COLUMN non-nullable, so downstream joins on
+    # cid generate NO inferred isnotnull constraint.  Without it, Catalyst
+    # rewrites the inferred filter through this projection and re-evaluates
+    # the ENTIRE argmin chain per row a second time (measured: the IVFADC
+    # scorer went 13.3 s → 1.1 s at sf0.1 when the inference died).
+    out = ["vec_id", "emb",
+           F.coalesce(F.col("best.cid"), F.lit(-1)).alias("cid"),
+           F.col("best.dist").alias("dist")]
+    if with_cvec:
+        out.append(F.col("best.cvec").alias("cvec"))
+    if isinstance(centroids, list):
+        return (emb.withColumn(
+            "best", F.expr(_spark_best(lit_centroid_array(centroids),
+                                       with_cvec)))
+            .select(*out))
     cs = centroids.groupBy().agg(
         F.collect_list(F.struct("cid", "cvec")).alias("cs"))
     return (
         emb.crossJoin(F.broadcast(cs))
-        .withColumn("best", F.expr(_SPARK_BEST))
-        .select("vec_id", "emb", F.col("best.cid").alias("cid"),
-                F.col("best.dist").alias("dist"))
+        .withColumn("best", F.expr(_spark_best("cs", with_cvec)))
+        .select(*out)
     )
 
 
@@ -147,7 +199,12 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
     assigned = _assign(v, centroids)
     for _ in range(ITERS - 1):
-        centroids = _update(assigned).localCheckpoint()  # K rows; truncate lineage
+        # K rows to the driver (bounded by model geometry): the collect IS
+        # the round's one materializing action — the former localCheckpoint
+        # cost the same job, but left a checkpoint-backed table whose pack +
+        # broadcast submitted ANOTHER job per consumer; literal centroids
+        # make the next assign a pure projection (bounded_rows rationale)
+        centroids = bounded_rows(_update(assigned), K, "kmeans_c1")
         assigned = _assign(v, centroids)
     return assigned.select(
         "vec_id", F.col("cid").cast("bigint").alias("cluster"),
@@ -206,10 +263,10 @@ def trained_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
         assigned = _assign(v, centroids)
         for _ in range(ITERS - 1):
-            centroids = _update(assigned).localCheckpoint()
+            centroids = bounded_rows(_update(assigned), K, "kmeans_c1")
             assigned = _assign(v, centroids)
-        # lazy: persistent_artifact owns materialization (per-iteration
-        # centroid checkpoints above already truncate the deep lineage)
+        # lazy: persistent_artifact owns materialization (the per-iteration
+        # literal centroid arrays above already truncate the deep lineage)
         return assigned.select("vec_id", "emb", "cid",
                                F.sqrt(_norm2(F.col("emb"))).alias("nrm"))
 

@@ -49,7 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from alertas_spark.operators.artifacts import persistent_artifact
+from alertas_spark.operators.artifacts import (persistent_artifact,
+                                               persistent_artifact_rows)
 from alertas_spark.operators.kmeans import _assign, _update
 from alertas_spark.operators.memo import session_artifact
 from alertas_spark.operators.embgate import (EMB_VALID_SQL, np_valid_mask,
@@ -557,7 +558,7 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw0 = (subs.filter(F.col("vec_id") < KSUB)
            .select("m", F.col("vec_id").cast("int").alias("c"),
                    F.col("sub").alias("cvec")))
-    def assign(cw: DataFrame) -> DataFrame:
+    def assign(cw) -> DataFrame:
         # ZERO-exchange sub-assignment (r18, kmeans._assign's exact shape per
         # subspace): the KSUB codewords of each subspace pack into ONE array
         # row, the 4-row packed codebook broadcasts, and the argmin runs
@@ -567,12 +568,19 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         # agg shuffled every sub-vector once per assign pass; now ``sub``
         # stays on the row for free (the Lloyd mean needs it — previously a
         # join-back against a second evaluation of the subs subtree).
-        cwp = cw.groupBy("m").agg(
-            F.collect_list(F.struct("c", "cvec")).alias("cs"))
-        return (subs.join(F.broadcast(cwp), "m")
+        # Driver-held trained-codebook ROWS bake into a constant-folded
+        # literal instead — no pack, no broadcast job, no join-by-m.
+        # c coalesced non-nullable — see _assign_sub (kills the inferred-
+        # isnotnull re-evaluation of the argmin chain under the mean1 join)
+        c = F.coalesce(F.col("best.c"), F.lit(-1)).alias("c")
+        if isinstance(cw, list):
+            return (subs.withColumn(
+                "best",
+                F.expr(_sub_best(f"element_at({_lit_codebook_by_m(cw)}, m)")))
+                .select("vec_id", "m", c, F.col("best.d").alias("d"), "sub"))
+        return (subs.join(F.broadcast(_packed_codebook(cw)), "m")
                 .withColumn("best", F.expr(_SUB_BEST))
-                .select("vec_id", "m", F.col("best.c").alias("c"),
-                        F.col("best.d").alias("d"), "sub"))
+                .select("vec_id", "m", c, F.col("best.d").alias("d"), "sub"))
 
     def train_codebook() -> DataFrame:
         a1 = assign(cw0)
@@ -596,9 +604,10 @@ def pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (spark.alertas.artifacts.dir / ALERTAS_ARTIFACTS_DIR) the 64-row trained
     # codebook persists as versioned parquet and later sessions skip training
     # entirely (operators/artifacts.py); the final re-assign runs per call
-    cw1 = persistent_artifact(spark, sf_dir, "pq_trained_codebook",
-                              code_version="1", table="embeddings",
-                              build=train_codebook)
+    cw1 = persistent_artifact_rows(spark, sf_dir, "pq_trained_codebook",
+                                   code_version="1", table="embeddings",
+                                   build=train_codebook,
+                                   max_rows=M * KSUB)
     a2 = assign(cw1)
     # codes + qerr in ONE conditional aggregation (single shuffle on vec_id) —
     # a pivot + join-back here would cost an extra exchange and a merge join
@@ -774,29 +783,32 @@ _DUCK_IVFPQ = f"""
     )"""
 
 
-def _coarse_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The trained K-row coarse centroid table ``(cid, cvec)`` over the
-    NORMALIZED embeddings — the index's first artifact."""
+def _coarse_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The trained coarse centroid ROWS ``(cid, cvec)`` (≤KC, model
+    geometry) over the NORMALIZED embeddings — the index's first artifact.
+    Driver-held: every consumer bakes them into a constant-folded literal
+    (no broadcast jobs, no joins — artifacts.persistent_artifact_rows)."""
     def train() -> DataFrame:
         v = _normalized(spark, sf_dir)
         c0 = v.filter(F.col("vec_id") < KC).select(
             F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
         return _update(_assign(v, c0))  # lazy; ≤KC rows
 
-    return persistent_artifact(spark, sf_dir, "ivfpq_coarse_centroids",
-                               code_version="1", table="embeddings",
-                               build=train)
+    return persistent_artifact_rows(spark, sf_dir, "ivfpq_coarse_centroids",
+                                    code_version="1", table="embeddings",
+                                    build=train, max_rows=KC)
 
 
-def _residual_subs(spark: SparkSession, sf_dir: str,
-                   c1: DataFrame) -> DataFrame:
+def _residual_subs(spark: SparkSession, sf_dir: str, c1: list) -> DataFrame:
     """(vec_id, cid, m, sub): the per-subspace residual slices — assignment
-    is the zero-shuffle argmin over the broadcast centroids, the residual a
-    zip_with projection."""
-    a2 = _assign(_normalized(spark, sf_dir), c1)
-    res = (a2.join(F.broadcast(c1), "cid")
-           .select("vec_id", "cid",
-                   F.zip_with("emb", "cvec", lambda x, c: x - c).alias("r")))
+    is the zero-shuffle argmin over the LITERAL centroids carrying the
+    winning centroid's vector on the argmin struct (``with_cvec``), so the
+    residual is a zip_with projection with no join-back (the former shape
+    paid a broadcast-build job for the pack and another for the c1 join)."""
+    a2 = _assign(_normalized(spark, sf_dir), c1, with_cvec=True)
+    res = a2.select(
+        "vec_id", "cid",
+        F.zip_with("emb", "cvec", lambda x, c: x - c).alias("r"))
     return (res.select(
         "vec_id", "cid",
         F.posexplode(F.expr(
@@ -808,11 +820,16 @@ def _residual_subs(spark: SparkSession, sf_dir: str,
 #: scan-side sub-argmin over the packed per-subspace codeword array (r18):
 #: array_min over (d, c) structs = the oracle's ORDER BY d, c — struct
 #: comparison is field-by-field, d is the same sequential fold both ways.
-_SUB_BEST = ("array_min(transform(cs, cc -> named_struct("
-             "'d', aggregate(zip_with(sub, cc.cvec, "
-             "(x, y) -> (x - y) * (x - y)), "
-             "cast(0.0 as double), (acc, v) -> acc + v), "
-             "'c', cc.c)))")
+#: ``cs_expr`` is the packed broadcast column or a constant-folded literal.
+def _sub_best(cs_expr: str) -> str:
+    return (f"array_min(transform({cs_expr}, cc -> named_struct("
+            "'d', aggregate(zip_with(sub, cc.cvec, "
+            "(x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (acc, v) -> acc + v), "
+            "'c', cc.c)))")
+
+
+_SUB_BEST = _sub_best("cs")
 
 
 def _packed_codebook(cw: DataFrame) -> DataFrame:
@@ -824,20 +841,55 @@ def _packed_codebook(cw: DataFrame) -> DataFrame:
         F.collect_list(F.struct("c", "cvec")).alias("cs"))
 
 
-def _assign_sub(subs: DataFrame, cw: DataFrame) -> DataFrame:
+def _lit_codebook_by_m(rows) -> str:
+    """A trained (m, c, cvec) codebook as ONE literal
+    ``array<array<struct<c, cvec>>>`` SQL expression indexed by subspace
+    (``element_at(..., m)``), constant-folded by Catalyst into a single
+    Literal.  Consumers evaluate the sub-argmin / LUT against a CONSTANT —
+    no pack aggregation, no BroadcastExchange job, no join-by-m (the
+    trainer chains are job-count-bound; artifacts.bounded_rows)."""
+    from alertas_spark.operators.kmeans import dlit
+
+    by_m: dict = {}
+    for r in sorted(rows, key=lambda r: (r["m"], r["c"])):
+        by_m.setdefault(r["m"], []).append(r)
+    assert sorted(by_m) == list(range(1, M + 1))
+    per_m = []
+    for m in range(1, M + 1):
+        items = ", ".join(
+            f"named_struct('c', {int(r['c'])}, "
+            f"'cvec', array({', '.join(dlit(x) for x in r['cvec'])}))"
+            for r in by_m[m])
+        per_m.append(f"array({items})")
+    return f"array({', '.join(per_m)})"
+
+
+def _assign_sub(subs: DataFrame, cw) -> DataFrame:
     """Per (vec_id, m): the codeword minimizing the sequential-fold sub-L2²,
     ties to the lowest id — evaluated scan-side against the packed codebook
     (zero-exchange; the former crossJoin-by-m + struct-min agg shuffled every
-    residual sub-vector once per pass)."""
+    residual sub-vector once per pass).  Driver-held codebook ROWS (the
+    trained artifact) become a constant-folded literal indexed by ``m`` —
+    no broadcast job, no join."""
+    # c coalesced non-nullable (sentinel never occurs — the argmin over a
+    # non-empty codeword set is never null): joins on c/cid then infer NO
+    # isnotnull constraint, which would otherwise re-evaluate the whole
+    # argmin chain per row as a pushed filter (kmeans._assign rationale)
+    c = F.coalesce(F.col("best.c"), F.lit(-1)).alias("c")
+    if isinstance(cw, list):
+        return (subs.withColumn(
+            "best",
+            F.expr(_sub_best(f"element_at({_lit_codebook_by_m(cw)}, m)")))
+            .select("vec_id", "cid", "m", c))
     return (subs.join(F.broadcast(_packed_codebook(cw)), "m")
             .withColumn("best", F.expr(_SUB_BEST))
-            .select("vec_id", "cid", "m", F.col("best.c").alias("c")))
+            .select("vec_id", "cid", "m", c))
 
 
-def _residual_codebook(spark: SparkSession, sf_dir: str,
-                       c1: DataFrame) -> DataFrame:
-    """The trained (m, c, cvec) residual codebook — one Lloyd update over
-    the pooled residual sub-vectors (pq_encode_trained's exact contract)."""
+def _residual_codebook(spark: SparkSession, sf_dir: str, c1: list) -> list:
+    """The trained (m, c, cvec) residual codebook ROWS (≤M·KSUB, model
+    geometry) — one Lloyd update over the pooled residual sub-vectors
+    (pq_encode_trained's exact contract); driver-held for literal baking."""
     def train() -> DataFrame:
         subs = _residual_subs(spark, sf_dir, c1)
         cw0 = (subs.filter(F.col("vec_id") < KSUB)
@@ -857,16 +909,20 @@ def _residual_codebook(spark: SparkSession, sf_dir: str,
                 .join(mean1, ["m", "c"], "left")
                 .select("m", "c", F.coalesce("cvec", "seed").alias("cvec")))
 
-    return persistent_artifact(spark, sf_dir, "ivfpq_residual_codebook",
-                               code_version="1", table="embeddings",
-                               build=train)
+    return persistent_artifact_rows(spark, sf_dir, "ivfpq_residual_codebook",
+                                    code_version="1", table="embeddings",
+                                    build=train, max_rows=M * KSUB)
 
 
-def _probed_cells(spark: SparkSession, sf_dir: str,
-                  c1: DataFrame) -> DataFrame:
+def _probed_cells(spark: SparkSession, sf_dir: str, c1: list) -> DataFrame:
     """``(query_id, cid, qr)``: each query's NPROBE nearest trained coarse
     cells and its residual against their centroids — shared by the IVFADC
-    scorer and the dashboard's candidate-count audit."""
+    scorer and the dashboard's candidate-count audit.  The centroids enter
+    as an ``inline`` over the constant-folded literal array (same (query,
+    centroid) rows the former crossJoin(broadcast) produced, minus its
+    broadcast-build job)."""
+    from alertas_spark.operators.kmeans import lit_centroid_array
+
     q = (_normalized(spark, sf_dir)
          .filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
@@ -874,7 +930,8 @@ def _probed_cells(spark: SparkSession, sf_dir: str,
     qdist = ("aggregate(zip_with(qemb, cvec, (x, y) -> (x - y) * (x - y)), "
              "cast(0.0 as double), (acc, v) -> acc + v)")
     wq = Window.partitionBy("query_id").orderBy("qd", "cid")
-    return (q.crossJoin(F.broadcast(c1))
+    return (q.select("query_id", "qemb",
+                     F.expr(f"inline({lit_centroid_array(c1)})"))
             .withColumn("qd", F.expr(qdist))
             .withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= NPROBE)
@@ -894,7 +951,13 @@ def _ivfpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     lutsub = (f"aggregate(zip_with(slice(qr, (m - 1) * {SUBDIM} + 1, "
               f"{SUBDIM}), cvec, (x, y) -> (x - y) * (x - y)), "
               f"cast(0.0 as double), (acc, v) -> acc + v)")
-    lut = (probes.crossJoin(F.broadcast(cw1.withColumnRenamed("c", "lc")))
+    # the codewords enter the LUT as an inline over the literal codebook —
+    # same (probe, codeword) rows as the former crossJoin(broadcast(cw1)),
+    # minus its broadcast-build job
+    cwlit = ("inline(flatten(transform(" + _lit_codebook_by_m(cw1)
+             + ", (a, i) -> transform(a, s -> "
+             "named_struct('m', i + 1, 'lc', s.c, 'cvec', s.cvec)))))")
+    lut = (probes.select("query_id", "cid", "qr", F.expr(cwlit))
            .withColumn("sd", F.expr(lutsub))
            .select("query_id", "cid", "m", "lc", "sd"))
     return (codes

@@ -190,9 +190,12 @@ def test_ivfpq_recall_floor_and_probe_containment(spark):
     got = {(r.query_id, r.cand_id) for r in out}
     assert len(got & bf) / len(bf) >= 0.15
     # probe containment: every candidate's cell is among its query's probes
-    c1 = _coarse_centroids(spark, SF)
+    # (_coarse_centroids returns the driver-held ROWS; rebuild a relation
+    # for this test's independent crossJoin re-derivation)
+    c1_rows = _coarse_centroids(spark, SF)
+    c1 = spark.createDataFrame(c1_rows)
     cells = {r.vec_id: r.cid
-             for r in _assign(_normalized(spark, SF), c1).collect()}
+             for r in _assign(_normalized(spark, SF), c1_rows).collect()}
     qdist = ("aggregate(zip_with(qemb, cvec, (x, y) -> (x - y) * (x - y)), "
              "cast(0.0 as double), (acc, v) -> acc + v)")
     probes: dict[int, list] = {}
